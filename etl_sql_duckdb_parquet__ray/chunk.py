@@ -1,0 +1,147 @@
+"""On-disk encoded-chunk container format.
+
+A *chunk* is one encoded horizontal slice of the transcript table (all
+columns, ``chunk_rows`` rows, contiguous under ``(conv_id, turn_idx)``
+ordering). A *chunk file* holds all chunks of one hash-bucket partition:
+
+    file  := b"RTCF" u32 n_chunks (u64 chunk_len, chunk_bytes)*
+    chunk := u32 header_len, header_json, column payloads (offsets in header)
+
+The header carries per-column codec metadata, the pre-encode SHA-256
+checksum (the columnar analog of the reference's per-row ``row_hash``,
+``src/etl/ingest.py:56-58``) and the chunk's ``(conv_id, turn_idx)`` range
+so salted sub-chunks of a hot conversation reassemble in order.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Any, Iterator
+
+import pyarrow as pa
+
+from .codecs import column_checksum, decode_column, encode_column
+
+MAGIC = b"RTCF"
+
+
+def encode_chunk(
+    table: pa.Table,
+    codec_overrides: dict[str, str] | None = None,
+    shared_codecs: dict[str, Any] | None = None,
+    with_checksums: bool = True,
+    extra: dict | None = None,
+    mode: str = "balanced",
+) -> tuple[bytes, dict]:
+    """Encode one table slice -> (chunk bytes, summary for the manifest)."""
+    codec_overrides = codec_overrides or {}
+    shared_codecs = shared_codecs or {}
+    cols = []
+    payloads = []
+    off = 0
+    bytes_in = 0
+    for name in table.column_names:
+        arr = table.column(name).combine_chunks()
+        bytes_in += arr.nbytes
+        if name in shared_codecs:
+            payload, meta = _encode_with_instance(arr, shared_codecs[name])
+        else:
+            payload, meta = encode_column(arr, codec_overrides.get(name), mode=mode)
+        if with_checksums:
+            meta["sha256"] = column_checksum(arr)
+        cols.append({"name": name, "meta": meta, "off": off, "len": len(payload)})
+        payloads.append(payload)
+        off += len(payload)
+    header: dict = {"n_rows": table.num_rows, "columns": cols}
+    if extra:
+        header["extra"] = extra
+    hjson = json.dumps(header, separators=(",", ":")).encode()
+    chunk = struct.pack("<I", len(hjson)) + hjson + b"".join(payloads)
+    summary = {
+        "rows": table.num_rows,
+        "bytes_in": bytes_in,
+        "bytes_out": len(chunk),
+        "codecs": {c["name"]: c["meta"]["codec"] for c in cols},
+    }
+    return chunk, summary
+
+
+def _encode_with_instance(arr: pa.Array, codec) -> tuple[bytes, dict]:
+    """Encode with a pre-built codec instance (e.g. an FSST codec holding a
+    shared/broadcast symbol table). Reuses the null-handling wrapper by
+    temporarily registering the instance under its own name."""
+    from .codecs import REGISTRY
+
+    prev = REGISTRY.get(codec.name)
+    REGISTRY[codec.name] = codec
+    try:
+        return encode_column(arr, codec.name)
+    finally:
+        if prev is not None:
+            REGISTRY[codec.name] = prev
+
+
+def decode_chunk(chunk: bytes) -> pa.Table:
+    (hlen,) = struct.unpack_from("<I", chunk, 0)
+    header = json.loads(chunk[4 : 4 + hlen])
+    base = 4 + hlen
+    arrays, names = [], []
+    for col in header["columns"]:
+        payload = chunk[base + col["off"] : base + col["off"] + col["len"]]
+        arr = decode_column(payload, col["meta"])
+        if "sha256" in col["meta"]:
+            got = column_checksum(arr)
+            if got != col["meta"]["sha256"]:
+                raise ValueError(
+                    f"checksum mismatch on column {col['name']!r}: "
+                    f"{got} != {col['meta']['sha256']}"
+                )
+        arrays.append(arr)
+        names.append(col["name"])
+    return pa.table(dict(zip(names, arrays)))
+
+
+def chunk_header(chunk: bytes) -> dict:
+    (hlen,) = struct.unpack_from("<I", chunk, 0)
+    return json.loads(chunk[4 : 4 + hlen])
+
+
+def write_chunk_file(path: str, chunks: list[bytes]) -> int:
+    """Atomic write (tmp + rename) so a killed run never leaves a partial
+    partition — the unit of resume (SURVEY.md §4)."""
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    buf.write(struct.pack("<I", len(chunks)))
+    for c in chunks:
+        buf.write(struct.pack("<Q", len(c)))
+        buf.write(c)
+    data = buf.getvalue()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return len(data)
+
+
+def iter_chunks(path: str) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC:
+        raise ValueError(f"{path}: bad magic")
+    (n,) = struct.unpack_from("<I", data, 4)
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        yield data[off : off + ln]
+        off += ln
+
+
+def read_chunk_file(path: str) -> pa.Table:
+    tables = [decode_chunk(c) for c in iter_chunks(path)]
+    return pa.concat_tables(tables) if tables else pa.table({})

@@ -1,0 +1,69 @@
+"""Lightweight integer codecs: frame-of-reference + bit-packing, delta,
+delta-of-delta (for near-monotone timestamps).
+
+Design per the published lightweight-compression literature (FOR/PFOR,
+Gorilla-style delta-of-delta; see PAPERS.md "Can Delta Compete with
+Frame-of-Reference…", VLDB 2024): FOR subtracts the chunk minimum and
+bit-packs the residuals; DELTA packs zigzagged first differences; DELTA2
+packs zigzagged second differences — ideal when deltas are near-constant
+(per-conversation timestamps, contiguous ``turn_idx``).
+
+All operate on int64 numpy arrays (timestamps arrive as epoch int64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import bitpack, bitunpack, required_width, zigzag_decode, zigzag_encode
+
+
+class ForBitpackCodec:
+    name = "for_bitpack"
+
+    def encode(self, values: np.ndarray) -> tuple[bytes, dict]:
+        if len(values) == 0:
+            return b"", {"ref": 0, "width": 0}
+        v = values.astype(np.int64)
+        ref = int(v.min())
+        resid = (v - ref).astype(np.uint64)
+        width = required_width(int(resid.max()))
+        return bitpack(resid, width), {"ref": ref, "width": width}
+
+    def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
+        resid = bitunpack(payload, meta["width"], n)
+        return (resid.astype(np.int64) + np.int64(meta["ref"])).astype(np.int64)
+
+
+class DeltaCodec:
+    """first value stored raw; zigzag(diff) bit-packed."""
+
+    name = "delta"
+    _order = 1
+
+    def encode(self, values: np.ndarray) -> tuple[bytes, dict]:
+        v = values.astype(np.int64)
+        firsts = []
+        for _ in range(self._order):
+            if len(v) == 0:
+                break
+            firsts.append(int(v[0]))
+            v = np.diff(v)
+        zz = zigzag_encode(v)
+        width = required_width(int(zz.max())) if len(zz) else 0
+        return bitpack(zz, width), {"firsts": firsts, "width": width}
+
+    def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
+        firsts = meta["firsts"]
+        k = len(firsts)
+        v = zigzag_decode(bitunpack(payload, meta["width"], max(n - k, 0)))
+        for first in reversed(firsts):
+            v = np.concatenate(([first], first + np.cumsum(v))) if len(v) else np.array([first], dtype=np.int64)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        return v.astype(np.int64)
+
+
+class DeltaDeltaCodec(DeltaCodec):
+    name = "delta_delta"
+    _order = 2

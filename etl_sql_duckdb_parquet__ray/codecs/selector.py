@@ -1,0 +1,158 @@
+"""Per-chunk codec auto-selector.
+
+Re-expresses the reference's per-column profiling statistics
+(``src/profiling.py:12-42``: count, nulls, nunique, min/max, string lengths)
+as *sampled* per-chunk stats that drive codec choice: cardinality ratio,
+mean run length, integer range / delta range. Stats shortlist candidates;
+the final pick is a measured-bytes tie-break — each candidate encodes a
+bounded sample and the smallest wins (cf. PAPERS.md, delta vs FOR is
+data-dependent), then the winner encodes the full chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .base import Codec, StringBlob
+from .dictionary import DictCodec
+from .fsst import FsstCodec, FsstZstdCodec
+from .integer import DeltaCodec, DeltaDeltaCodec, ForBitpackCodec
+from .rle import RleCodec, run_boundaries
+from .zstd_plain import PlainCodec, ZstdCodec
+
+REGISTRY: dict[str, Codec] = {
+    c.name: c
+    for c in [
+        PlainCodec(),
+        ZstdCodec(),
+        ForBitpackCodec(),
+        DeltaCodec(),
+        DeltaDeltaCodec(),
+        RleCodec(),
+        DictCodec(),
+        FsstCodec(),
+        FsstZstdCodec(),
+    ]
+}
+
+_SAMPLE_ROWS = 1024
+_SAMPLE_STR_BYTES = 1 << 18
+
+
+def register_codec(codec: Codec) -> None:
+    """User-extension hook (analog of the reference's injectable pipeline
+    callables, ``src/scheduler.py:138-177``)."""
+    REGISTRY[codec.name] = codec
+
+
+def sample_values(values, max_rows: int = _SAMPLE_ROWS):
+    n = len(values)
+    if n <= max_rows:
+        return values
+    stride = max(n // max_rows, 1)
+    idx = np.arange(0, n, stride)[:max_rows]
+    if isinstance(values, StringBlob):
+        offsets = np.concatenate(([0], np.cumsum(values.lengths)))
+        parts, lens = [], []
+        total = 0
+        for i in idx:
+            if total > _SAMPLE_STR_BYTES:
+                break
+            s, e = offsets[i], offsets[i + 1]
+            parts.append(values.data[s:e])
+            lens.append(e - s)
+            total += e - s
+        return StringBlob(np.asarray(lens, dtype=np.int64), b"".join(parts))
+    return values[idx]
+
+
+def chunk_stats(values) -> dict:
+    """Sampled cardinality / run-length / range statistics for one chunk."""
+    n = len(values)
+    if n == 0:
+        return {"n": 0, "card_ratio": 0.0, "mean_run": 0.0}
+    sample = sample_values(values)
+    sn = len(sample)
+    runs = len(run_boundaries(sample)) or 1
+    if isinstance(sample, StringBlob):
+        offsets = np.concatenate(([0], np.cumsum(sample.lengths)))
+        card = len({sample.data[offsets[i] : offsets[i + 1]] for i in range(sn)})
+        extra = {"mean_len": float(sample.lengths.mean()) if sn else 0.0}
+    else:
+        card = len(np.unique(sample))
+        extra = {}
+        if np.issubdtype(sample.dtype, np.integer) and sn > 1:
+            extra["range"] = int(sample.max()) - int(sample.min())
+            d = np.diff(sample)
+            extra["delta_range"] = (int(d.max()) - int(d.min())) if len(d) else 0
+    return {"n": n, "card_ratio": card / max(sn, 1), "mean_run": sn / runs, **extra}
+
+
+# Relative CPU cost of each codec's encode+decode path (measured on this
+# container; FSST pays a Python regex scan per byte-ish). In "balanced" mode
+# a candidate must beat the cheapest codec's size by more than its penalty
+# to win; "max" mode is pure measured size; "fast" drops FSST entirely.
+_SPEED_PENALTY = {"fsst": 1.15, "fsst_zstd": 1.10}
+DEFAULT_MODE = "balanced"
+
+
+def candidates_for(
+    values, arrow_type: pa.DataType, stats: dict, mode: str = DEFAULT_MODE
+) -> list[str]:
+    if stats["n"] == 0:
+        return ["plain"]
+    if isinstance(values, StringBlob):
+        cands = ["zstd"]
+        if stats["card_ratio"] <= 0.5:
+            cands += ["dict"]
+        if stats["mean_run"] >= 1.5:
+            cands += ["rle"]
+        if stats["card_ratio"] > 0.1 and mode != "fast":
+            cands += ["fsst_zstd", "fsst"]
+        return cands
+    if np.issubdtype(values.dtype, np.floating):
+        cands = ["zstd"]
+        if stats["card_ratio"] <= 0.5:
+            cands += ["dict"]
+        if stats["mean_run"] >= 1.5:
+            cands += ["rle"]
+        return cands
+    # integers / timestamps
+    cands = ["for_bitpack", "delta", "delta_delta", "zstd"]
+    if stats["card_ratio"] <= 0.1:
+        cands += ["dict"]
+    if stats["mean_run"] >= 1.5:
+        cands += ["rle"]
+    return cands
+
+
+def select_codec(
+    values,
+    arrow_type: pa.DataType,
+    stats: dict | None = None,
+    mode: str = DEFAULT_MODE,
+) -> str:
+    """Measured-bytes tie-break over the stat-shortlisted candidates.
+
+    In ``balanced`` mode an expensive codec's measured size is inflated by
+    its speed penalty, so e.g. FSST only wins when it is decisively smaller
+    than zstd — not on a within-noise margin that would cost 100x CPU.
+    """
+    stats = stats or chunk_stats(values)
+    cands = candidates_for(values, arrow_type, stats, mode)
+    if len(cands) == 1:
+        return cands[0]
+    sample = sample_values(values)
+    best_name, best_score = None, None
+    for name in cands:
+        try:
+            payload, _ = REGISTRY[name].encode(sample)
+        except Exception:
+            continue
+        score = len(payload)
+        if mode == "balanced":
+            score *= _SPEED_PENALTY.get(name, 1.0)
+        if best_score is None or score < best_score:
+            best_name, best_score = name, score
+    return best_name or "zstd"

@@ -1,0 +1,179 @@
+"""Per-codec round-trip unit tests on adversarial arrays (SURVEY.md §5:
+empty, all-null, single-run, max-cardinality, negative deltas, unicode/NUL,
+runs crossing width boundaries) plus selector behavior."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etl_sql_duckdb_parquet__ray.codecs import (
+    REGISTRY,
+    chunk_stats,
+    column_checksum,
+    decode_column,
+    encode_column,
+    select_codec,
+)
+from etl_sql_duckdb_parquet__ray.codecs.base import (
+    StringBlob,
+    blob_to_string_array,
+    string_array_to_blob,
+    values_from_array,
+)
+from etl_sql_duckdb_parquet__ray.codecs.bitpack import (
+    bitpack,
+    bitunpack,
+    zigzag_decode,
+    zigzag_encode,
+)
+from etl_sql_duckdb_parquet__ray.codecs.fsst import train_fsst
+
+rng = np.random.default_rng(7)
+
+
+def roundtrip(arr: pa.Array, codec: str | None = None) -> str:
+    payload, meta = encode_column(arr, codec)
+    out = decode_column(payload, meta)
+    assert out.equals(arr), f"codec={meta['codec']} type={arr.type}"
+    assert column_checksum(out) == column_checksum(arr)
+    return meta["codec"]
+
+
+INT_CASES = {
+    "empty": pa.array([], type=pa.int64()),
+    "single": pa.array([42], type=pa.int64()),
+    "monotone": pa.array(np.arange(5000, dtype=np.int64)),
+    "neg_delta": pa.array(np.arange(5000, 0, -1, dtype=np.int64)),
+    "constant": pa.array(np.full(3000, -7, dtype=np.int64)),
+    "random64": pa.array(rng.integers(-(2**62), 2**62, 2000)),
+    "extremes": pa.array([np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max]),
+    "nullable": pa.array([1, None, 3, None, 5] * 200, type=pa.int64()),
+    "all_null": pa.array([None] * 100, type=pa.int64()),
+    "int32": pa.array((np.arange(4000) % 17).astype(np.int32)),
+    "bool": pa.array([True, None, False] * 300),
+}
+
+STR_CASES = {
+    "empty": pa.array([], type=pa.string()),
+    "all_null": pa.array([None] * 50, type=pa.string()),
+    "empties": pa.array(["", "", "a", ""] * 100),
+    "single_run": pa.array(["x"] * 4000),
+    "all_distinct": pa.array([f"id-{i:07d}" for i in range(3000)]),
+    "enum": pa.array(["user", "assistant", "system", "tool"] * 1000),
+    "sparse_null": pa.array([None if i % 4 else f"t{i % 11}" for i in range(2000)]),
+    "unicode_nul": pa.array(["héllo", "日本語テキスト", "\x00\x00", "a\x00b", ""] * 40),
+    "long_text": pa.array(
+        [" ".join(rng.choice(list("abcdefgh"), 200)) for _ in range(200)]
+    ),
+}
+
+TS_CASES = {
+    "timestamps": pa.array(
+        (1_700_000_000_000_000 + np.cumsum(rng.integers(1, 10**6, 2000))).astype(
+            "datetime64[us]"
+        )
+    ),
+    "ts_null": pa.array([1, None, 2**40], type=pa.timestamp("us")),
+}
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+def test_int_auto_roundtrip(case):
+    roundtrip(INT_CASES[case])
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+def test_str_auto_roundtrip(case):
+    roundtrip(STR_CASES[case])
+
+
+@pytest.mark.parametrize("case", list(TS_CASES))
+def test_ts_auto_roundtrip(case):
+    roundtrip(TS_CASES[case])
+
+
+@pytest.mark.parametrize(
+    "codec", ["plain", "zstd", "for_bitpack", "delta", "delta_delta", "rle", "dict"]
+)
+@pytest.mark.parametrize("case", ["monotone", "neg_delta", "constant", "nullable", "extremes"])
+def test_every_int_codec(codec, case):
+    assert roundtrip(INT_CASES[case], codec) == codec
+
+
+@pytest.mark.parametrize("codec", ["plain", "zstd", "rle", "dict", "fsst", "fsst_zstd"])
+@pytest.mark.parametrize("case", ["empties", "enum", "unicode_nul", "long_text", "all_distinct"])
+def test_every_str_codec(codec, case):
+    assert roundtrip(STR_CASES[case], codec) == codec
+
+
+def test_float_bitexact():
+    vals = np.array([0.1, -0.0, np.inf, -np.inf, np.nan, 1e-308, np.pi])
+    arr = pa.array(vals)
+    payload, meta = encode_column(arr, "zstd")
+    out = decode_column(payload, meta)
+    assert np.asarray(out).tobytes() == vals.tobytes()  # NaN bit pattern too
+
+
+def test_bitpack_widths():
+    for width in [0, 1, 3, 7, 8, 13, 16, 24, 32, 47, 64]:
+        hi = (1 << width) - 1 if width else 0
+        a = rng.integers(0, hi + 1, 257, dtype=np.uint64) if hi else np.zeros(257, np.uint64)
+        a[0], a[-1] = 0, hi
+        out = bitunpack(bitpack(a, width), width, len(a))
+        assert (out == a).all(), width
+
+
+def test_zigzag():
+    a = np.array([0, -1, 1, -2, 2, np.iinfo(np.int64).min, np.iinfo(np.int64).max])
+    assert (zigzag_decode(zigzag_encode(a)) == a).all()
+
+
+def test_string_blob_roundtrip():
+    arr = pa.array(["", "ab", "日本", "\x00"])
+    blob = string_array_to_blob(arr)
+    assert blob_to_string_array(blob, pa.string()).equals(arr)
+
+
+def test_selector_prefers_cheap_codecs_in_balanced_mode():
+    # all-distinct ids: dict must lose; selector should stay off FSST unless
+    # decisively smaller (speed-penalty rule)
+    vals = values_from_array(STR_CASES["all_distinct"])
+    name = select_codec(vals, pa.string(), mode="fast")
+    assert name not in ("fsst", "fsst_zstd")
+
+
+def test_selector_dict_on_enum():
+    vals = values_from_array(pa.array([f"val{i % 5}" for i in range(20000)]))
+    stats = chunk_stats(vals)
+    assert stats["card_ratio"] < 0.02
+    assert select_codec(vals, pa.string()) in ("dict", "rle", "zstd")
+
+
+def test_stats_run_length():
+    vals = values_from_array(pa.array(["a"] * 500 + ["b"] * 500))
+    assert chunk_stats(vals)["mean_run"] > 100
+
+
+def test_fsst_train_and_manual_roundtrip():
+    corpus = b"the quick brown fox jumps over the lazy dog " * 200
+    table = train_fsst(corpus)
+    assert 0 < len(table) <= 255
+    assert all(1 <= len(s) <= 8 for s in table)
+    codec = REGISTRY["fsst"]
+    blob = StringBlob(np.array([10, 0, 34], dtype=np.int64), corpus[:44])
+    p, m = codec.encode(blob)
+    out = codec.decode(p, m, 3)
+    assert out.data == blob.data and (out.lengths == blob.lengths).all()
+
+
+def test_fsst_incompressible_fallback_correct():
+    data = rng.integers(0, 256, 5000).astype(np.uint8).tobytes()
+    blob = StringBlob(np.array([5000], dtype=np.int64), data)
+    codec = REGISTRY["fsst"]
+    p, m = codec.encode(blob)
+    assert codec.decode(p, m, 1).data == data
+
+
+def test_unknown_type_rejected():
+    with pytest.raises(TypeError):
+        encode_column(pa.array([[1, 2], [3]], type=pa.list_(pa.int64())))
