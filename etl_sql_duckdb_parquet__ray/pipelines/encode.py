@@ -1,0 +1,257 @@
+"""The flagship encode / decode pipelines — Ray-Data-first.
+
+Shape (SURVEY.md §3.1 "Ray Data shape of the same flow"):
+
+    read_parquet(transcripts)
+      -> map_batches(add deterministic hash bucket)        [stateless tasks]
+      -> filter completed buckets (manifest diff = resume) [stateless tasks]
+      -> groupby("bucket").map_groups(BucketEncoder)       [ACTOR POOL holding
+             broadcast-trained FSST/dict tables via ray.put handle]
+      -> per-bucket atomic chunk file + lineage record
+    decode: from_items(bucket files) -> map_batches(decode, streaming chunks)
+
+Partitioning contract (designed for the 10^12-turn cluster run, tested
+single-node): the shuffle key is ``hash(conv_id) % num_buckets`` so every
+conversation lands wholly in one bucket; within a bucket rows are sorted by
+``(conv_id, turn_idx)`` and split into fixed-row chunks — a hot conversation
+larger than one chunk is thereby *salted* into contiguous turn ranges whose
+``(conv_min, turn_min)`` ordering keys are recorded per chunk, so decode +
+sort reassembles the stable turn order exactly. Buckets are sized by
+``num_buckets`` so one group fits a worker's heap (~rows/num_buckets rows);
+at 100 TB raise ``num_buckets``, not chunk size.
+
+Nothing here calls ``ray.init``; callers own the session.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..chunk import (
+    decode_chunk,
+    encode_chunk,
+    iter_chunks,
+    write_chunk_file,
+)
+from ..codecs.fsst import FsstCodec, FsstZstdCodec, train_fsst
+from ..state.manifest import (
+    bucket_data_path,
+    completed_buckets,
+    load_manifest,
+    write_bucket_record,
+)
+from ..state.memtune import tune_malloc
+
+SORT_KEYS = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+
+
+def conv_bucket(conv_ids: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) hash bucket per conversation.
+
+    Uses pandas' SipHash-based ``hash_array`` (vectorized C); stable for a
+    fixed pandas version and hash key, which is all resume requires.
+    """
+    ids = np.asarray(conv_ids, dtype=object)
+    return (pd.util.hash_array(ids) % num_buckets).astype(np.int32)
+
+
+def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    return batch.append_column(
+        "bucket", pa.array(conv_bucket(batch.column("conv_id"), num_buckets))
+    )
+
+
+@dataclass
+class SharedEncodeState:
+    """Broadcast-trained per-column state (ST4 in SURVEY.md §2.4): one FSST
+    symbol table trained on a driver-side sample, shipped to every encoder
+    actor via a single ``ray.put``."""
+
+    fsst_table: list[bytes] | None = None
+
+    def shared_codecs(self) -> dict[str, Any]:
+        if not self.fsst_table:
+            return {}
+        return {"text": FsstZstdCodec(self.fsst_table)}
+
+
+def train_shared_state(ds, sample_rows: int = 2000) -> SharedEncodeState:
+    """Sample-train global FSST table for ``text`` (training must sample,
+    not scan — SURVEY.md §7.4 scaling-efficiency note)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    corpus = "".join(sample["text"].dropna().tolist()).encode("utf-8", "surrogatepass")
+    return SharedEncodeState(fsst_table=train_fsst(corpus) or None)
+
+
+class BucketEncoder:
+    """Actor-pool stage: encodes one hash-bucket group per call.
+
+    ``__init__`` runs once per actor (malloc tuning + fetching the broadcast
+    state handle); ``__call__`` runs per bucket group. The callable-class /
+    ``map_groups`` pairing is the canonical "load once per worker" pattern
+    (cf. reference ST1 driver-global FK set, ``src/etl/validate.py:243``).
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        chunk_rows: int = 65536,
+        mode: str = "balanced",
+        state_ref=None,
+        with_checksums: bool = True,
+    ):
+        tune_malloc()
+        self.out_dir = out_dir
+        self.chunk_rows = chunk_rows
+        self.mode = mode
+        self.with_checksums = with_checksums
+        if state_ref is not None:
+            import ray
+
+            state = ray.get(state_ref)
+        else:
+            state = SharedEncodeState()
+        self.shared_codecs = state.shared_codecs() if self.mode != "fast" else {}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        body = group.drop_columns(["bucket"])
+        body = body.take(pc.sort_indices(body, sort_keys=SORT_KEYS))
+        chunks: list[bytes] = []
+        chunk_meta: list[dict] = []
+        bytes_in = 0
+        for lo in range(0, body.num_rows, self.chunk_rows):
+            part = body.slice(lo, self.chunk_rows)
+            conv = part.column("conv_id")
+            turn = part.column("turn_idx")
+            extra = {
+                "bucket": bucket,
+                "conv_range": [str(conv[0]), str(conv[-1])],
+                "turn_range": [int(turn[0].as_py()), int(turn[-1].as_py())],
+            }
+            blob, summary = encode_chunk(
+                part,
+                shared_codecs=self.shared_codecs,
+                with_checksums=self.with_checksums,
+                extra=extra,
+                mode=self.mode,
+            )
+            chunks.append(blob)
+            bytes_in += summary["bytes_in"]
+            chunk_meta.append({**extra, "rows": summary["rows"], "codecs": summary["codecs"]})
+        path = bucket_data_path(self.out_dir, bucket)
+        nbytes = write_chunk_file(path, chunks)
+        record = {
+            "bucket": bucket,
+            "path": path,
+            "rows": body.num_rows,
+            "bytes_in": bytes_in,
+            "bytes_out": nbytes,
+            "chunks": chunk_meta,
+        }
+        write_bucket_record(self.out_dir, bucket, record)
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "rows": pa.array([body.num_rows], type=pa.int64()),
+                "bytes_in": pa.array([bytes_in], type=pa.int64()),
+                "bytes_out": pa.array([nbytes], type=pa.int64()),
+            }
+        )
+
+
+def encode_transcripts(
+    ds,
+    out_dir: str,
+    num_buckets: int = 32,
+    chunk_rows: int = 65536,
+    mode: str = "balanced",
+    resume: bool = True,
+    train_sample_rows: int = 2000,
+    encoder_concurrency=None,
+):
+    """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
+
+    Returns the aggregated manifest stats. Idempotent and resumable: with
+    ``resume=True`` already-completed buckets are filtered out *before* the
+    shuffle, so a rerun only pays for unfinished partitions.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_buckets(out_dir) if resume else set()
+    if resume and len(done) >= num_buckets:
+        return load_manifest(out_dir)
+
+    state_ref = None
+    if mode != "fast":
+        state_ref = ray.put(train_shared_state(ds, train_sample_rows))
+
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
+    )
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.int32())
+        bucketed = bucketed.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("bucket"), value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+        )
+    grouped = bucketed.groupby("bucket").map_groups(
+        BucketEncoder,
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "chunk_rows": chunk_rows,
+            "mode": mode,
+            "state_ref": state_ref,
+        },
+        batch_format="pyarrow",
+        # callable class => actor pool; autoscale (1, N) so a small test
+        # session isn't over-reserved but a full node fills its cores
+        concurrency=encoder_concurrency or (1, 8),
+    )
+    # consume the (tiny: one row per bucket) manifest dataset
+    grouped.materialize()
+    return load_manifest(out_dir)
+
+
+def _decode_file_batches(batch: pa.Table):
+    """Generator UDF: stream one decoded table per chunk so a huge bucket
+    file never materializes as a single block."""
+    for path in batch.column("path").to_pylist():
+        for blob in iter_chunks(path):
+            yield decode_chunk(blob)
+
+
+def decode_dataset(out_dir: str):
+    """Bucket chunk files -> Dataset with the original transcript schema."""
+    import ray
+
+    records = load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    paths = ray.data.from_items([{"path": r["path"]} for r in records])
+    return paths.map_batches(
+        _decode_file_batches, batch_format="pyarrow", batch_size=1
+    )
+
+
+def roundtrip_ok(input_ds, out_dir: str) -> bool:
+    """Test-scale verification: decoded output == input under the stable
+    ``(conv_id, turn_idx)`` total order, every column bit-identical."""
+    a = input_ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = (
+        decode_dataset(out_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(a).equals(pa.Table.from_pandas(b))

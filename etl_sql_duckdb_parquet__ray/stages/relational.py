@@ -1,0 +1,143 @@
+"""Reusable relational building blocks, Ray-Data-first.
+
+Re-expresses the reference's join/aggregate machinery (SURVEY.md §2.5-2.9)
+as composable Dataset ops: broadcast hash joins for small sides (the
+scalable form of the driver-built FK set, ``src/etl/validate.py:243`` and
+the pandas merges in ``src/etl/load.py:112-116``), two-level shuffles for
+COUNT(DISTINCT), ``map_groups`` windows for RANK / percent-of-total.
+
+All joins here broadcast the small side via one ``ray.put`` and probe it
+inside ``map_batches`` with Arrow's C++ hash join — no all-to-all shuffle.
+For large-by-large joins use ``Dataset.join`` (hash-partitioned) instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None):
+    """Column-pruned parquet read (prune at the read — only requested
+    columns leave storage)."""
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=list(columns) if columns else None
+    )
+
+
+def read_arrow(sf_dir: str, name: str, columns: Sequence[str] | None = None) -> pa.Table:
+    """Driver-side read of a *small* table destined for broadcast."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=list(columns) if columns else None)
+
+
+def broadcast_join(ds, right: pa.Table, keys, join_type: str = "inner", right_keys=None):
+    """Join each batch against a broadcast small table (ray.put once, Arrow
+    C++ hash join per batch). ``join_type``: 'inner' | 'left outer'."""
+    import ray
+
+    ref = ray.put(right)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    rkeys = right_keys if right_keys else keys
+    rkeys = [rkeys] if isinstance(rkeys, str) else list(rkeys)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        return batch.join(r, keys=keys, right_keys=rkeys, join_type=join_type)
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def broadcast_semi(ds, keys_arr: pa.Array, column: str, anti: bool = False):
+    """Semi / anti membership filter against a broadcast key set (rule V8 /
+    Q8 in the reference, ``src/etl/validate.py:239-255``, ``sql/queries.sql:94-99``)."""
+    import ray
+
+    ref = ray.put(keys_arr)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        m = pc.is_in(batch.column(column), value_set=ks)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(pc.fill_null(m, not anti if anti else False))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def count_distinct(ds, group_key: str, distinct_key: str, alias: str):
+    """COUNT(DISTINCT x) GROUP BY k as a two-level shuffle:
+    groupby([k, x]).count() -> groupby(k).count() (SURVEY.md A6)."""
+    level1 = ds.groupby([group_key, distinct_key]).count()
+    out = level1.groupby(group_key).count()
+    return out.map_batches(
+        lambda t: t.rename_columns([group_key, alias]), batch_format="pyarrow"
+    )
+
+
+def grouped_rank(
+    ds,
+    partition_key: str,
+    order_key: str,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    top_n: int | None = None,
+    rank_col: str = "rnk",
+):
+    """ROW_NUMBER() OVER (PARTITION BY p ORDER BY o [DESC], tiebreak) via
+    per-group pandas sort (groups must fit in a worker — bounded partitions
+    only, cf. reference Q6 ``sql/queries.sql:67-76``)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        by = [order_key] + ([tiebreak] if tiebreak else [])
+        asc = [not descending] + ([True] if tiebreak else [])
+        g = g.sort_values(by, ascending=asc, kind="mergesort").reset_index(drop=True)
+        g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
+        if top_n is not None:
+            g = g.head(top_n)
+        return g
+
+    return ds.groupby(partition_key).map_groups(fn, batch_format="pandas")
+
+
+def pct_of_group_total(ds, partition_key: str, value_col: str, pct_col: str, ndigits: int = 2):
+    """100 * value / SUM(value) OVER (PARTITION BY p) via map_groups
+    (reference Q9, ``sql/queries.sql:101-110``)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[pct_col] = (100.0 * g[value_col] / g[value_col].sum()).round(ndigits)
+        return g
+
+    return ds.groupby(partition_key).map_groups(fn, batch_format="pandas")
+
+
+def dedup_keep_last(ds, keys: Sequence[str], order_col: str):
+    """Exact dedup keep-LAST on key, ordered by an explicit ordinal column —
+    the scalable re-expression of ``drop_duplicates(keep='last')``
+    (``src/etl/transform.py:52-57``), which silently relied on pandas row
+    order; Ray Data guarantees none, so the ordinal is required."""
+    keys = list(keys)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[order_col].idxmax()]]
+
+    return ds.groupby(keys).map_groups(fn, batch_format="pandas")
+
+
+def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col: str) -> pa.Table:
+    """Nested CASE WHEN over one column: cases = [(op, threshold, label)]
+    evaluated in order (reference Q3 qc_status, ``sql/queries.sql:33-38``)."""
+    col = batch.column(column)
+    result = pa.array([default] * len(batch), type=pa.string())
+    for op, value, label in reversed(cases):
+        cond = getattr(pc, op)(col, value)
+        result = pc.if_else(cond, pa.scalar(label, type=pa.string()), result)
+    return batch.append_column(out_col, result)

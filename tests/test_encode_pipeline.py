@@ -1,0 +1,128 @@
+"""End-to-end Ray encode/decode pipeline: bit-identity under stable turn
+ordering, size budget vs parquet+zstd, manifest lineage, kill-and-resume."""
+
+import glob
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+    decode_dataset,
+    encode_transcripts,
+    roundtrip_ok,
+)
+from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+from etl_sql_duckdb_parquet__ray.state.manifest import (
+    completed_buckets,
+    load_manifest,
+    manifest_stats,
+)
+
+N_ROWS = 20000
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def table():
+    return generate_transcripts(N_ROWS, seed=21)
+
+
+@pytest.fixture()
+def ds(ray_session, table):
+    import ray
+
+    return ray.data.from_arrow(table)
+
+
+def test_encode_decode_roundtrip(ds, table, tmp_path):
+    out = str(tmp_path / "enc")
+    records = encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=4096)
+    assert len(records) == len(completed_buckets(out)) > 0
+    stats = manifest_stats(out)
+    assert stats["rows"] == N_ROWS
+    assert roundtrip_ok(ds, out)
+    # size budget: total encoded bytes <= parquet+zstd of the same table
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    assert stats["bytes_out"] <= buf.tell(), (stats["bytes_out"], buf.tell())
+
+
+def test_conversations_not_split_across_buckets(ds, tmp_path):
+    out = str(tmp_path / "enc2")
+    encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=100000)
+    # conversation -> bucket must be a function (hash partitioning)
+    import pandas as pd
+
+    from etl_sql_duckdb_parquet__ray.chunk import read_chunk_file
+
+    frames = []
+    for rec in load_manifest(out):
+        t = read_chunk_file(rec["path"]).to_pandas()
+        t["bucket"] = rec["bucket"]
+        frames.append(t[["conv_id", "bucket"]])
+    allb = pd.concat(frames)
+    assert (allb.groupby("conv_id")["bucket"].nunique() == 1).all()
+
+
+def test_hot_conversation_salted_into_ordered_chunks(ray_session, tmp_path):
+    import ray
+
+    # one conversation much larger than chunk_rows must split into multiple
+    # chunks whose (conv, turn) ranges are contiguous and ordered
+    big = generate_transcripts(50, seed=3)
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * 5000),
+            "turn_idx": pa.array(range(5000), type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * 2500),
+            "text": pa.array([f"turn {i}" for i in range(5000)]),
+            "tool": pa.array([None] * 5000, type=pa.string()),
+            "ts": pa.array(range(5000), type=pa.timestamp("us")),
+        }
+    )
+    both = pa.concat_tables([big, hot])
+    ds = ray.data.from_arrow(both)
+    out = str(tmp_path / "enc3")
+    encode_transcripts(ds, out, num_buckets=4, chunk_rows=1024)
+    hot_chunks = [
+        c
+        for rec in load_manifest(out)
+        for c in rec["chunks"]
+        if c["conv_range"][0] == "conv-hot" or c["conv_range"][1] == "conv-hot"
+    ]
+    assert len(hot_chunks) >= 5  # 5000 rows / 1024 chunk_rows
+    assert roundtrip_ok(ds, out)
+
+
+def test_resume_skips_completed_buckets(ds, tmp_path):
+    out = str(tmp_path / "enc4")
+    encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=4096)
+    all_buckets = completed_buckets(out)
+    # simulate a crash that lost some partitions
+    lost = sorted(all_buckets)[: len(all_buckets) // 2]
+    for b in lost:
+        os.remove(os.path.join(out, f"bucket-{b:05d}.bin"))
+        os.remove(os.path.join(out, f"bucket-{b:05d}.json"))
+    kept = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "bucket-*.bin"))
+    }
+    encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=4096, resume=True)
+    # untouched survivors (resume did not rewrite them)
+    for p, mtime in kept.items():
+        assert os.path.getmtime(p) == mtime, f"{p} was rewritten"
+    assert completed_buckets(out) == all_buckets
+    assert roundtrip_ok(ds, out)
+
+
+def test_second_run_is_noop(ds, tmp_path):
+    out = str(tmp_path / "enc5")
+    encode_transcripts(ds, out, num_buckets=4, chunk_rows=8192)
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "bucket-*"))
+    }
+    encode_transcripts(ds, out, num_buckets=4, chunk_rows=8192)
+    after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "bucket-*"))}
+    assert before == after
