@@ -1,44 +1,251 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: smoke entry, query registry, and DuckDB oracle SQL.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Determinism contract with the oracle (see
+``etl_sql_duckdb_parquet__ray/pipelines/analytics.py`` docstring): money is
+integer-scaled before summing, percentages are floored basis points,
+timestamps compare as epoch-microsecond int64 — so Ray's block-order float
+summation can never drift from DuckDB's sequential summation.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive the transcript table from
+    ``events``, shuffle by conversation, actor-pool encode to chunks +
+    lineage manifest, stream-decode back; returns the decoded Dataset."""
+    from etl_sql_duckdb_parquet__ray.pipelines.flagship import flagship_roundtrip
+
+    out = tempfile.mkdtemp(prefix="flagship-", dir="/tmp")
+    return flagship_roundtrip(SF0001, out, num_buckets=8)
+
+
+def _q(fn):
+    return lambda sf_dir, _fn=fn: _fn(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from etl_sql_duckdb_parquet__ray.functions import dedup, similarity, text
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        media_features,
+        synth_media_table,
+    )
+    from etl_sql_duckdb_parquet__ray.pipelines import analytics as A
+    from etl_sql_duckdb_parquet__ray.pipelines.flagship import flagship_roundtrip
+    from etl_sql_duckdb_parquet__ray.stages.relational import read_arrow, read_table
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def knn_topk(sf_dir: str):
+        q = read_arrow(sf_dir, "embeddings")
+        qvec = None
+        for i, v in enumerate(q.column("vec_id")):
+            if v.as_py() == 0:
+                qvec = q.column("embedding")[i].as_py()
+                break
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        top = similarity.brute_force_topk(ds, qvec, k=10)
+        return top.select_columns(["vec_id"])
+
+    def ann_ivf_topk(sf_dir: str):
+        q = read_arrow(sf_dir, "embeddings")
+        qvec = q.column("embedding")[0].as_py()
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.ivf_topk(ds, qvec, k=10)
+
+    def transcript_roundtrip(sf_dir: str):
+        out = tempfile.mkdtemp(prefix="rt-", dir="/tmp")
+        return flagship_roundtrip(sf_dir, out, num_buckets=8)
+
+    def minhash_dedup_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.minhash_dup_pairs(ds, threshold=0.7)
+
+    def simhash_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(text.SimHash(), batch_format="pandas").select_columns(
+            ["doc_id", "simhash"]
+        )
+
+    def embedding_dup_pairs(sf_dir: str):
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return dedup.embedding_dup_pairs(ds, threshold=0.95)
+
+    def langid_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(
+            text.LangId, batch_format="pyarrow", concurrency=(1, 2)
+        ).select_columns(["doc_id", "lang_pred"])
+
+    def doc_quality(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(
+            text.QualityScore, batch_format="pyarrow", concurrency=(1, 2)
+        ).select_columns(["doc_id", "quality"])
+
+    def doc_fingerprints(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(
+            text.Fingerprint, batch_format="pyarrow", concurrency=(1, 2)
+        ).select_columns(["doc_id", "n_fingerprints", "fp_min"])
+
+    def multimodal_features(sf_dir: str):
+        import ray
+
+        media = ray.data.from_arrow(synth_media_table(512))
+        return media_features(media)
+
+    return {
+        # relational layer (oracled)
+        "pricing_summary": _q(A.pricing_summary),
+        "revenue_by_nation": _q(A.revenue_by_nation),
+        "revenue_by_mktsegment": _q(A.revenue_by_mktsegment),
+        "distinct_customers_by_priority": _q(A.distinct_customers_by_priority),
+        "orders_per_day": _q(A.orders_per_day),
+        "top_orders": _q(A.top_orders),
+        "order_price_bands": _q(A.order_price_bands),
+        "top3_orders_per_segment": _q(A.top3_orders_per_segment),
+        "event_type_share": _q(A.event_type_share),
+        "latest_event_per_user": _q(A.latest_event_per_user),
+        "orphan_orders": _q(A.orphan_orders),
+        "table_counts_union": _q(A.table_counts_union),
+        "null_rates_events": _q(A.null_rates_events),
+        "validation_summary": _q(A.validation_summary),
+        "dedup_exact_docs": _q(A.dedup_exact_docs),
+        "doc_token_stats": _q(A.doc_token_stats),
+        "lang_token_totals": _q(A.lang_token_totals),
+        "knn_topk": knn_topk,
+        # engine + training-data ops (rows-only checks)
+        "transcript_roundtrip": transcript_roundtrip,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_docs": simhash_docs,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "langid_docs": langid_docs,
+        "doc_quality": doc_quality,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_x100,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_x100,
+                   SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sum_disc_x100,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_x10000,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "revenue_by_mktsegment": """
+            SELECT c_mktsegment,
+                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_x100,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "distinct_customers_by_priority": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_per_day": """
+            SELECT epoch_us(o_orderdate)//86400000000 AS day_num, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_x100
+            FROM orders ORDER BY total_x100 DESC, o_orderkey LIMIT 10
+        """,
+        "order_price_bands": """
+            SELECT o_orderstatus,
+                   CASE WHEN o_totalprice >= 150000 THEN 'high'
+                        WHEN o_totalprice >= 50000 THEN 'mid'
+                        ELSE 'low' END AS price_band,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus, price_band
+        """,
+        "top3_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, rnk FROM (
+                SELECT c_mktsegment, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+                       ) AS rnk
+                FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rnk <= 3
+        """,
+        "event_type_share": """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   CAST(FLOOR(10000.0*COUNT(*)/SUM(COUNT(*)) OVER (PARTITION BY user_id)) AS BIGINT) AS pct_bp
+            FROM events GROUP BY user_id, event_type
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+                SELECT user_id, event_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+        "orphan_orders": """
+            SELECT COUNT(*) AS n_orphans
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey IS NULL
+        """,
+        "table_counts_union": """
+            SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+            UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+            UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        """,
+        "null_rates_events": """
+            SELECT 'null_value' AS field, COUNT(*) - COUNT(value) AS n_null, COUNT(*) AS n_total FROM events
+            UNION ALL SELECT 'null_props', COUNT(*) - COUNT(props), COUNT(*) FROM events
+            UNION ALL SELECT 'null_event_type', COUNT(*) - COUNT(event_type), COUNT(*) FROM events
+        """,
+        "validation_summary": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+                   CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
+                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_disc,
+                   CAST(SUM(CASE WHEN epoch_us(l_shipdate) > 1893456000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_future_ship
+            FROM lineitem
+        """,
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_token_stats": """
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "lang_token_totals": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "knn_topk": """
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+                FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10) t
+        """,
+    }

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Benchmark harness (reference pattern: ``src/benchmarks.py:21-64`` — timed
+named pipelines, medians, size comparison; re-expressed for the Ray engine).
+
+Default run: encodes+decodes the deterministic synthetic transcript table,
+compares bytes/turn against a pyarrow Parquet+zstd control write of the SAME
+data, times the headline relational queries over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1), and prints ONE JSON line.
+
+``--scaling``: runs the encode+decode job twice in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on identical input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north-rule's N vs 4N node criterion; see BASELINE.md).
+
+This script OWNS its Ray session (the driver contract only forbids
+``ray.init`` inside ``__ray_entry__``/library code).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "500000"))
+
+QUERY_NAMES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "revenue_by_mktsegment",
+    "distinct_customers_by_priority",
+    "top_orders",
+    "top3_orders_per_segment",
+    "latest_event_per_user",
+    "doc_token_stats",
+    "knn_topk",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Fully consume a result without holding it all in driver memory."""
+    if hasattr(res, "iter_batches"):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    return len(res)
+
+
+def encode_bench(num_cpus: int, n_turns: int) -> dict:
+    """Encode+decode throughput and bytes/turn vs Parquet+zstd control."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import transcripts_parquet_dir
+    from etl_sql_duckdb_parquet__ray.state.manifest import manifest_stats
+
+    src = transcripts_parquet_dir(n_turns, base_dir="/tmp/bench_transcripts")
+    out = tempfile.mkdtemp(prefix="bench-enc-", dir="/tmp")
+    try:
+        ds = ray.data.read_parquet(src)
+        t0 = time.perf_counter()
+        encode_transcripts(
+            ds, out, num_buckets=max(num_cpus * 2, 8), resume=False,
+            encoder_concurrency=(1, num_cpus),
+        )
+        t_enc = time.perf_counter() - t0
+        stats = manifest_stats(out)
+
+        t0 = time.perf_counter()
+        n_rows = _consume(decode_dataset(out))
+        t_dec = time.perf_counter() - t0
+        assert n_rows == stats["rows"], (n_rows, stats["rows"])
+
+        # Parquet+zstd control: same data, pyarrow defaults per the
+        # reference's load path (src/etl/load.py:44-48)
+        parquet_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        ctrl = os.path.join(out, "control.parquet")
+        t0 = time.perf_counter()
+        pq.write_table(
+            pq.read_table(src), ctrl, compression="zstd"
+        )
+        t_parquet = time.perf_counter() - t0
+        zstd_bytes = os.path.getsize(ctrl)
+        return {
+            "rows": stats["rows"],
+            "encode_sec": round(t_enc, 3),
+            "decode_sec": round(t_dec, 3),
+            "encode_turns_per_sec": round(stats["rows"] / t_enc, 1),
+            "decode_turns_per_sec": round(stats["rows"] / t_dec, 1),
+            "bytes_out": stats["bytes_out"],
+            "bytes_in_arrow": stats["bytes_in"],
+            "bytes_per_turn": round(stats["bytes_out"] / stats["rows"], 2),
+            "parquet_zstd_bytes": zstd_bytes,
+            "parquet_zstd_bytes_per_turn": round(zstd_bytes / stats["rows"], 2),
+            "parquet_src_bytes": parquet_bytes,
+            "size_vs_parquet_zstd": round(stats["bytes_out"] / zstd_bytes, 4),
+            "parquet_zstd_write_sec": round(t_parquet, 3),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def query_bench(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    times = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_default() -> None:
+    _init_ray(NUM_CPUS)
+    enc = encode_bench(NUM_CPUS, N_TURNS)
+    queries = query_bench(SF_DIR)
+    total = enc["encode_sec"] + enc["decode_sec"] + sum(queries.values())
+    out = {
+        "metric": "encode+decode+queries wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "encode": enc,
+    }
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+def run_child(num_cpus: int, n_turns: int) -> None:
+    """Entry for --scaling subprocess: one fresh encode+decode measurement."""
+    _init_ray(num_cpus)
+    enc = encode_bench(num_cpus, n_turns)
+    print("CHILD_RESULT " + json.dumps(enc))
+    import ray
+
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency.
+
+    Efficiency = (throughput_32 / throughput_8) / (32 / 8); the north rule
+    requires ≥ 0.8 between cluster sizes N and 4N.
+    """
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    # pre-generate the shared input once so neither child pays generation
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from etl_sql_duckdb_parquet__ray.sources.transcripts import transcripts_parquet_dir; "
+         "transcripts_parquet_dir(%d, base_dir='/tmp/bench_transcripts')"
+         % (os.path.dirname(os.path.abspath(__file__)), N_TURNS)],
+        check=True,
+    )
+    for cpus in (lo_cpus, hi_cpus):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child", str(cpus), str(N_TURNS)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")][-1]
+        results[cpus] = json.loads(line[len("CHILD_RESULT "):])
+    thr_lo = results[lo_cpus]["encode_turns_per_sec"]
+    thr_hi = results[hi_cpus]["encode_turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    out = {
+        "metric": "encode scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {},
+        "sf": f"synthetic n_turns={N_TURNS}",
+        "num_cpus": hi_cpus,
+        "scaling": {
+            "low": {"num_cpus": lo_cpus, **results[lo_cpus]},
+            "high": {"num_cpus": hi_cpus, **results[hi_cpus]},
+            "efficiency": round(eff, 4),
+        },
+    }
+    print(json.dumps(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", nargs=2, metavar=("CPUS", "TURNS"))
+    args = ap.parse_args()
+    if args.child:
+        run_child(int(args.child[0]), int(args.child[1]))
+    elif args.scaling:
+        run_scaling()
+    else:
+        run_default()
+
+
+if __name__ == "__main__":
+    main()

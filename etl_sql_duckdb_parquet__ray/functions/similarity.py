@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (one ``ray.put``, read in every task, never
+re-shipped per batch), partial top-k per batch, exact merge on the driver.
+Scale path: IVF — deterministic k-means-lite centroids trained on a sample,
+batch-wise assignment, search restricted to the ``n_probe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    return ids, V
+
+
+def brute_force_topk(ds_emb, query: np.ndarray, k: int = 10):
+    """Top-k by cosine against one query vector. Per-batch partial top-k
+    (k rows per batch leave the task), then a final exact sort+limit —
+    the whole corpus is never collected."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    qref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(qref)
+        ids, V = _stack(batch)
+        cos = _normalize(V) @ qq
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+
+    partial = ds_emb.map_batches(score, batch_format="pandas")
+    return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+def train_ivf_centroids(
+    ds_emb, n_lists: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 5
+) -> np.ndarray:
+    """Deterministic k-means-lite on a sample (train on a sample, never a
+    full scan — same rule as FSST training, SURVEY.md §7.4)."""
+    sample = ds_emb.limit(sample_rows).to_pandas()
+    _, V = _stack(sample)
+    V = _normalize(V)
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), size=min(n_lists, len(V)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = V[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+class IvfAssign:
+    """Actor-pool stage: nearest-centroid list id per vector; centroids
+    arrive once per actor via a ray.put handle."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.C = ray.get(centroids_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, V = _stack(batch)
+        Vn = _normalize(V)
+        lists = np.argmax(Vn @ self.C.T, axis=1).astype(np.int32)
+        return pd.DataFrame({"vec_id": ids, "list_id": lists, "vn": list(Vn)})
+
+
+def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe: int = 4):
+    """IVF approximate top-k: assign every vector to its list, then search
+    only the ``n_probe`` lists nearest the query."""
+    import ray
+
+    C = train_ivf_centroids(ds_emb, n_lists=n_lists)
+    cref = ray.put(C)
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    probes = set(np.argsort(-(C @ q))[:n_probe].tolist())
+
+    assigned = ds_emb.map_batches(
+        IvfAssign, fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+    probed = assigned.filter(
+        lambda row: row["list_id"] in probes
+    )
+
+    qref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(qref)
+        ids = batch["vec_id"].to_numpy()
+        V = np.stack(batch["vn"].to_numpy())
+        cos = V @ qq
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+
+    return probed.map_batches(score, batch_format="pandas").sort(
+        ["cosine", "vec_id"], descending=[True, False]
+    ).limit(k)

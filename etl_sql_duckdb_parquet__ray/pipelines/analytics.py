@@ -1,0 +1,427 @@
+"""Relational analytics pipelines over the driver test tables — the Ray-Data
+re-expression of the reference's DuckDB query layer (``sql/queries.sql:1-149``)
+and validation rules (``src/etl/validate.py:44-255``; SURVEY.md §2.3, §2.5-2.9).
+
+Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column NAMES and VALUES match the paired ``oracle_sql()`` string in
+``__ray_entry__.py`` exactly. Determinism rules used throughout:
+
+- money sums are integer-scaled (``CAST(ROUND(x*100) AS BIGINT)``) before
+  aggregation so Ray's block-order-dependent float summation and DuckDB's
+  sequential summation produce the *same exact integers*;
+- percentages are floored basis points (``FLOOR(10000*n/total)``), never
+  round-half (DuckDB rounds half-away, numpy half-even);
+- timestamps are compared as ``epoch_us`` int64.
+
+Nothing here calls ``ray.init``; the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+from ..stages.relational import (
+    broadcast_join,
+    broadcast_semi,
+    case_when,
+    count_distinct,
+    grouped_rank,
+    read_arrow,
+    read_table,
+)
+
+US_PER_DAY = 86_400_000_000
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """x -> CAST(ROUND(x*100) AS BIGINT), matching DuckDB exactly: the true
+    value is a 2-decimal decimal, so *100 is within ulps of an integer and
+    round-to-nearest can never sit on a .5 boundary."""
+    return pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
+
+
+def _ts_us(col) -> pa.Array:
+    return col.combine_chunks().cast(pa.int64()) if isinstance(col, pa.ChunkedArray) else col.cast(pa.int64())
+
+
+def _rename(ds, names: list[str]):
+    return ds.map_batches(lambda t: t.rename_columns(names), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates (reference A6/A8; sql/queries.sql Q1, Q4, Q5)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """Q1-style pricing summary: per (returnflag, linestatus) integer-scaled
+    sums + row count (reference grouped SUM/AVG at ``sql/queries.sql:43-55``)."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_x100": _cents(t.column("l_quantity")),
+                "price_x100": _cents(t.column("l_extendedprice")),
+                "disc_x100": _cents(t.column("l_discount")),
+            }
+        )
+
+    out = (
+        ds.map_batches(scale, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_x100"),
+            Sum("price_x100"),
+            Sum("disc_x100"),
+            Count(),
+        )
+    )
+    return _rename(
+        out,
+        ["l_returnflag", "l_linestatus", "sum_qty_x100", "sum_price_x100", "sum_disc_x100", "count_order"],
+    )
+
+
+def revenue_by_nation(sf_dir: str):
+    """3-way join chain via one broadcast lookup (reference J4 join+group,
+    ``sql/queries.sql:101-110``): lineitem ⋈ supplier ⋈ nation, revenue =
+    SUM(ROUND(extprice*(1-disc)*10000)) — per-row product is identical IEEE
+    math on both sides, then exact integer sums."""
+    sup = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    lookup = sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"]).select(
+        ["s_suppkey", "n_name"]
+    )
+    ds = read_table(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+            pa.scalar(10000.0),
+        )
+        return pa.table(
+            {"l_suppkey": t.column("l_suppkey"), "rev_x10000": pc.round(r).cast(pa.int64())}
+        )
+
+    joined = broadcast_join(
+        ds.map_batches(rev, batch_format="pyarrow"), lookup,
+        keys="l_suppkey", right_keys="s_suppkey",
+    )
+    out = joined.groupby("n_name").aggregate(
+        Sum("rev_x10000"),
+        Count(),
+    )
+    return _rename(out, ["n_name", "revenue_x10000", "n_items"])
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """Broadcast dim join + grouped integer sum (reference J1 enrichment join
+    ``src/etl/load.py:112-116`` + A6)."""
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"), "total_x100": _cents(t.column("o_totalprice"))}
+        )
+
+    joined = broadcast_join(
+        ds.map_batches(scale, batch_format="pyarrow"), cust,
+        keys="o_custkey", right_keys="c_custkey",
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("total_x100"),
+        Count(),
+    )
+    return _rename(out, ["c_mktsegment", "revenue_x100", "n_orders"])
+
+
+def distinct_customers_by_priority(sf_dir: str):
+    """COUNT(DISTINCT) as a two-level shuffle (SURVEY.md A6)."""
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return count_distinct(ds, "o_orderpriority", "o_custkey", "n_custs")
+
+
+def orders_per_day(sf_dir: str):
+    """Date-bucketed counts (reference Q5-style by-date aggregate,
+    ``sql/queries.sql:57-65``); day number = epoch_us // us_per_day."""
+    ds = read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.divide(_ts_us(t.column("o_orderdate")), pa.scalar(US_PER_DAY, type=pa.int64()))
+        return pa.table({"day_num": d})
+
+    out = ds.map_batches(day, batch_format="pyarrow").groupby("day_num").count()
+    return _rename(out, ["day_num", "n_orders"])
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k / CASE (reference O1-O3, M12)
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 10):
+    """ORDER BY total DESC LIMIT k with an explicit tiebreak (reference O2,
+    ``src/benchmarks.py:86-88``)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "total_x100": _cents(t.column("o_totalprice"))}
+        )
+
+    return (
+        ds.map_batches(scale, batch_format="pyarrow")
+        .sort(["total_x100", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def order_price_bands(sf_dir: str):
+    """CASE WHEN price bands → grouped counts (reference Q3 qc_status CASE,
+    ``sql/queries.sql:26-41``)."""
+    ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    banded = ds.map_batches(
+        lambda t: case_when(
+            t, "o_totalprice",
+            [("greater_equal", 150000.0, "high"), ("greater_equal", 50000.0, "mid")],
+            "low", "price_band",
+        ).drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    out = banded.groupby(["o_orderstatus", "price_band"]).count()
+    return _rename(out, ["o_orderstatus", "price_band", "n"])
+
+
+# ---------------------------------------------------------------------------
+# windows (reference W1/W2: sql/queries.sql:67-76, 101-110)
+# ---------------------------------------------------------------------------
+
+def top3_orders_per_segment(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY segment ORDER BY price DESC, key) ≤ 3
+    via per-group rank (reference W1)."""
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_x100": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    joined = broadcast_join(
+        ds.map_batches(scale, batch_format="pyarrow"), cust,
+        keys="o_custkey", right_keys="c_custkey",
+    )
+    ranked = grouped_rank(
+        joined, "c_mktsegment", "total_x100",
+        descending=True, tiebreak="o_orderkey", top_n=3, rank_col="rnk",
+    )
+    return ranked.select_columns(["c_mktsegment", "o_orderkey", "rnk"])
+
+
+def event_type_share(sf_dir: str):
+    """Percent-of-total within partition as floored basis points (reference
+    W2 percent-of-total, ``sql/queries.sql:101-110``)."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).count()
+    counts = _rename(counts, ["user_id", "event_type", "n"])
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["pct_bp"] = np.floor(10000.0 * g["n"] / g["n"].sum()).astype(np.int64)
+        return g
+
+    return counts.groupby("user_id").map_groups(share, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup / anti-join / unions (reference D1, D3, J5)
+# ---------------------------------------------------------------------------
+
+def latest_event_per_user(sf_dir: str):
+    """Keep-last dedup on an explicit order column (reference D1
+    ``drop_duplicates(keep='last')``, ``src/etl/transform.py:52-57`` — but
+    with the ordering explicit, as Ray Data guarantees no row order)."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": _ts_us(t.column("ts")),
+            }
+        )
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["ts_us", "event_id"], ascending=False, kind="mergesort")
+            .head(1)
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(keep_last, batch_format="pandas")
+    )
+
+
+def orphan_orders(sf_dir: str):
+    """Anti-join referential-integrity probe (reference J5/V8,
+    ``sql/queries.sql:94-99``, ``src/etl/validate.py:239-255``): orders whose
+    customer key is missing from the dim — broadcast anti-membership, then a
+    count (so the result keeps a schema even when no orphans exist)."""
+    cust_keys = read_arrow(sf_dir, "customer", ["c_custkey"]).column("c_custkey").combine_chunks()
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n = broadcast_semi(ds, cust_keys, "o_custkey", anti=True).count()
+    return pa.table({"n_orphans": pa.array([n], type=pa.int64())})
+
+
+def table_counts_union(sf_dir: str):
+    """UNION ALL of scalar aggregates (reference D3/Q7 shape,
+    ``sql/queries.sql:79-92``)."""
+    rows = [
+        {"tbl": name, "n": read_table(sf_dir, name).count()}
+        for name in ["orders", "lineitem", "customer"]
+    ]
+    return ray.data.from_items(rows)
+
+
+def null_rates_events(sf_dir: str):
+    """Per-field null counts stacked UNION-ALL style (reference A7/Q7 null
+    rate, ``sql/queries.sql:79-92``) — partial counts per batch, exact int
+    sums on the driver."""
+    ds = read_table(sf_dir, "events", ["value", "props", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "null_value": pa.array([t.column("value").null_count], type=pa.int64()),
+                "null_props": pa.array([t.column("props").null_count], type=pa.int64()),
+                "null_event_type": pa.array([t.column("event_type").null_count], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_rows", "null_value", "null_props", "null_event_type"]
+    )
+    rows = [
+        {"field": f, "n_null": int(agg[f"sum({f})"]), "n_total": int(agg["sum(n_rows)"])}
+        for f in ["null_value", "null_props", "null_event_type"]
+    ]
+    return ray.data.from_items(rows)
+
+
+# ---------------------------------------------------------------------------
+# validation rules as aggregates (reference V1-V7, src/etl/validate.py)
+# ---------------------------------------------------------------------------
+
+def validation_summary(sf_dir: str):
+    """The reference's row-addressed validation rules (NOT_NULL / RANGE /
+    FUTURE_DATE, ``src/etl/validate.py:44-234``) re-expressed as one
+    vectorized counting pass: per-batch partial counts, exact integer sums."""
+    ds = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount", "l_tax", "l_shipdate"]
+    )
+    future = pa.scalar(np.int64(1_893_456_000_000_000), type=pa.int64())  # 2030-01-01 us
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity")
+        disc = t.column("l_discount")
+        bad_disc = pc.or_(pc.less(disc, 0.0), pc.greater(disc, 1.0))
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "n_null_key": pa.array([t.column("l_orderkey").null_count], type=pa.int64()),
+                "n_bad_qty": pa.array(
+                    [pc.sum(pc.less_equal(qty, 0.0).cast(pa.int64())).as_py() or 0],
+                    type=pa.int64(),
+                ),
+                "n_bad_disc": pa.array(
+                    [pc.sum(bad_disc.cast(pa.int64())).as_py() or 0], type=pa.int64()
+                ),
+                "n_future_ship": pa.array(
+                    [
+                        pc.sum(
+                            pc.greater(_ts_us(t.column("l_shipdate")), future).cast(pa.int64())
+                        ).as_py()
+                        or 0
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_rows", "n_null_key", "n_bad_qty", "n_bad_disc", "n_future_ship"]
+    )
+    return pa.table(
+        {
+            k: pa.array([int(agg[f"sum({k})"])], type=pa.int64())
+            for k in ["n_rows", "n_null_key", "n_bad_qty", "n_bad_disc", "n_future_ship"]
+        }
+    )
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact text dedup, keep the smallest doc_id per distinct text (the
+    scalable form of ``drop_duplicates(subset=['text'])``; hash-partition by
+    the dedup key, min per group)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(Min("doc_id"))
+    return _rename(out, ["text", "doc_id"]).select_columns(["doc_id"])
+
+
+def doc_token_stats(sf_dir: str):
+    """Whitespace token counts per document (text-analysis layer; matches
+    DuckDB ``len(string_split(text,' '))`` exactly: n_spaces+1)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(pa.int64())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"), "n_tokens": n_tok}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def lang_token_totals(sf_dir: str):
+    """Grouped text aggregates per language tag."""
+    ds = doc_token_stats_with_lang(sf_dir)
+    out = ds.groupby("lang").aggregate(
+        Count(),
+        Sum("n_chars"),
+        Sum("n_tokens"),
+    )
+    return _rename(out, ["lang", "n_docs", "total_chars", "total_tokens"])
+
+
+def doc_token_stats_with_lang(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(pa.int64())
+        return pa.table(
+            {"lang": t.column("lang"), "n_chars": t.column("n_chars"), "n_tokens": n_tok}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

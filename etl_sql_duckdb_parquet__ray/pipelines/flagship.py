@@ -1,0 +1,53 @@
+"""Flagship end-to-end pipeline over driver test data.
+
+The driver's smoke check (``entry()``) has no transcript table, so we derive
+one deterministically from the ``events`` table — the exact ``input_hint``
+schema ``(conv_id, turn_idx, role, text, tool, ts)`` — then run the full
+engine: shuffle by conversation → per-group stable turn order → actor-pool
+encode to chunks+manifest → streaming decode back. This exercises every
+stage of the encode path (SURVEY.md §3.1) on driver-provided input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.relational import read_table
+from .encode import decode_dataset, encode_transcripts
+
+_ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+
+
+def events_to_transcripts(sf_dir: str):
+    """events(event_id, ts, user_id, event_type, value, props) → transcript
+    schema: conv per user, turn order = (ts, event_id), role cycled, text =
+    props payload, tool = event_type."""
+    ds = read_table(sf_dir, "events")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        return pd.DataFrame(
+            {
+                "conv_id": np.repeat(f"conv-{int(g['user_id'].iloc[0]):08d}", n),
+                "turn_idx": np.arange(n, dtype=np.int32),
+                "role": _ROLES[np.arange(n) % 4],
+                "text": g["props"].fillna("").to_numpy(dtype=object),
+                "tool": np.where(np.arange(n) % 4 == 3, g["event_type"], None),
+                "ts": g["ts"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def flagship_roundtrip(sf_dir: str, out_dir: str, num_buckets: int = 8):
+    """Derive transcripts → encode → decode; returns the decoded Dataset."""
+    ds = events_to_transcripts(sf_dir)
+    encode_transcripts(
+        ds, out_dir, num_buckets=num_buckets, resume=False,
+        encoder_concurrency=(1, 4),
+    )
+    return decode_dataset(out_dir)

@@ -1,0 +1,202 @@
+"""Unit + small-pipeline tests for the training-data operators: dedup family
+(planted near-duplicates must be found), similarity search (IVF recall vs
+brute force), text analysis, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from etl_sql_duckdb_parquet__ray.functions import dedup, similarity
+from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+    FakeDecoder,
+    RealDecoder,
+    media_features,
+    synth_media_table,
+)
+from etl_sql_duckdb_parquet__ray.functions.text import (
+    Fingerprint,
+    LangId,
+    QualityScore,
+    SimHash,
+    TokenCount,
+    simhash64,
+    token_hashes,
+    winnow_fingerprints,
+)
+
+
+def _doc_corpus():
+    rng = np.random.default_rng(0)
+    vocab = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split(),
+        dtype=object,
+    )
+    docs = [" ".join(vocab[rng.integers(0, len(vocab), 60)]) for _ in range(40)]
+    # planted near-dup: doc 40 is doc 0 with 3 words changed; doc 41 == doc 1
+    words = docs[0].split()
+    words[5], words[20], words[40] = "changed", "words", "here"
+    docs.append(" ".join(words))
+    docs.append(docs[1])
+    return pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+
+
+# -- text kernels (no Ray) ---------------------------------------------------
+
+def test_winnow_fingerprints_deterministic():
+    a = winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 4)
+    b = winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 4)
+    assert len(a) > 0 and np.array_equal(a, b)
+    assert len(winnow_fingerprints("")) == 0
+    assert len(winnow_fingerprints("abc")) == 0  # shorter than k
+
+
+def test_simhash_near_for_near_texts():
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox jumps over the lazy cat again and again today"
+    t3 = "completely different content about distributed columnar encoding engines"
+    h1, h2, h3 = (
+        simhash64(token_hashes(pd.Series([t]))[0]) for t in (t1, t2, t3)
+    )
+    d12 = bin(int(h1 ^ h2)).count("1")
+    d13 = bin(int(h1 ^ h3)).count("1")
+    assert d12 < d13
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("a b c d e f", "a b c d e f") == 1.0
+    assert dedup.ngram_jaccard("a b c d e f", "x y z w v u") == 0.0
+    assert dedup.ngram_jaccard("", "") == 1.0
+
+
+# -- dedup pipelines ---------------------------------------------------------
+
+def test_minhash_finds_planted_dups(ray_session):
+    import ray
+
+    docs = _doc_corpus()
+    ds = ray.data.from_pandas(docs)
+    pairs = dedup.minhash_dup_pairs(ds, threshold=0.5).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 40) in found
+    assert (1, 41) in found
+    verified = dedup.verify_pairs_exact(ds, pairs, threshold=0.5)
+    assert {(0, 40), (1, 41)} <= {
+        (int(a), int(b)) for a, b in zip(verified["doc_a"], verified["doc_b"])
+    }
+
+
+def test_simhash_dup_pairs_finds_exact_dup(ray_session):
+    import ray
+
+    docs = _doc_corpus()
+    ds = ray.data.from_pandas(docs)
+    pairs = dedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 41) in found  # identical docs -> hamming 0
+
+
+def test_embedding_dup_pairs_planted(ray_session):
+    import ray
+
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((50, 16)).astype(np.float32)
+    V[49] = V[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    df = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (0, 49) in found
+
+
+# -- similarity search -------------------------------------------------------
+
+def test_brute_force_topk_exact(ray_session):
+    import ray
+
+    rng = np.random.default_rng(2)
+    V = rng.standard_normal((200, 32))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    q = V[7]
+    got = similarity.brute_force_topk(ds, q, k=5).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ (q / np.linalg.norm(q))
+    expect = np.argsort(-cos, kind="stable")[:5]
+    assert list(got["vec_id"]) == list(expect)
+    assert got["vec_id"].iloc[0] == 7  # self is nearest
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((300, 16))
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    got = similarity.ivf_topk(ds, V[11], k=5, n_lists=8, n_probe=3).to_pandas()
+    assert got["vec_id"].iloc[0] == 11  # query vector's own list is probed
+
+
+# -- text stages end-to-end --------------------------------------------------
+
+def test_text_stages(ray_session):
+    import ray
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat with a hat and that is that",
+                "le chat est sur le tapis et il ne veut pas se lever du tapis",
+                "这是一个中文文档 关于分布式系统",
+                "",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    lang = ds.map_batches(LangId(), batch_format="pyarrow").to_pandas()
+    pred = dict(zip(lang["doc_id"], lang["lang_pred"]))
+    assert pred[0] == "en" and pred[1] == "fr" and pred[2] == "zh" and pred[3] == "und"
+
+    tok = ds.map_batches(TokenCount(), batch_format="pyarrow").to_pandas()
+    assert tok.loc[tok.doc_id == 0, "ws_tokens"].iloc[0] == 13
+    assert tok.loc[tok.doc_id == 3, "re_tokens"].iloc[0] == 0
+
+    q = ds.map_batches(QualityScore(), batch_format="pyarrow").to_pandas()
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 100).all()
+    assert q.loc[q.doc_id == 0, "quality"].iloc[0] > q.loc[q.doc_id == 3, "quality"].iloc[0]
+
+    fp = ds.map_batches(Fingerprint(), batch_format="pyarrow").to_pandas()
+    assert fp.loc[fp.doc_id == 0, "n_fingerprints"].iloc[0] > 0
+    assert fp.loc[fp.doc_id == 3, "n_fingerprints"].iloc[0] == 0
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+
+
+def test_media_features_deterministic(ray_session):
+    import ray
+
+    t = synth_media_table(64)
+    assert t.schema.field("payload").type == pa.large_binary()
+    a = media_features(ray.data.from_arrow(t), batch_size=16).to_pandas()
+    b = media_features(ray.data.from_arrow(synth_media_table(64)), batch_size=16).to_pandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    assert a["n_bytes"].equals(b["n_bytes"])
+    assert all(np.array_equal(x, y) for x, y in zip(a["features"], b["features"]))
+    # feature vectors are fixed-dim and in [0, 1)
+    assert all(len(f) == 8 and min(f) >= 0.0 and max(f) < 1.0 for f in a["features"])
+
+
+def test_fake_decoder_is_pure():
+    d = FakeDecoder()
+    t = synth_media_table(4)
+    out1 = d(t)
+    out2 = d(t)
+    assert out1.equals(out2)
