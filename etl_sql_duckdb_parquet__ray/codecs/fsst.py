@@ -6,11 +6,15 @@ of 1..8 bytes on a bounded sample by iteratively merging frequent adjacent
 token pairs ranked by gain = freq x len; encode greedily longest-match; code
 255 marks an escaped literal byte.
 
-Engineering for Python: matching is done by a compiled alternation regex
-(longest-first) so the scan runs in C; literals go to a side section so
-decode is a single vectorized object-array gather + ``bytes.join`` — no
-per-byte Python on the decode path. The column's original string lengths are
-bit-packed separately so the blob splits back exactly.
+Engineering for Python: the greedy longest-match scan is a *segment-parallel
+numpy simulation* — the buffer is cut into ~1 KiB segments whose cursors all
+advance together; each step does one vectorized longest-match (8 prefix-code
+``searchsorted`` probes against the per-length symbol arrays) across every
+active segment, so per-token Python cost is amortized over thousands of
+segments. Greedy restarts at segment boundaries cost <0.1% size. Literals go
+to a side section so decode is a single vectorized gather; the column's
+original string lengths are bit-packed separately so the blob splits back
+exactly.
 
 The ``fsst_zstd`` variant zstd-compresses the token/literal sections — the
 chunk auto-selector measures both against plain zstd and picks the smallest
@@ -43,6 +47,125 @@ def _compile(table: list[bytes]) -> re.Pattern | None:
         return None
     pats = sorted(table, key=len, reverse=True)
     return re.compile(b"|".join(re.escape(s) for s in pats))
+
+
+_SEG = 1024  # greedy-restart segment size for the parallel matcher
+
+
+class _TableIndex:
+    """Vectorized longest-match structures: direct lookup tables for 1- and
+    2-byte symbols (a fancy-index gather), sorted prefix-code arrays +
+    searchsorted for 3..8-byte symbols."""
+
+    def __init__(self, table: list[bytes]):
+        self.lengths: list[int] = sorted({len(s) for s in table}, reverse=True)
+        self.by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.lut1 = np.full(256, 255, dtype=np.uint8)
+        self.lut2 = np.full(65536, 255, dtype=np.uint8)
+        # bit (L-3) set iff some length-L symbol starts with this 2-byte
+        # prefix — gates the per-length searchsorted to the rare positions
+        # that can possibly start a long symbol
+        self.len_mask2 = np.zeros(65536, dtype=np.uint8)
+        for L in self.lengths:
+            syms = sorted(
+                (int.from_bytes(s, "big"), i) for i, s in enumerate(table) if len(s) == L
+            )
+            if L == 1:
+                for v, i in syms:
+                    self.lut1[v] = i
+            elif L == 2:
+                for v, i in syms:
+                    self.lut2[v] = i
+            else:
+                self.by_len[L] = (
+                    np.array([v for v, _ in syms], dtype=np.uint64),
+                    np.array([i for _, i in syms], dtype=np.uint8),
+                )
+                for v, _ in syms:
+                    self.len_mask2[v >> (8 * (L - 2))] |= 1 << (L - 3)
+
+
+def _prefix_codes(pad: np.ndarray, n: int) -> np.ndarray:
+    """code8[i] = big-endian uint64 of bytes data[i:i+8] (zero-padded)."""
+    code8 = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        code8 += pad[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
+    return code8
+
+
+_WINDOW = 4 << 20  # bound live ndarray memory; windows restart greedy (free)
+
+
+def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one window: (1) per-POSITION longest match, fully vectorized —
+    two direct-LUT gathers for 1/2-byte symbols plus one searchsorted per
+    longer length; (2) cursor chase over ~_SEG-byte segments in lockstep,
+    touching only precomputed arrays (a handful of gathers per token)."""
+    n = len(arr)
+    pad = np.zeros(n + 8, dtype=np.uint8)
+    pad[:n] = arr
+    code8 = _prefix_codes(pad, n)
+    idxs = np.arange(n, dtype=np.int64)
+    rem = np.minimum(_SEG - (idxs % _SEG), n - idxs)
+
+    # per-position longest match, priority longest-last (overwrites)
+    p2 = (code8 >> np.uint64(48)).astype(np.int64)
+    best_code = idx.lut1[arr]                       # L=1 base layer
+    best_len = np.ones(n, dtype=np.int64)
+    two = idx.lut2[p2]
+    ok2 = np.flatnonzero((two != 255) & (rem >= 2))
+    best_code[ok2] = two[ok2]
+    best_len[ok2] = 2
+    m2 = idx.len_mask2[p2]
+    for L in sorted(idx.by_len):                    # ascending so longer wins
+        cand = np.flatnonzero(m2 & (1 << (L - 3)))
+        if not cand.size:
+            continue
+        vals, ids = idx.by_len[L]
+        v = code8[cand] >> np.uint64(8 * (8 - L))
+        pos_c = np.minimum(np.searchsorted(vals, v), len(vals) - 1)
+        found = (vals[pos_c] == v) & (rem[cand] >= L)
+        hit = cand[found]
+        best_code[hit] = ids[pos_c[found]]
+        best_len[hit] = L
+    is_esc = best_code == 255
+    best_len[is_esc] = 1
+    blen64 = best_len
+
+    # lockstep cursor chase: only MARK token-start positions — the output
+    # streams fall out of boolean masks afterwards (position order == stream
+    # order), so the loop is ~4 vector ops per token consumed
+    starts = np.arange(0, n, _SEG, dtype=np.int64)
+    ends = np.minimum(starts + _SEG, n)
+    cur = starts.copy()
+    token_start = np.zeros(n, dtype=bool)
+    active = np.flatnonzero(cur < ends)
+    while active.size:
+        p = cur[active]
+        token_start[p] = True
+        cur[active] = p + blen64[p]
+        active = active[cur[active] < ends[active]]
+
+    codes = best_code[token_start]
+    lits = arr[token_start & is_esc]
+    return codes, lits
+
+
+def fsst_encode_buffer(data: bytes, idx: _TableIndex) -> tuple[bytes, bytes]:
+    """Greedy FSST over one byte buffer -> (code stream, literal stream)."""
+    n = len(data)
+    if n == 0:
+        return b"", b""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    codes_parts, lits_parts = [], []
+    for lo in range(0, n, _WINDOW):
+        c, l = _window_encode(arr[lo : lo + _WINDOW], idx)
+        codes_parts.append(c)
+        lits_parts.append(l)
+    return (
+        np.concatenate(codes_parts).tobytes(),
+        np.concatenate(lits_parts).tobytes(),
+    )
 
 
 def train_fsst(sample: bytes, iters: int = _ITERS, max_symbols: int = _MAX_SYMBOLS) -> list[bytes]:
@@ -87,31 +210,22 @@ class FsstCodec:
         # a pre-trained (shared/broadcast) table may be injected; otherwise
         # each chunk trains its own on the chunk's own sample.
         self._shared = table
+        self._shared_idx: _TableIndex | None = None
+
+    def _index(self, table: list[bytes]) -> _TableIndex:
+        if self._shared is not None:
+            if self._shared_idx is None:
+                self._shared_idx = _TableIndex(table)  # built once per actor
+            return self._shared_idx
+        return _TableIndex(table)
 
     def encode(self, values: StringBlob) -> tuple[bytes, dict]:
         data = values.data
         table = self._shared if self._shared is not None else train_fsst(data)
-        pat = _compile(table)
-        codes = bytearray()
-        lits = bytearray()
-        if pat is not None and data:
-            code_of = {s: i for i, s in enumerate(table)}
-            pos = 0
-            for m in pat.finditer(data):
-                s, e = m.span()
-                if s > pos:
-                    gap = data[pos:s]
-                    codes.extend(b"\xff" * len(gap))
-                    lits.extend(gap)
-                codes.append(code_of[m.group()])
-                pos = e
-            if pos < len(data):
-                gap = data[pos:]
-                codes.extend(b"\xff" * len(gap))
-                lits.extend(gap)
+        if table and data:
+            codes, lits = fsst_encode_buffer(data, self._index(table))
         else:
-            codes.extend(b"\xff" * len(data))
-            lits.extend(data)
+            codes, lits = b"\xff" * len(data), data
         lw = required_width(int(values.lengths.max())) if len(values.lengths) else 0
         lens_packed = bitpack(values.lengths.astype(np.uint64), lw)
         tbl = pack_sections(table) if table else b""
