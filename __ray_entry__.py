@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q(A.dedup_exact_docs),
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
+        "column_profile": _q(A.column_profile_lineitem),
         "knn_topk": knn_topk,
         # engine + training-data ops (rows-only checks)
         "transcript_roundtrip": transcript_roundtrip,
@@ -240,6 +241,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        "column_profile": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(ROUND(MIN(l_quantity)*100) AS BIGINT) AS qty_min_x100,
+                   CAST(ROUND(MAX(l_quantity)*100) AS BIGINT) AS qty_max_x100,
+                   CAST(ROUND(MIN(l_extendedprice)*100) AS BIGINT) AS price_min_x100,
+                   CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS price_max_x100
+            FROM lineitem
         """,
         "knn_topk": """
             SELECT vec_id FROM (

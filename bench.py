@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "500000"))
+# --scaling needs enough parallel work that per-job fixed costs (training,
+# read fan-out, shuffle floor, worker warmup) do not dominate either leg
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "3000000"))
 
 QUERY_NAMES = [
     "pricing_summary",
@@ -71,8 +74,14 @@ def _consume(res) -> int:
     return len(res)
 
 
-def encode_bench(num_cpus: int, n_turns: int) -> dict:
-    """Encode+decode throughput and bytes/turn vs Parquet+zstd control."""
+def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
+    """Encode+decode throughput and bytes/turn vs Parquet+zstd control.
+
+    ``warmup`` runs a small encode first so workers/scratch/imports are warm
+    and the measurement reflects steady-state throughput (the quantity that
+    matters at 10^12 turns). Bucket count is FIXED (not cpu-derived) so the
+    two --scaling legs do identical work.
+    """
     import pyarrow.parquet as pq
     import ray
 
@@ -86,12 +95,16 @@ def encode_bench(num_cpus: int, n_turns: int) -> dict:
     src = transcripts_parquet_dir(n_turns, base_dir="/tmp/bench_transcripts")
     out = tempfile.mkdtemp(prefix="bench-enc-", dir="/tmp")
     try:
+        if warmup:
+            wsrc = transcripts_parquet_dir(50000, base_dir="/tmp/bench_transcripts")
+            wout = tempfile.mkdtemp(prefix="bench-warm-", dir="/tmp")
+            encode_transcripts(
+                ray.data.read_parquet(wsrc), wout, num_buckets=16, resume=False
+            )
+            shutil.rmtree(wout, ignore_errors=True)
         ds = ray.data.read_parquet(src)
         t0 = time.perf_counter()
-        encode_transcripts(
-            ds, out, num_buckets=max(num_cpus * 2, 8), resume=False,
-            encoder_concurrency=(1, num_cpus),
-        )
+        encode_transcripts(ds, out, num_buckets=64, resume=False)
         t_enc = time.perf_counter() - t0
         stats = manifest_stats(out)
 
@@ -189,12 +202,12 @@ def run_scaling() -> None:
          "import sys; sys.path.insert(0, %r); "
          "from etl_sql_duckdb_parquet__ray.sources.transcripts import transcripts_parquet_dir; "
          "transcripts_parquet_dir(%d, base_dir='/tmp/bench_transcripts')"
-         % (os.path.dirname(os.path.abspath(__file__)), N_TURNS)],
+         % (os.path.dirname(os.path.abspath(__file__)), SCALING_TURNS)],
         check=True,
     )
     for cpus in (lo_cpus, hi_cpus):
         proc = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus), str(N_TURNS)],
+            [sys.executable, __file__, "--child", str(cpus), str(SCALING_TURNS)],
             capture_output=True, text=True, check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")][-1]
@@ -207,7 +220,7 @@ def run_scaling() -> None:
         "value": round(eff, 4),
         "unit": "efficiency",
         "queries": {},
-        "sf": f"synthetic n_turns={N_TURNS}",
+        "sf": f"synthetic n_turns={SCALING_TURNS}",
         "num_cpus": hi_cpus,
         "scaling": {
             "low": {"num_cpus": lo_cpus, **results[lo_cpus]},

@@ -1,0 +1,119 @@
+"""Thin CLI — the Ray-Data analog of the reference's Typer commands
+(``src/cli.py:31-233``: etl / query / benchmark): encode, decode, verify,
+stats. Owns its Ray session (guarded init), so it is also the entrypoint a
+cluster run would ship via ``ray job submit``:
+
+    ray job submit --working-dir . -- \
+        python -m etl_sql_duckdb_parquet__ray.cli encode \
+            --input /data/transcripts --out /data/encoded --buckets 4096
+
+On a real cluster only ``--buckets`` (partition count ~ 2-4x total cores)
+and ``--concurrency`` change; the pipeline itself is size-agnostic —
+streaming blocks, actor-pool encode, per-bucket manifest for resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_encode(args) -> int:
+    ray = _ray()
+    from .pipelines.encode import encode_transcripts
+    from .state.manifest import manifest_stats
+
+    ds = ray.data.read_parquet(args.input)
+    encode_transcripts(
+        ds,
+        args.out,
+        num_buckets=args.buckets,
+        chunk_rows=args.chunk_rows,
+        mode=args.mode,
+        resume=not args.no_resume,
+        encoder_concurrency=(1, args.concurrency),
+    )
+    print(json.dumps(manifest_stats(args.out)))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    _ray()
+    from .pipelines.encode import decode_dataset
+
+    ds = decode_dataset(args.input)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count()}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    ray = _ray()
+    from .pipelines.encode import roundtrip_ok
+
+    ds = ray.data.read_parquet(args.input)
+    ok = roundtrip_ok(ds, args.encoded)
+    print(json.dumps({"roundtrip_ok": ok}))
+    return 0 if ok else 1
+
+
+def cmd_stats(args) -> int:
+    from .state.manifest import load_manifest, manifest_stats
+
+    stats = manifest_stats(args.encoded)
+    if args.per_bucket:
+        stats["buckets_detail"] = [
+            {k: r[k] for k in ("bucket", "rows", "bytes_in", "bytes_out")}
+            for r in load_manifest(args.encoded)
+        ]
+    print(json.dumps(stats))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_sql_duckdb_parquet__ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a transcript parquet dir")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--buckets", type=int, default=64)
+    enc.add_argument("--chunk-rows", type=int, default=65536)
+    enc.add_argument("--mode", default="balanced", choices=["fast", "balanced"])
+    enc.add_argument("--concurrency", type=int, default=8)
+    enc.add_argument("--no-resume", action="store_true")
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode", help="decode chunks back to parquet")
+    dec.add_argument("--input", required=True, help="encoded dir (chunks+manifest)")
+    dec.add_argument("--out", required=True)
+    dec.set_defaults(fn=cmd_decode)
+
+    ver = sub.add_parser("verify", help="bit-identity roundtrip check")
+    ver.add_argument("--input", required=True, help="original parquet dir")
+    ver.add_argument("--encoded", required=True)
+    ver.set_defaults(fn=cmd_verify)
+
+    st = sub.add_parser("stats", help="manifest statistics")
+    st.add_argument("--encoded", required=True)
+    st.add_argument("--per-bucket", action="store_true")
+    st.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

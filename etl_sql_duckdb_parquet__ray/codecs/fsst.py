@@ -37,9 +37,14 @@ from .base import (
 from .bitpack import bitpack, bitunpack, required_width
 
 _MAX_SYMBOLS = 255  # code 255 reserved as escape marker
-_MAX_SYM_LEN = 8
-_TRAIN_CAP = 1 << 16
-_ITERS = 4
+# symbols are capped at 4 bytes: prefix codes then fit uint32, roughly
+# halving the encode kernel's memory traffic — the kernel is BANDWIDTH-bound
+# (every pass streams whole-window arrays), so bytes-per-input-byte of array
+# traffic is what sets multi-core scaling. Decode still accepts length<=8
+# symbols for forward compatibility.
+_MAX_SYM_LEN = 4
+_TRAIN_CAP = 1 << 15
+_ITERS = 3
 
 
 def _compile(table: list[bytes]) -> re.Pattern | None:
@@ -54,17 +59,16 @@ _SEG = 1024  # greedy-restart segment size for the parallel matcher
 
 class _TableIndex:
     """Vectorized longest-match structures: direct lookup tables for 1- and
-    2-byte symbols (a fancy-index gather), sorted prefix-code arrays +
-    searchsorted for 3..8-byte symbols."""
+    2-byte symbols (a fancy-index gather), sorted uint32 prefix-code arrays
+    + searchsorted for 3/4-byte symbols, gated by a 2-byte-prefix bitmask so
+    the probes only touch positions that can start a long symbol."""
 
     def __init__(self, table: list[bytes]):
+        table = [s for s in table if len(s) <= _MAX_SYM_LEN]
         self.lengths: list[int] = sorted({len(s) for s in table}, reverse=True)
         self.by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.lut1 = np.full(256, 255, dtype=np.uint8)
         self.lut2 = np.full(65536, 255, dtype=np.uint8)
-        # bit (L-3) set iff some length-L symbol starts with this 2-byte
-        # prefix — gates the per-length searchsorted to the rare positions
-        # that can possibly start a long symbol
         self.len_mask2 = np.zeros(65536, dtype=np.uint8)
         for L in self.lengths:
             syms = sorted(
@@ -78,22 +82,42 @@ class _TableIndex:
                     self.lut2[v] = i
             else:
                 self.by_len[L] = (
-                    np.array([v for v, _ in syms], dtype=np.uint64),
+                    np.array([v for v, _ in syms], dtype=np.uint32),
                     np.array([i for _, i in syms], dtype=np.uint8),
                 )
                 for v, _ in syms:
                     self.len_mask2[v >> (8 * (L - 2))] |= 1 << (L - 3)
 
 
+_BUFS: dict[tuple, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    """Per-process reusable buffers — on this class of virtualized host,
+    first-touch page faults on fresh large allocations are pathologically
+    slow, so steady-state kernels must not allocate; window sizes are fixed
+    so the cache stays tiny."""
+    key = (name, n, np.dtype(dtype).str)
+    buf = _BUFS.get(key)
+    if buf is None:
+        buf = np.empty(n, dtype=dtype)
+        _BUFS[key] = buf
+    return buf
+
+
 def _prefix_codes(pad: np.ndarray, n: int) -> np.ndarray:
-    """code8[i] = big-endian uint64 of bytes data[i:i+8] (zero-padded)."""
-    code8 = np.zeros(n, dtype=np.uint64)
-    for j in range(8):
-        code8 += pad[j : j + n].astype(np.uint64) << np.uint64(8 * (7 - j))
-    return code8
+    """code4[i] = big-endian uint32 of bytes data[i:i+4] (zero-padded)."""
+    code4 = _scratch("code4", n, np.uint32)
+    tmp = _scratch("ptmp", n, np.uint32)
+    np.multiply(pad[:n], 1, out=code4, casting="unsafe")
+    for j in range(1, 4):
+        np.left_shift(code4, 8, out=code4)
+        np.multiply(pad[j : j + n], 1, out=tmp, casting="unsafe")
+        np.bitwise_or(code4, tmp, out=code4)
+    return code4
 
 
-_WINDOW = 4 << 20  # bound live ndarray memory; windows restart greedy (free)
+_WINDOW = 512 << 10  # bound live ndarray memory; windows restart greedy (free)
 
 
 def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.ndarray]:
@@ -102,52 +126,71 @@ def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.nd
     longer length; (2) cursor chase over ~_SEG-byte segments in lockstep,
     touching only precomputed arrays (a handful of gathers per token)."""
     n = len(arr)
-    pad = np.zeros(n + 8, dtype=np.uint8)
+    pad = _scratch("pad", _WINDOW + 4, np.uint8)[: n + 4]
     pad[:n] = arr
-    code8 = _prefix_codes(pad, n)
-    idxs = np.arange(n, dtype=np.int64)
-    rem = np.minimum(_SEG - (idxs % _SEG), n - idxs)
+    pad[n:] = 0
+    code4 = _prefix_codes(pad, n)
 
-    # per-position longest match, priority longest-last (overwrites)
-    p2 = (code8 >> np.uint64(48)).astype(np.int64)
-    best_code = idx.lut1[arr]                       # L=1 base layer
-    best_len = np.ones(n, dtype=np.int64)
-    two = idx.lut2[p2]
-    ok2 = np.flatnonzero((two != 255) & (rem >= 2))
+    # per-position longest match, priority longest-last (overwrites); no
+    # remaining-length arrays — boundary overruns are fixed up afterwards on
+    # the handful of positions near each segment end
+    p2 = _scratch("p2", n, np.int32)
+    np.right_shift(code4, 16, out=_scratch("sh", n, np.uint32))
+    np.multiply(_scratch("sh", n, np.uint32), 1, out=p2, casting="unsafe")
+    best_code = _scratch("bc", n, np.uint8)
+    best_len = _scratch("bl", n, np.uint8)
+    np.take(idx.lut1, arr, out=best_code)           # L=1 base layer
+    best_len[:] = 1
+    two = _scratch("two", n, np.uint8)
+    np.take(idx.lut2, p2, out=two)
+    ok2 = np.flatnonzero(two != 255)
     best_code[ok2] = two[ok2]
     best_len[ok2] = 2
-    m2 = idx.len_mask2[p2]
+    m2 = _scratch("m2", n, np.uint8)
+    np.take(idx.len_mask2, p2, out=m2)
     for L in sorted(idx.by_len):                    # ascending so longer wins
         cand = np.flatnonzero(m2 & (1 << (L - 3)))
         if not cand.size:
             continue
         vals, ids = idx.by_len[L]
-        v = code8[cand] >> np.uint64(8 * (8 - L))
+        v = code4[cand] >> np.uint32(8 * (4 - L))
         pos_c = np.minimum(np.searchsorted(vals, v), len(vals) - 1)
-        found = (vals[pos_c] == v) & (rem[cand] >= L)
+        found = vals[pos_c] == v
         hit = cand[found]
         best_code[hit] = ids[pos_c[found]]
         best_len[hit] = L
-    is_esc = best_code == 255
-    best_len[is_esc] = 1
-    blen64 = best_len
+    esc0 = best_code == 255
+    best_len[esc0] = 1
+
+    # boundary fixup: a match may not cross a segment (or window) end — at
+    # the ≤3 tail positions of each segment, escape anything that overruns
+    ends = np.arange(_SEG, n + _SEG, _SEG, dtype=np.int64)
+    np.minimum(ends, n, out=ends)
+    for off in (1, 2, 3):
+        tp = ends - off
+        tp = tp[tp >= 0]
+        over = tp[best_len[tp] > off]
+        if over.size:
+            best_code[over] = 255
+            best_len[over] = 1
 
     # lockstep cursor chase: only MARK token-start positions — the output
     # streams fall out of boolean masks afterwards (position order == stream
     # order), so the loop is ~4 vector ops per token consumed
     starts = np.arange(0, n, _SEG, dtype=np.int64)
-    ends = np.minimum(starts + _SEG, n)
+    seg_ends = ends
     cur = starts.copy()
-    token_start = np.zeros(n, dtype=bool)
-    active = np.flatnonzero(cur < ends)
+    token_start = _scratch("ts", n, bool)
+    token_start[:] = False
+    active = np.flatnonzero(cur < seg_ends)
     while active.size:
         p = cur[active]
         token_start[p] = True
-        cur[active] = p + blen64[p]
-        active = active[cur[active] < ends[active]]
+        cur[active] = p + best_len[p]
+        active = active[cur[active] < seg_ends[active]]
 
     codes = best_code[token_start]
-    lits = arr[token_start & is_esc]
+    lits = arr[token_start & (best_code == 255)]
     return codes, lits
 
 

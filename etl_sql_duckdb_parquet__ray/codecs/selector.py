@@ -108,7 +108,11 @@ def candidates_for(
             cands += ["dict"]
         if stats["mean_run"] >= 1.5:
             cands += ["rle"]
-        if stats["card_ratio"] > 0.1 and mode != "fast":
+        # FSST candidacy is stats-gated: training a symbol table per chunk
+        # is the priciest candidate probe, so only strings long enough to
+        # amortize symbol matching (and high-entropy enough that dict/rle
+        # won't win anyway) get it
+        if stats["card_ratio"] > 0.3 and stats.get("mean_len", 0.0) >= 12 and mode != "fast":
             cands += ["fsst_zstd", "fsst"]
         return cands
     if np.issubdtype(values.dtype, np.floating):

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.relational import (
     broadcast_join,
@@ -425,3 +425,25 @@ def doc_token_stats_with_lang(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def column_profile_lineitem(sf_dir: str):
+    """Single-row column profile (reference A1 per-column stats,
+    ``src/profiling.py:12-42``) with exact-comparable integer scaling."""
+    ds = read_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    agg = ds.aggregate(
+        Count(),
+        Min("l_quantity"), Max("l_quantity"),
+        Min("l_extendedprice"), Max("l_extendedprice"),
+    )
+    def cents(v):
+        return int(np.round(v * 100.0))
+    return pa.table(
+        {
+            "n_rows": pa.array([int(agg["count()"])], type=pa.int64()),
+            "qty_min_x100": pa.array([cents(agg["min(l_quantity)"])], type=pa.int64()),
+            "qty_max_x100": pa.array([cents(agg["max(l_quantity)"])], type=pa.int64()),
+            "price_min_x100": pa.array([cents(agg["min(l_extendedprice)"])], type=pa.int64()),
+            "price_max_x100": pa.array([cents(agg["max(l_extendedprice)"])], type=pa.int64()),
+        }
+    )

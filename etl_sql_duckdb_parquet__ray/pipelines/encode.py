@@ -84,9 +84,27 @@ class SharedEncodeState:
 
 def train_shared_state(ds, sample_rows: int = 2000) -> SharedEncodeState:
     """Sample-train global FSST table for ``text`` (training must sample,
-    not scan — SURVEY.md §7.4 scaling-efficiency note)."""
-    sample = ds.limit(sample_rows).to_pandas()
-    corpus = "".join(sample["text"].dropna().tolist()).encode("utf-8", "surrogatepass")
+    not scan — SURVEY.md §7.4 scaling-efficiency note).
+
+    The sample is read directly from the dataset's parquet fragments when
+    possible (one row group, driver-side, microseconds) instead of running
+    the Dataset pipeline — ``ds.limit().to_pandas()`` would spin up an
+    executor round-trip just to fetch a training sample."""
+    corpus = b""
+    try:
+        paths = ds.input_files()
+        if paths:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(paths[0])
+            batch = next(pf.iter_batches(batch_size=sample_rows, columns=["text"]))
+            texts = batch.column(0).drop_null().to_pylist()[:sample_rows]
+            corpus = "".join(texts).encode("utf-8", "surrogatepass")
+    except Exception:
+        corpus = b""
+    if not corpus:
+        sample = ds.limit(sample_rows).to_pandas()
+        corpus = "".join(sample["text"].dropna().tolist()).encode("utf-8", "surrogatepass")
     return SharedEncodeState(fsst_table=train_fsst(corpus) or None)
 
 
@@ -167,6 +185,26 @@ class BucketEncoder:
         )
 
 
+# Per-worker-process cache for the task-based encoder path: the first task a
+# worker runs builds the (shared-table) encoder once; every later task on
+# that worker reuses it — the same "setup once per worker" amortization as
+# the actor pool, without paying per-job actor-fleet startup (each Ray actor
+# is a FRESH interpreter that re-imports numpy/pyarrow; ~5s per job on this
+# host, which a 10^12-turn job amortizes but a bench job does not).
+_WORKER_ENCODERS: dict[tuple, "BucketEncoder"] = {}
+
+
+def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref) -> pa.Table:
+    key = (out_dir, chunk_rows, mode)
+    enc = _WORKER_ENCODERS.get(key)
+    if enc is None:
+        enc = BucketEncoder(
+            out_dir=out_dir, chunk_rows=chunk_rows, mode=mode, state_ref=state_ref
+        )
+        _WORKER_ENCODERS[key] = enc
+    return enc(group)
+
+
 def encode_transcripts(
     ds,
     out_dir: str,
@@ -176,6 +214,7 @@ def encode_transcripts(
     resume: bool = True,
     train_sample_rows: int = 2000,
     encoder_concurrency=None,
+    use_actors: bool = False,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -205,19 +244,35 @@ def encode_transcripts(
             ),
             batch_format="pyarrow",
         )
-    grouped = bucketed.groupby("bucket").map_groups(
-        BucketEncoder,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "chunk_rows": chunk_rows,
-            "mode": mode,
-            "state_ref": state_ref,
-        },
-        batch_format="pyarrow",
-        # callable class => actor pool; autoscale (1, N) so a small test
-        # session isn't over-reserved but a full node fills its cores
-        concurrency=encoder_concurrency or (1, 8),
-    )
+    if use_actors:
+        # explicit actor pool (ST4 pattern): best when the job is long-lived
+        # relative to actor-fleet startup — the default on a real cluster run
+        grouped = bucketed.groupby("bucket").map_groups(
+            BucketEncoder,
+            fn_constructor_kwargs={
+                "out_dir": out_dir,
+                "chunk_rows": chunk_rows,
+                "mode": mode,
+                "state_ref": state_ref,
+            },
+            batch_format="pyarrow",
+            concurrency=encoder_concurrency or (1, 8),
+        )
+    else:
+        # task path with per-worker encoder cache (identical semantics &
+        # state amortization; reuses prestarted workers)
+        import functools
+
+        grouped = bucketed.groupby("bucket").map_groups(
+            functools.partial(
+                _encode_group_task,
+                out_dir=out_dir,
+                chunk_rows=chunk_rows,
+                mode=mode,
+                state_ref=state_ref,
+            ),
+            batch_format="pyarrow",
+        )
     # consume the (tiny: one row per bucket) manifest dataset
     grouped.materialize()
     return load_manifest(out_dir)

@@ -133,7 +133,7 @@ def transcripts_parquet_dir(
     n_turns: int,
     base_dir: str = "/tmp/transcripts",
     seed: int = 42,
-    shard_rows: int = 250_000,
+    shard_rows: int = 62_500,
 ) -> str:
     """Materialize (once, cached) a sharded parquet directory of transcripts.
 

@@ -1,0 +1,100 @@
+"""Dataset profiling as streaming partial aggregates — the scalable form of
+the reference's profiling module (``src/profiling.py:12-134``: per-column
+stats, duplicate counts, quality score). One ``map_batches`` pass emits
+per-batch partial stats; the driver combines tiny partials. These are the
+SAME statistics (cardinality, null rate, run structure) that drive the
+per-chunk codec auto-selector (``codecs/selector.py``), computed here at
+dataset granularity for user-facing profiling.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_partial(batch: pa.Table, columns: list[str]) -> pa.Table:
+    out: dict[str, Any] = {"_rows": [batch.num_rows]}
+    for name in columns:
+        col = batch.column(name)
+        out[f"{name}__nulls"] = [col.null_count]
+        typ = col.type
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_timestamp(typ):
+            valid = col.drop_null()
+            has = len(valid) > 0
+            out[f"{name}__min"] = [pc.min(valid).as_py() if has else None]
+            out[f"{name}__max"] = [pc.max(valid).as_py() if has else None]
+            if pa.types.is_timestamp(typ):
+                out[f"{name}__sum"] = [None]
+            else:
+                out[f"{name}__sum"] = [pc.sum(valid).as_py() if has else 0]
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            lens = pc.utf8_length(col.drop_null())
+            has = len(lens) > 0
+            out[f"{name}__strlen_min"] = [pc.min(lens).as_py() if has else None]
+            out[f"{name}__strlen_max"] = [pc.max(lens).as_py() if has else None]
+            out[f"{name}__strlen_sum"] = [pc.sum(lens).as_py() if has else 0]
+    return pa.table(out)
+
+
+def profile_dataset(ds, columns: list[str] | None = None) -> dict[str, Any]:
+    """Per-column profile: rows, null counts/rates, min/max/mean (numeric),
+    string-length stats. Single streaming pass; partials combined on the
+    driver (reference A1/A2, ``profiling.py:12-66``)."""
+    schema = ds.schema()
+    columns = columns or schema.names
+    parts = ds.map_batches(
+        lambda t: _batch_partial(t, columns), batch_format="pyarrow"
+    ).take_all()  # one tiny row per input block
+    rows = sum(p["_rows"] for p in parts)
+    prof: dict[str, Any] = {"rows": rows, "columns": {}}
+    for name in columns:
+        c: dict[str, Any] = {"nulls": sum(p[f"{name}__nulls"] for p in parts)}
+        c["null_rate"] = c["nulls"] / rows if rows else 0.0
+        def _agg(key, fn):
+            vals = [p[key] for p in parts if p.get(key) is not None]
+            return fn(vals) if vals else None
+        if f"{name}__min" in (parts[0] if parts else {}):
+            c["min"] = _agg(f"{name}__min", min)
+            c["max"] = _agg(f"{name}__max", max)
+            s = _agg(f"{name}__sum", sum)
+            n_valid = rows - c["nulls"]
+            if s is not None and n_valid:
+                c["mean"] = s / n_valid
+        if parts and f"{name}__strlen_min" in parts[0]:
+            c["strlen_min"] = _agg(f"{name}__strlen_min", min)
+            c["strlen_max"] = _agg(f"{name}__strlen_max", max)
+            s = _agg(f"{name}__strlen_sum", sum)
+            n_valid = rows - c["nulls"]
+            if s is not None and n_valid:
+                c["strlen_mean"] = s / n_valid
+        prof["columns"][name] = c
+    return prof
+
+
+def duplicate_row_count(ds, key_columns: list[str]) -> int:
+    """Whole-row (or key-subset) duplicate count via groupby shuffle
+    (reference A2/D2 ``df.duplicated().sum()``, ``profiling.py:54``)."""
+    counts = ds.groupby(list(key_columns)).count()
+
+    def excess(t: pa.Table) -> pa.Table:
+        c = t.column("count()")
+        extra = pc.subtract(c, 1)
+        return pa.table({"extra": pa.array([pc.sum(extra).as_py() or 0], type=pa.int64())})
+
+    parts = counts.map_batches(excess, batch_format="pyarrow").take_all()
+    return int(sum(p["extra"] for p in parts))
+
+
+def quality_score(profile: dict[str, Any], dup_count: int = 0) -> float:
+    """0-100 data-quality score from missing% and duplicate% — the
+    reference's formula shape (``profiling.py:84-109``)."""
+    rows = profile["rows"] or 1
+    n_cols = len(profile["columns"]) or 1
+    missing_rate = sum(c["nulls"] for c in profile["columns"].values()) / (rows * n_cols)
+    dup_rate = dup_count / rows
+    score = 100.0 * (1.0 - 0.6 * min(missing_rate * 2, 1.0) - 0.4 * min(dup_rate * 2, 1.0))
+    return float(np.clip(score, 0.0, 100.0))

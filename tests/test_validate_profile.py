@@ -1,0 +1,158 @@
+"""Validation-with-quarantine and profiling stages (reference V1-V9, A1-A4)
+plus the CLI entrypoints."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from etl_sql_duckdb_parquet__ray.stages.profile import (
+    duplicate_row_count,
+    profile_dataset,
+    quality_score,
+)
+from etl_sql_duckdb_parquet__ray.stages.validate import (
+    Rule,
+    duplicate_keys,
+    fk_orphans,
+    split_quarantine,
+    validate,
+    violation_counts,
+)
+
+RULES = [
+    Rule("id_not_null", "id", "not_null"),
+    Rule("platform_enum", "platform", "enum", {"values": ["A", "B"]}),
+    Rule("score_range", "score", "range", {"lo": 0.0, "hi": 1.0}),
+]
+
+
+def _dirty_table() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id": [1, 2, None, 4, 5],
+            "platform": ["A", "B", "A", "C", None],
+            "score": [0.5, 1.5, 0.2, 0.9, -0.1],
+        }
+    )
+
+
+def test_violation_counts(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_dirty_table())
+    counts = violation_counts(ds, RULES)
+    assert counts == {"id_not_null": 1, "platform_enum": 2, "score_range": 2}
+
+
+def test_split_quarantine(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_dirty_table())
+    good, bad = split_quarantine(ds, RULES)
+    gdf, bdf = good.to_pandas(), bad.to_pandas()
+    assert len(gdf) == 1 and gdf["id"].iloc[0] == 1
+    assert len(bdf) == 4
+    assert "_violations" in bdf.columns
+    row5 = bdf[bdf["score"] == -0.1].iloc[0]
+    assert "platform_enum" in row5["_violations"] and "score_range" in row5["_violations"]
+
+
+def test_validate_strict_raises(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_dirty_table())
+    with pytest.raises(ValueError, match="validation failed"):
+        validate(ds, RULES, mode="strict")
+    clean = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2], "platform": ["A", "B"], "score": [0.1, 0.9]})
+    )
+    _, counts = validate(clean, RULES, mode="strict")
+    assert sum(counts.values()) == 0
+
+
+def test_validate_quarantine_writes(ray_session, tmp_path):
+    import ray
+
+    ds = ray.data.from_pandas(_dirty_table())
+    qdir = str(tmp_path / "quarantine")
+    good, counts = validate(ds, RULES, mode="quarantine", quarantine_path=qdir)
+    assert good.count() == 1
+    back = ray.data.read_parquet(qdir).to_pandas()
+    assert len(back) == 4 and "_violations" in back.columns
+
+
+def test_duplicate_keys_and_fk(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": range(6)})
+    )
+    dups = sorted(duplicate_keys(ds, "k").to_pandas()["k"])
+    assert dups == [1, 3]
+    orphans = fk_orphans(ds, "k", pa.array([1, 2])).to_pandas()
+    assert sorted(orphans["k"].unique()) == [3]
+
+
+def test_profile_dataset_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    prof = profile_dataset(ds, ["value", "event_type"])
+    con = duckdb.connect()
+    exp = con.sql(
+        f"SELECT COUNT(*) n, MIN(value) mn, MAX(value) mx, SUM(value) s, "
+        f"COUNT(*)-COUNT(value) AS n_nulls FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert prof["rows"] == exp[0]
+    v = prof["columns"]["value"]
+    assert v["min"] == exp[1] and v["max"] == exp[2]
+    assert v["nulls"] == exp[4]
+    et = prof["columns"]["event_type"]
+    assert et["strlen_min"] >= 1 and et["strlen_max"] >= et["strlen_min"]
+
+
+def test_duplicate_row_count_and_quality(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"a": [1, 1, 2, 2, 2, 3], "b": ["x", "x", "y", "y", "y", "z"]})
+    )
+    assert duplicate_row_count(ds, ["a", "b"]) == 3  # 1 extra of (1,x) + 2 of (2,y)
+    prof = profile_dataset(ds)
+    s = quality_score(prof, dup_count=3)
+    assert 0.0 <= s < 100.0
+    s_clean = quality_score(prof, dup_count=0)
+    assert s_clean == 100.0
+
+
+def test_cli_encode_decode_verify_stats(ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.cli import main
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(generate_transcripts(5000), f"{src}/part-0.parquet")
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "decoded")
+
+    assert main(["encode", "--input", src, "--out", enc, "--buckets", "4",
+                 "--concurrency", "2"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 5000 and stats["buckets"] == 4
+
+    assert main(["verify", "--input", src, "--encoded", enc]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["roundtrip_ok"]
+
+    assert main(["decode", "--input", enc, "--out", out]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 5000
+
+    assert main(["stats", "--encoded", enc, "--per-bucket"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(st["buckets_detail"]) == 4
