@@ -96,10 +96,14 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
     out = tempfile.mkdtemp(prefix="bench-enc-", dir="/tmp")
     try:
         if warmup:
-            wsrc = transcripts_parquet_dir(50000, base_dir="/tmp/bench_transcripts")
+            # big enough to touch every worker's scratch at full window sizes
+            # (this host's first-touch page faults would otherwise dominate)
+            wsrc = transcripts_parquet_dir(
+                min(500000, n_turns), base_dir="/tmp/bench_transcripts"
+            )
             wout = tempfile.mkdtemp(prefix="bench-warm-", dir="/tmp")
             encode_transcripts(
-                ray.data.read_parquet(wsrc), wout, num_buckets=16, resume=False
+                ray.data.read_parquet(wsrc), wout, num_buckets=64, resume=False
             )
             shutil.rmtree(wout, ignore_errors=True)
         ds = ray.data.read_parquet(src)
@@ -109,7 +113,9 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
         stats = manifest_stats(out)
 
         t0 = time.perf_counter()
-        n_rows = _consume(decode_dataset(out))
+        # distributed consumption (count executes the full decode); a single
+        # driver-side iter_batches pull would serialize at the consumer
+        n_rows = decode_dataset(out).count()
         t_dec = time.perf_counter() - t0
         assert n_rows == stats["rows"], (n_rows, stats["rows"])
 

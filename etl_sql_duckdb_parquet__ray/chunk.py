@@ -35,23 +35,36 @@ def encode_chunk(
     with_checksums: bool = True,
     extra: dict | None = None,
     mode: str = "balanced",
+    preencoded: dict[str, tuple[bytes, dict]] | None = None,
+    order: list[str] | None = None,
 ) -> tuple[bytes, dict]:
-    """Encode one table slice -> (chunk bytes, summary for the manifest)."""
+    """Encode one table slice -> (chunk bytes, summary for the manifest).
+
+    ``preencoded`` supplies columns whose (payload, meta) were already built
+    upstream (the pre-shuffle row-FSST path); ``order`` fixes the on-disk
+    column order when preencoded columns are absent from ``table``.
+    """
     codec_overrides = codec_overrides or {}
     shared_codecs = shared_codecs or {}
+    preencoded = preencoded or {}
     cols = []
     payloads = []
     off = 0
     bytes_in = 0
-    for name in table.column_names:
-        arr = table.column(name).combine_chunks()
-        bytes_in += arr.nbytes
-        if name in shared_codecs:
-            payload, meta = _encode_with_instance(arr, shared_codecs[name])
+    names = order or list(table.column_names)
+    for name in names:
+        if name in preencoded:
+            payload, meta = preencoded[name]
+            bytes_in += meta.pop("bytes_in", len(payload))
         else:
-            payload, meta = encode_column(arr, codec_overrides.get(name), mode=mode)
-        if with_checksums:
-            meta["sha256"] = column_checksum(arr)
+            arr = table.column(name).combine_chunks()
+            bytes_in += arr.nbytes
+            if name in shared_codecs:
+                payload, meta = _encode_with_instance(arr, shared_codecs[name])
+            else:
+                payload, meta = encode_column(arr, codec_overrides.get(name), mode=mode)
+            if with_checksums:
+                meta["sha256"] = column_checksum(arr)
         cols.append({"name": name, "meta": meta, "off": off, "len": len(payload)})
         payloads.append(payload)
         off += len(payload)
@@ -91,6 +104,17 @@ def decode_chunk(chunk: bytes) -> pa.Table:
     arrays, names = [], []
     for col in header["columns"]:
         payload = chunk[base + col["off"] : base + col["off"] + col["len"]]
+        if "sha256_enc" in col["meta"]:
+            # pre-encoded columns checksum the ENCODED payload (the decoded
+            # bytes never existed in one place on the encode side)
+            import hashlib
+
+            got = hashlib.sha256(payload).hexdigest()
+            if got != col["meta"]["sha256_enc"]:
+                raise ValueError(
+                    f"checksum mismatch on column {col['name']!r} (encoded): "
+                    f"{got} != {col['meta']['sha256_enc']}"
+                )
         arr = decode_column(payload, col["meta"])
         if "sha256" in col["meta"]:
             got = column_checksum(arr)
@@ -102,6 +126,62 @@ def decode_chunk(chunk: bytes) -> pa.Table:
         arrays.append(arr)
         names.append(col["name"])
     return pa.table(dict(zip(names, arrays)))
+
+
+def assemble_fsst_payload(
+    codes: bytes,
+    lits: bytes,
+    dense_lengths,
+    null_mask,
+    n_rows: int,
+    table: list[bytes],
+    arrow_type: str = "string",
+    post_zstd: bool = True,
+    with_checksum: bool = True,
+) -> tuple[bytes, dict]:
+    """Build a column (payload, meta) byte-compatible with ``encode_column``
+    + ``FsstCodec``/``FsstZstdCodec`` from PRE-ENCODED per-row streams —
+    the post-shuffle half of the pre-shuffle row-FSST path: the shuffled
+    binary columns' value buffers ARE the concatenated code/literal streams,
+    so assembly is packing + optional zstd, no re-compression."""
+    import hashlib
+
+    import numpy as np
+
+    from .codecs.base import pack_sections, zstd_compress
+    from .codecs.bitpack import bitpack, required_width
+
+    dense_lengths = np.asarray(dense_lengths, dtype=np.int64)
+    lw = required_width(int(dense_lengths.max())) if len(dense_lengths) else 0
+    lens_packed = bitpack(dense_lengths.astype(np.uint64), lw)
+    tbl = pack_sections(table) if table else b""
+    sections = [tbl, codes, lits, lens_packed]
+    vmeta = {
+        "lw": lw,
+        "n_codes": len(codes),
+        "n_lits": len(lits),
+        "z": post_zstd,
+        "raw": [len(s) for s in sections],
+    }
+    if post_zstd:
+        sections = [zstd_compress(s) for s in sections]
+    codec_payload = pack_sections(sections)
+    nulls = int(null_mask.sum()) if null_mask is not None else 0
+    validity = (
+        zstd_compress(np.packbits(np.asarray(null_mask)).tobytes()) if nulls else b""
+    )
+    payload = pack_sections([validity, codec_payload])
+    meta = {
+        "codec": "fsst_zstd" if post_zstd else "fsst",
+        "type": arrow_type,
+        "n": n_rows,
+        "nulls": nulls,
+        "vmeta": vmeta,
+        "bytes_in": int(dense_lengths.sum()) + 4 * (n_rows + 1),
+    }
+    if with_checksum:
+        meta["sha256_enc"] = hashlib.sha256(payload).hexdigest()
+    return payload, meta
 
 
 def chunk_header(chunk: bytes) -> dict:

@@ -95,14 +95,16 @@ _BUFS: dict[tuple, np.ndarray] = {}
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
     """Per-process reusable buffers — on this class of virtualized host,
     first-touch page faults on fresh large allocations are pathologically
-    slow, so steady-state kernels must not allocate; window sizes are fixed
-    so the cache stays tiny."""
-    key = (name, n, np.dtype(dtype).str)
+    slow, so steady-state kernels must not allocate. Capacity is rounded up
+    to the next power of two so variable input sizes reuse the same buffer
+    (≤2x memory, ~log distinct sizes)."""
+    cap = 1 << max(int(n) - 1, 1).bit_length()
+    key = (name, np.dtype(dtype).str)
     buf = _BUFS.get(key)
-    if buf is None:
-        buf = np.empty(n, dtype=dtype)
+    if buf is None or len(buf) < cap:
+        buf = np.empty(cap, dtype=dtype)
         _BUFS[key] = buf
-    return buf
+    return buf[:n]
 
 
 def _prefix_codes(pad: np.ndarray, n: int) -> np.ndarray:
@@ -120,23 +122,20 @@ def _prefix_codes(pad: np.ndarray, n: int) -> np.ndarray:
 _WINDOW = 512 << 10  # bound live ndarray memory; windows restart greedy (free)
 
 
-def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.ndarray]:
-    """Encode one window: (1) per-POSITION longest match, fully vectorized —
-    two direct-LUT gathers for 1/2-byte symbols plus one searchsorted per
-    longer length; (2) cursor chase over ~_SEG-byte segments in lockstep,
-    touching only precomputed arrays (a handful of gathers per token)."""
+def _match_positions(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.ndarray]:
+    """Per-POSITION longest match over the whole buffer, fully vectorized:
+    two direct-LUT gathers for 1/2-byte symbols, then one gated searchsorted
+    per longer length. Returns (best_code, best_len) scratch views; no
+    boundary handling (the caller fixes up its own segment ends)."""
     n = len(arr)
-    pad = _scratch("pad", _WINDOW + 4, np.uint8)[: n + 4]
+    pad = _scratch("pad", n + 4, np.uint8)
     pad[:n] = arr
     pad[n:] = 0
     code4 = _prefix_codes(pad, n)
-
-    # per-position longest match, priority longest-last (overwrites); no
-    # remaining-length arrays — boundary overruns are fixed up afterwards on
-    # the handful of positions near each segment end
     p2 = _scratch("p2", n, np.int32)
-    np.right_shift(code4, 16, out=_scratch("sh", n, np.uint32))
-    np.multiply(_scratch("sh", n, np.uint32), 1, out=p2, casting="unsafe")
+    sh = _scratch("sh", n, np.uint32)
+    np.right_shift(code4, 16, out=sh)
+    np.multiply(sh, 1, out=p2, casting="unsafe")
     best_code = _scratch("bc", n, np.uint8)
     best_len = _scratch("bl", n, np.uint8)
     np.take(idx.lut1, arr, out=best_code)           # L=1 base layer
@@ -161,25 +160,30 @@ def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.nd
         best_len[hit] = L
     esc0 = best_code == 255
     best_len[esc0] = 1
+    return best_code, best_len
 
-    # boundary fixup: a match may not cross a segment (or window) end — at
-    # the ≤3 tail positions of each segment, escape anything that overruns
-    ends = np.arange(_SEG, n + _SEG, _SEG, dtype=np.int64)
-    np.minimum(ends, n, out=ends)
+
+def _encode_segments(
+    arr: np.ndarray, seg_starts: np.ndarray, seg_ends: np.ndarray, idx: _TableIndex
+) -> np.ndarray:
+    """Greedy parse with restarts at the given segment boundaries (matches
+    never cross a boundary). Returns the token_start bool mask (a scratch
+    view); with best_code from ``_match_positions`` still valid, the code /
+    literal streams fall out of boolean masks in position order."""
+    n = len(arr)
+    best_code, best_len = _match_positions(arr, idx)
+    # boundary fixup: escape anything overrunning its segment end (only the
+    # last ≤3 positions of a segment can, with 4-byte max symbols)
     for off in (1, 2, 3):
-        tp = ends - off
-        tp = tp[tp >= 0]
+        tp = seg_ends - off
+        tp = tp[tp >= seg_starts[0]]
         over = tp[best_len[tp] > off]
         if over.size:
             best_code[over] = 255
             best_len[over] = 1
-
-    # lockstep cursor chase: only MARK token-start positions — the output
-    # streams fall out of boolean masks afterwards (position order == stream
-    # order), so the loop is ~4 vector ops per token consumed
-    starts = np.arange(0, n, _SEG, dtype=np.int64)
-    seg_ends = ends
-    cur = starts.copy()
+    # lockstep cursor chase: only MARK token-start positions (~4 vector ops
+    # per token consumed across all active segments)
+    cur = seg_starts.copy()
     token_start = _scratch("ts", n, bool)
     token_start[:] = False
     active = np.flatnonzero(cur < seg_ends)
@@ -188,27 +192,72 @@ def _window_encode(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.nd
         token_start[p] = True
         cur[active] = p + best_len[p]
         active = active[cur[active] < seg_ends[active]]
-
-    codes = best_code[token_start]
-    lits = arr[token_start & (best_code == 255)]
-    return codes, lits
+    return token_start
 
 
 def fsst_encode_buffer(data: bytes, idx: _TableIndex) -> tuple[bytes, bytes]:
-    """Greedy FSST over one byte buffer -> (code stream, literal stream)."""
+    """Greedy FSST over one byte buffer -> (code stream, literal stream),
+    processed in windows to bound live scratch memory."""
     n = len(data)
     if n == 0:
         return b"", b""
     arr = np.frombuffer(data, dtype=np.uint8)
     codes_parts, lits_parts = [], []
     for lo in range(0, n, _WINDOW):
-        c, l = _window_encode(arr[lo : lo + _WINDOW], idx)
-        codes_parts.append(c)
-        lits_parts.append(l)
+        w = arr[lo : lo + _WINDOW]
+        wn = len(w)
+        starts = np.arange(0, wn, _SEG, dtype=np.int64)
+        ends = np.minimum(starts + _SEG, wn)
+        token_start = _encode_segments(w, starts, ends, idx)
+        best_code = _scratch("bc", wn, np.uint8)
+        codes_parts.append(best_code[token_start].copy())
+        lits_parts.append(w[token_start & (best_code == 255)].copy())
     return (
         np.concatenate(codes_parts).tobytes(),
         np.concatenate(lits_parts).tobytes(),
     )
+
+
+def fsst_encode_rows(
+    data: bytes, lengths: np.ndarray, idx: _TableIndex
+) -> tuple[bytes, bytes, np.ndarray, np.ndarray]:
+    """Row-preserving FSST: encode the concatenated row buffer with greedy
+    restarts at every row boundary (rows longer than _SEG get internal
+    restarts too), returning per-row code/literal counts so each row's
+    compressed stream can be sliced back out.
+
+    This is what makes *pre-shuffle* encoding possible: rows compress before
+    the conv_id exchange, the shuffle moves ~40% fewer bytes, and the
+    post-shuffle chunk assembly is pure concatenation — bit-compatible with
+    ``FsstCodec`` decode, which decodes the chunk buffer then splits by the
+    stored lengths.
+
+    Returns (codes, lits, codes_per_row, lits_per_row).
+    """
+    nrows = len(lengths)
+    n = len(data)
+    if n == 0:
+        return b"", b"", np.zeros(nrows, np.int64), np.zeros(nrows, np.int64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    lengths = lengths.astype(np.int64)
+    row_off = np.concatenate(([0], np.cumsum(lengths)))
+    pieces = np.maximum(1, -(-lengths // _SEG))
+    total_p = int(pieces.sum())
+    seg_row = np.repeat(np.arange(nrows), pieces)
+    k = np.arange(total_p, dtype=np.int64) - np.repeat(np.cumsum(pieces) - pieces, pieces)
+    seg_starts = row_off[seg_row] + k * _SEG
+    seg_ends = np.minimum(seg_starts + _SEG, row_off[seg_row + 1])
+
+    token_start = _encode_segments(arr, seg_starts, seg_ends, idx)
+    best_code = _scratch("bc", n, np.uint8)
+    esc = token_start & (best_code == 255)
+    codes = best_code[token_start].copy()
+    lits = arr[esc].copy()
+    cs = np.concatenate(([0], np.cumsum(token_start, dtype=np.int64)))
+    ls = np.concatenate(([0], np.cumsum(esc, dtype=np.int64)))
+    codes_per_row = cs[row_off[1:]] - cs[row_off[:-1]]
+    lits_per_row = ls[row_off[1:]] - ls[row_off[:-1]]
+    return codes.tobytes(), lits.tobytes(), codes_per_row, lits_per_row
 
 
 def train_fsst(sample: bytes, iters: int = _ITERS, max_symbols: int = _MAX_SYMBOLS) -> list[bytes]:
@@ -291,22 +340,27 @@ class FsstCodec:
         tbl_b, codes_b, lits_b, lens_b = sections
         table = unpack_sections(tbl_b) if tbl_b else []
         codes = np.frombuffer(codes_b, dtype=np.uint8)
-        # fully vectorized decode: pad symbols into a (256, 8) byte matrix,
+        nc = len(codes)
+        # fully vectorized decode: pad symbols into a (256, w) byte matrix,
         # gather rows by code, then boolean-mask-flatten (row-major) — this
-        # IS the concatenation, with zero per-token Python (bytes.join over
-        # millions of small pieces measures ~5us/item here).
-        mat = np.zeros((256, _MAX_SYM_LEN), dtype=np.uint8)
-        slen = np.zeros(256, dtype=np.int64)
+        # IS the concatenation, with zero per-token Python. Gathers land in
+        # reusable scratch (see _scratch: fresh pages are pathologically slow
+        # to first-touch on this host class).
+        w = max((len(s) for s in table), default=1)
+        mat = np.zeros((256, w), dtype=np.uint8)
+        slen = np.zeros(256, dtype=np.uint8)
         for i, s in enumerate(table):
             mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
             slen[i] = len(s)
         slen[255] = 1  # escape: one literal byte
-        big = mat[codes]
-        ln = slen[codes]
+        big = _scratch("dec_big", nc * w, np.uint8).reshape(nc, w)
+        np.take(mat, codes, axis=0, out=big)
+        ln = _scratch("dec_ln", nc, np.uint8)
+        np.take(slen, codes, out=ln)
         esc = codes == 255
         if esc.any():
             big[esc, 0] = np.frombuffer(lits_b, dtype=np.uint8)
-        data = big[np.arange(_MAX_SYM_LEN) < ln[:, None]].tobytes()
+        data = big[np.arange(w, dtype=np.uint8) < ln[:, None]].tobytes()
         lengths = bitunpack(lens_b, meta["lw"], n).astype(np.int64)
         return StringBlob(lengths, data)
 

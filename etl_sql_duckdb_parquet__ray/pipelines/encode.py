@@ -82,6 +82,63 @@ class SharedEncodeState:
         return {"text": FsstZstdCodec(self.fsst_table)}
 
 
+PRE_COLS = ["text_codes", "text_lits", "text_len"]
+
+# per-worker cache of the broadcast FSST table index for the pre-encode map
+_PRE_INDEX: dict[str, tuple] = {}
+
+
+def pre_encode_text(batch: pa.Table, state_ref) -> pa.Table:
+    """Pre-SHUFFLE row-level FSST: replace ``text`` (in place, order kept)
+    with per-row compressed streams + original byte length, using the
+    broadcast symbol table. The conv_id exchange then moves ~40-60% fewer
+    bytes, and post-shuffle chunk assembly is pure concatenation — the
+    shuffled binary columns' value buffers ARE the chunk code streams.
+
+    Null text rows keep ``text_len = -1`` with empty streams (an empty row
+    contributes nothing to the concatenated chunk buffer, so dense-row
+    assembly stays exact)."""
+    import ray
+
+    from ..codecs.base import string_array_to_blob
+    from ..codecs.fsst import _TableIndex, fsst_encode_rows
+
+    is_ref = isinstance(state_ref, ray.ObjectRef)
+    key = state_ref.hex() if is_ref else str(id(state_ref))
+    cached = _PRE_INDEX.get(key)
+    if cached is None:
+        tune_malloc()
+        state = ray.get(state_ref) if is_ref else state_ref
+        cached = (state.fsst_table, _TableIndex(state.fsst_table))
+        _PRE_INDEX[key] = cached
+    _, idx = cached
+
+    text = batch.column("text").combine_chunks()
+    null_mask = np.asarray(text.is_null()) if text.null_count else None
+    filled = pc.fill_null(text, "") if text.null_count else text
+    blob = string_array_to_blob(filled)
+    codes, lits, cpr, lpr = fsst_encode_rows(blob.data, blob.lengths, idx)
+
+    n = len(text)
+
+    def _bin(data: bytes, counts: np.ndarray) -> pa.Array:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return pa.Array.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+        )
+
+    text_len = blob.lengths.astype(np.int64)
+    if null_mask is not None:
+        text_len = np.where(null_mask, -1, text_len)
+    i = batch.column_names.index("text")
+    out = batch.remove_column(i)
+    out = out.add_column(i, "text_codes", _bin(codes, cpr))
+    out = out.add_column(i + 1, "text_lits", _bin(lits, lpr))
+    out = out.add_column(i + 2, "text_len", pa.array(text_len, type=pa.int64()))
+    return out
+
+
 def train_shared_state(ds, sample_rows: int = 2000) -> SharedEncodeState:
     """Sample-train global FSST table for ``text`` (training must sample,
     not scan — SURVEY.md §7.4 scaling-efficiency note).
@@ -137,11 +194,38 @@ class BucketEncoder:
         else:
             state = SharedEncodeState()
         self.shared_codecs = state.shared_codecs() if self.mode != "fast" else {}
+        self.fsst_table = state.fsst_table
+
+    def _assemble_text(self, part: pa.Table) -> tuple[pa.Table, dict]:
+        """Post-shuffle half of the pre-encode path: slice the per-row code /
+        literal streams back out of the (sorted) binary columns and pack them
+        into an ``fsst_zstd``-compatible column payload. The binary columns'
+        value buffers are already the concatenated streams in row order."""
+        from ..chunk import assemble_fsst_payload
+        from ..codecs.base import string_array_to_blob
+
+        codes = string_array_to_blob(part.column("text_codes").combine_chunks())
+        lits = string_array_to_blob(part.column("text_lits").combine_chunks())
+        tl = np.asarray(part.column("text_len").combine_chunks())
+        null_mask = tl < 0
+        payload, meta = assemble_fsst_payload(
+            codes.data,
+            lits.data,
+            tl[~null_mask],
+            null_mask if null_mask.any() else None,
+            part.num_rows,
+            self.fsst_table,
+            with_checksum=self.with_checksums,
+        )
+        i = part.column_names.index("text_codes")
+        order = part.column_names[:i] + ["text"] + part.column_names[i + 3 :]
+        return part.drop_columns(PRE_COLS), {"order": order, "text": (payload, meta)}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
         body = group.drop_columns(["bucket"])
         body = body.take(pc.sort_indices(body, sort_keys=SORT_KEYS))
+        pre = "text_codes" in body.column_names
         chunks: list[bytes] = []
         chunk_meta: list[dict] = []
         bytes_in = 0
@@ -154,12 +238,20 @@ class BucketEncoder:
                 "conv_range": [str(conv[0]), str(conv[-1])],
                 "turn_range": [int(turn[0].as_py()), int(turn[-1].as_py())],
             }
+            preencoded = None
+            order = None
+            if pre:
+                part, asm = self._assemble_text(part)
+                preencoded = {"text": asm["text"]}
+                order = asm["order"]
             blob, summary = encode_chunk(
                 part,
-                shared_codecs=self.shared_codecs,
+                shared_codecs={} if pre else self.shared_codecs,
                 with_checksums=self.with_checksums,
                 extra=extra,
                 mode=self.mode,
+                preencoded=preencoded,
+                order=order,
             )
             chunks.append(blob)
             bytes_in += summary["bytes_in"]
@@ -215,12 +307,20 @@ def encode_transcripts(
     train_sample_rows: int = 2000,
     encoder_concurrency=None,
     use_actors: bool = False,
+    pre_encode: bool = True,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
     Returns the aggregated manifest stats. Idempotent and resumable: with
     ``resume=True`` already-completed buckets are filtered out *before* the
     shuffle, so a rerun only pays for unfinished partitions.
+
+    With ``pre_encode`` (default) the ``text`` column is FSST-compressed
+    row-by-row BEFORE the conv_id shuffle (broadcast symbol table, map-side,
+    embarrassingly parallel), so the all-to-all exchange — the one stage
+    whose cost scales with bytes moved, not cores — carries compressed
+    streams. Post-shuffle assembly concatenates them; decoded output is
+    identical either way.
     """
     import ray
 
@@ -236,6 +336,10 @@ def encode_transcripts(
     bucketed = ds.map_batches(
         add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
     )
+    if pre_encode and state_ref is not None:
+        bucketed = bucketed.map_batches(
+            pre_encode_text, batch_format="pyarrow", fn_kwargs={"state_ref": state_ref}
+        )
     if done:
         done_arr = pa.array(sorted(done), type=pa.int32())
         bucketed = bucketed.map_batches(

@@ -126,3 +126,40 @@ def test_second_run_is_noop(ds, tmp_path):
     encode_transcripts(ds, out, num_buckets=4, chunk_rows=8192)
     after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "bucket-*"))}
     assert before == after
+
+
+def test_pre_encode_matches_plain_path(ray_session, tmp_path):
+    """Pre-shuffle row-FSST and the plain post-shuffle path must decode to
+    the same table, including null/empty/unicode text rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(8000)
+    # inject nulls into text
+    df = t.to_pandas()
+    rng = np.random.default_rng(0)
+    null_rows = rng.choice(len(df), 500, replace=False)
+    df.loc[null_rows, "text"] = None
+    ds = ray.data.from_pandas(df)
+
+    outs = {}
+    for pre in (True, False):
+        out = str(tmp_path / f"pre{pre}")
+        encode_transcripts(ds, out, num_buckets=4, resume=False, pre_encode=pre)
+        outs[pre] = (
+            decode_dataset(out)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+    src = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert pa.Table.from_pandas(outs[True]).equals(pa.Table.from_pandas(src))
+    assert pa.Table.from_pandas(outs[True]).equals(pa.Table.from_pandas(outs[False]))
