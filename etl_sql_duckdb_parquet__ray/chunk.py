@@ -148,7 +148,7 @@ def assemble_fsst_payload(
 
     import numpy as np
 
-    from .codecs.base import pack_sections, zstd_compress
+    from .codecs.base import pack_sections, zstd_compress, zstd_compress_heavy
     from .codecs.bitpack import bitpack, required_width
 
     dense_lengths = np.asarray(dense_lengths, dtype=np.int64)
@@ -164,7 +164,7 @@ def assemble_fsst_payload(
         "raw": [len(s) for s in sections],
     }
     if post_zstd:
-        sections = [zstd_compress(s) for s in sections]
+        sections = [zstd_compress_heavy(s) for s in sections]
     codec_payload = pack_sections(sections)
     nulls = int(null_mask.sum()) if null_mask is not None else 0
     validity = (

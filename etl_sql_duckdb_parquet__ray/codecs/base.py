@@ -29,10 +29,18 @@ import numpy as np
 import pyarrow as pa
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
+# heavy level for the big string/FSST payload sections: ~10% smaller output
+# for ~0.1s per 16 MB — cheap next to the encode kernel, and the decompress
+# side is level-agnostic (zstd frames are self-describing)
+_ZSTD_HEAVY = pa.Codec("zstd", compression_level=8)
 
 
 def zstd_compress(data: bytes) -> bytes:
     return _ZSTD.compress(data, asbytes=True)
+
+
+def zstd_compress_heavy(data: bytes) -> bytes:
+    return _ZSTD_HEAVY.compress(data, asbytes=True)
 
 
 def zstd_decompress(data: bytes, size: int) -> bytes:

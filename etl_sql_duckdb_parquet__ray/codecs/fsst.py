@@ -31,7 +31,7 @@ from .base import (
     StringBlob,
     pack_sections,
     unpack_sections,
-    zstd_compress,
+    zstd_compress_heavy,
     zstd_decompress,
 )
 from .bitpack import bitpack, bitunpack, required_width
@@ -260,9 +260,16 @@ def fsst_encode_rows(
     return codes.tobytes(), lits.tobytes(), codes_per_row, lits_per_row
 
 
-def train_fsst(sample: bytes, iters: int = _ITERS, max_symbols: int = _MAX_SYMBOLS) -> list[bytes]:
-    """Iterative symbol-table construction on a bounded sample."""
-    sample = sample[:_TRAIN_CAP]
+def train_fsst(
+    sample: bytes,
+    iters: int = _ITERS,
+    max_symbols: int = _MAX_SYMBOLS,
+    cap: int = _TRAIN_CAP,
+) -> list[bytes]:
+    """Iterative symbol-table construction on a bounded sample. Per-chunk
+    candidate probes use the small default cap; the once-per-job SHARED
+    table (broadcast to every worker) can afford a bigger sample."""
+    sample = sample[:cap]
     if not sample:
         return []
     table: list[bytes] = []
@@ -330,7 +337,7 @@ class FsstCodec:
             "raw": [len(s) for s in sections],
         }
         if self._post_zstd:
-            sections = [zstd_compress(s) for s in sections]
+            sections = [zstd_compress_heavy(s) for s in sections]
         return pack_sections(sections), meta
 
     def decode(self, payload: bytes, meta: dict, n: int) -> StringBlob:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .bitpack import bitpack, bitunpack, required_width, zigzag_decode, zigzag_encode
+from .pfor import pack_pfor, unpack_pfor
 
 
 class ForBitpackCodec:
@@ -23,15 +24,18 @@ class ForBitpackCodec:
 
     def encode(self, values: np.ndarray) -> tuple[bytes, dict]:
         if len(values) == 0:
-            return b"", {"ref": 0, "width": 0}
+            return b"", {"ref": 0, "pf": {"w": 0, "k": 0}}
         v = values.astype(np.int64)
         ref = int(v.min())
         resid = (v - ref).astype(np.uint64)
-        width = required_width(int(resid.max()))
-        return bitpack(resid, width), {"ref": ref, "width": width}
+        payload, pf = pack_pfor(resid)
+        return payload, {"ref": ref, "pf": pf}
 
     def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
-        resid = bitunpack(payload, meta["width"], n)
+        if "pf" not in meta:  # pre-PFOR chunks
+            resid = bitunpack(payload, meta["width"], n)
+        else:
+            resid = unpack_pfor(payload, meta["pf"], n)
         return (resid.astype(np.int64) + np.int64(meta["ref"])).astype(np.int64)
 
 
@@ -50,13 +54,17 @@ class DeltaCodec:
             firsts.append(int(v[0]))
             v = np.diff(v)
         zz = zigzag_encode(v)
-        width = required_width(int(zz.max())) if len(zz) else 0
-        return bitpack(zz, width), {"firsts": firsts, "width": width}
+        payload, pf = pack_pfor(zz)
+        return payload, {"firsts": firsts, "pf": pf}
 
     def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
         firsts = meta["firsts"]
         k = len(firsts)
-        v = zigzag_decode(bitunpack(payload, meta["width"], max(n - k, 0)))
+        m = max(n - k, 0)
+        if "pf" not in meta:  # pre-PFOR chunks
+            v = zigzag_decode(bitunpack(payload, meta["width"], m))
+        else:
+            v = zigzag_decode(unpack_pfor(payload, meta["pf"], m))
         for first in reversed(firsts):
             v = np.concatenate(([first], first + np.cumsum(v))) if len(v) else np.array([first], dtype=np.int64)
         if n == 0:

@@ -47,24 +47,26 @@ def register_codec(codec: Codec) -> None:
 
 
 def sample_values(values, max_rows: int = _SAMPLE_ROWS):
+    """CONTIGUOUS sample slice (middle of the chunk). Contiguity matters:
+    a strided sample destroys exactly the structure the delta / RLE codecs
+    exploit (adjacent-row deltas, run lengths), which mis-prices them in the
+    measured-bytes tie-break."""
     n = len(values)
     if n <= max_rows:
         return values
-    stride = max(n // max_rows, 1)
-    idx = np.arange(0, n, stride)[:max_rows]
+    lo = (n - max_rows) // 2
     if isinstance(values, StringBlob):
         offsets = np.concatenate(([0], np.cumsum(values.lengths)))
-        parts, lens = [], []
-        total = 0
-        for i in idx:
-            if total > _SAMPLE_STR_BYTES:
-                break
-            s, e = offsets[i], offsets[i + 1]
-            parts.append(values.data[s:e])
-            lens.append(e - s)
-            total += e - s
-        return StringBlob(np.asarray(lens, dtype=np.int64), b"".join(parts))
-    return values[idx]
+        # shrink the window if the strings are huge
+        hi = lo + max_rows
+        while hi > lo + 1 and offsets[hi] - offsets[lo] > _SAMPLE_STR_BYTES:
+            hi = lo + (hi - lo) // 2
+        lens = values.lengths[lo:hi]
+        return StringBlob(
+            np.asarray(lens, dtype=np.int64),
+            values.data[offsets[lo] : offsets[hi]],
+        )
+    return values[lo : lo + max_rows]
 
 
 def chunk_stats(values) -> dict:

@@ -15,6 +15,7 @@ from .base import (
     pack_sections,
     unpack_sections,
     zstd_compress,
+    zstd_compress_heavy,
     zstd_decompress,
 )
 from .bitpack import bitpack, bitunpack, required_width
@@ -31,7 +32,7 @@ class ZstdCodec:
     def encode(self, values) -> tuple[bytes, dict]:
         if isinstance(values, StringBlob):
             lens, width = _encode_lengths(values.lengths)
-            payload = pack_sections([zstd_compress(lens), zstd_compress(values.data)])
+            payload = pack_sections([zstd_compress(lens), zstd_compress_heavy(values.data)])
             return payload, {"kind": "str", "lw": width, "raw_lens": len(lens), "raw_data": len(values.data)}
         raw = np.ascontiguousarray(values).tobytes()
         return zstd_compress(raw), {"kind": "num", "dtype": str(values.dtype), "raw": len(raw)}

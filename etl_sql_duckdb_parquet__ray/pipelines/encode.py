@@ -122,20 +122,22 @@ def pre_encode_text(batch: pa.Table, state_ref) -> pa.Table:
     n = len(text)
 
     def _bin(data: bytes, counts: np.ndarray) -> pa.Array:
-        offs = np.zeros(n + 1, dtype=np.int64)
+        # int32 offsets: the shuffle pays per byte moved, and a batch's
+        # compressed text is far below the 2 GiB int32 limit
+        offs = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=offs[1:])
         return pa.Array.from_buffers(
-            pa.large_binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+            pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
         )
 
-    text_len = blob.lengths.astype(np.int64)
+    text_len = blob.lengths.astype(np.int32)
     if null_mask is not None:
-        text_len = np.where(null_mask, -1, text_len)
+        text_len = np.where(null_mask, np.int32(-1), text_len)
     i = batch.column_names.index("text")
     out = batch.remove_column(i)
     out = out.add_column(i, "text_codes", _bin(codes, cpr))
     out = out.add_column(i + 1, "text_lits", _bin(lits, lpr))
-    out = out.add_column(i + 2, "text_len", pa.array(text_len, type=pa.int64()))
+    out = out.add_column(i + 2, "text_len", pa.array(text_len, type=pa.int32()))
     return out
 
 
@@ -162,7 +164,7 @@ def train_shared_state(ds, sample_rows: int = 2000) -> SharedEncodeState:
     if not corpus:
         sample = ds.limit(sample_rows).to_pandas()
         corpus = "".join(sample["text"].dropna().tolist()).encode("utf-8", "surrogatepass")
-    return SharedEncodeState(fsst_table=train_fsst(corpus) or None)
+    return SharedEncodeState(fsst_table=train_fsst(corpus, iters=5, cap=1 << 17) or None)
 
 
 class BucketEncoder:
