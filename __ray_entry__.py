@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
+        "user_sessions": _q(A.user_sessions),
         "knn_topk": knn_topk,
         # engine + training-data ops (rows-only checks)
         "transcript_roundtrip": transcript_roundtrip,
@@ -249,6 +250,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MIN(l_extendedprice)*100) AS BIGINT) AS price_min_x100,
                    CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS price_max_x100
             FROM lineitem
+        """,
+        "user_sessions": """
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+            FROM (
+                SELECT user_id, event_id, ts_us,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM (
+                    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+                                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                                    > 1800000000
+                                OR LAG(epoch_us(ts), 1)
+                                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                                    IS NULL
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events) t1) t2
+            GROUP BY user_id, session_id
         """,
         "knn_topk": """
             SELECT vec_id FROM (

@@ -447,3 +447,45 @@ def column_profile_lineitem(sf_dir: str):
             "price_max_x100": pa.array([cents(agg["max(l_extendedprice)"])], type=pa.int64()),
         }
     )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (windowed/stateful op beyond the reference's
+    surface): per user, order events by (ts, event_id); a gap > ``gap_minutes``
+    starts a new session. Emits per-session aggregates. Hash-partition by
+    user, per-group vectorized cumsum — the standard scalable shape."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": _ts_us(t.column("ts")),
+            }
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort").reset_index(drop=True)
+        ts = g["ts_us"].to_numpy()
+        new = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(new)  # 1-based session index per user
+        g["session_id"] = sid
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("event_id", "size"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+    )

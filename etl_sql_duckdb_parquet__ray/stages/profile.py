@@ -98,3 +98,60 @@ def quality_score(profile: dict[str, Any], dup_count: int = 0) -> float:
     dup_rate = dup_count / rows
     score = 100.0 * (1.0 - 0.6 * min(missing_rate * 2, 1.0) - 0.4 * min(dup_rate * 2, 1.0))
     return float(np.clip(score, 0.0, 100.0))
+
+
+def flag_outliers_zscore(ds, column: str, threshold: float = 3.0):
+    """Two-pass z-score outlier flagging (reference V11,
+    ``src/profiling.py:69-81``): exact integer-scaled sums -> broadcast mean
+    and population std -> vectorized filter. The cents-scaling keeps the
+    moments exact regardless of Ray's block summation order."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column(column), 100.0)).cast(pa.int64())
+        sq = pc.multiply(cents, cents)
+        return pa.table(
+            {
+                "n": pa.array([len(t) - t.column(column).null_count], type=pa.int64()),
+                "s": pa.array([pc.sum(cents).as_py() or 0], type=pa.int64()),
+                "sq": pa.array([pc.sum(sq).as_py() or 0], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["n", "s", "sq"])
+    n = int(agg["sum(n)"])
+    mean = agg["sum(s)"] / 100.0 / n
+    var = agg["sum(sq)"] / 10000.0 / n - mean * mean
+    std = var**0.5
+
+    def flag(t: pa.Table) -> pa.Table:
+        z = pc.divide(pc.subtract(t.column(column), mean), std)
+        keep = pc.greater(pc.abs(z), threshold)
+        return t.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def flag_outliers_iqr(ds, column: str, k: float = 1.5):
+    """IQR outlier flagging (reference ``qc_metrics.py:125-142``): exact
+    quantiles computed from the (collected, numeric-only) column — at scale
+    substitute a t-digest sketch; the filter pass stays distributed."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vals = np.concatenate(
+        [
+            np.asarray(b.column(column).drop_null())
+            for b in ds.select_columns([column]).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    q1, q3 = np.percentile(vals, [25, 75])
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t.column(column)
+        keep = pc.or_(pc.less(c, lo), pc.greater(c, hi))
+        return t.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1,0 +1,114 @@
+"""Property-based round-trip tests (hypothesis) — the codec layer must be
+bit-exact on arbitrary inputs, not just the fixtures (SURVEY.md §5 notes the
+reference has no property tests; these close that gap)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_sql_duckdb_parquet__ray.chunk import decode_chunk, encode_chunk
+from etl_sql_duckdb_parquet__ray.codecs import decode_column, encode_column
+from etl_sql_duckdb_parquet__ray.codecs.base import StringBlob
+from etl_sql_duckdb_parquet__ray.codecs.fsst import (
+    FsstCodec,
+    _TableIndex,
+    fsst_encode_buffer,
+    fsst_encode_rows,
+    train_fsst,
+)
+from etl_sql_duckdb_parquet__ray.codecs.pfor import pack_pfor, unpack_pfor
+
+INT_CODECS = ["plain", "zstd", "for_bitpack", "delta", "delta_delta", "rle", "dict"]
+STR_CODECS = ["plain", "zstd", "dict", "rle", "fsst", "fsst_zstd"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300
+    ),
+    st.sampled_from(INT_CODECS),
+)
+def test_int_codec_roundtrip(values, codec):
+    arr = pa.array(values, type=pa.int64())
+    payload, meta = encode_column(arr, codec)
+    back = decode_column(payload, meta)
+    assert back.equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=40)), min_size=0, max_size=200
+    ),
+    st.sampled_from(STR_CODECS),
+)
+def test_string_codec_roundtrip_with_nulls(values, codec):
+    arr = pa.array(values, type=pa.string())
+    payload, meta = encode_column(arr, codec)
+    back = decode_column(payload, meta)
+    assert back.equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=400))
+def test_pfor_roundtrip(values):
+    u = np.array(values, dtype=np.uint64)
+    payload, meta = pack_pfor(u)
+    back = unpack_pfor(payload, meta, len(u))
+    assert np.array_equal(back, u)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=5000))
+def test_fsst_buffer_roundtrip_arbitrary_bytes(data):
+    table = train_fsst(data)
+    blob = StringBlob(np.array([len(data)], dtype=np.int64), data)
+    codec = FsstCodec(table or None)
+    payload, meta = codec.encode(blob)
+    back = codec.decode(payload, meta, 1)
+    assert back.data == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.binary(max_size=300), min_size=1, max_size=50),
+)
+def test_fsst_rows_matches_buffer_decoding(rows):
+    corpus = b"".join(rows)
+    table = train_fsst(corpus or b"x")
+    if not table:
+        return
+    idx = _TableIndex(table)
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    codes, lits, cpr, lpr = fsst_encode_rows(corpus, lens, idx)
+    assert cpr.sum() == len(codes) and lpr.sum() == len(lits)
+    # decoding the concatenated streams must reproduce the concatenated rows
+    from etl_sql_duckdb_parquet__ray.chunk import assemble_fsst_payload
+    from etl_sql_duckdb_parquet__ray.codecs import decode_column
+
+    payload, meta = assemble_fsst_payload(
+        codes, lits, lens, None, len(rows), table, arrow_type="binary"
+    )
+    back = decode_column(payload, meta)
+    assert back.to_pylist() == list(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=8), st.integers(0, 1000)),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_chunk_roundtrip_property(pairs):
+    t = pa.table(
+        {
+            "conv_id": pa.array([p[0] for p in pairs], type=pa.string()),
+            "turn_idx": pa.array([p[1] for p in pairs], type=pa.int32()),
+        }
+    )
+    blob, _ = encode_chunk(t)
+    assert decode_chunk(blob).equals(t)
