@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
         "user_sessions": _q(A.user_sessions),
+        "value_outliers": _q(A.value_outliers),
         "knn_topk": knn_topk,
         # engine + training-data ops (rows-only checks)
         "transcript_roundtrip": transcript_roundtrip,
@@ -271,6 +272,16 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END AS new_sess
                     FROM events) t1) t2
             GROUP BY user_id, session_id
+        """,
+        "value_outliers": """
+            WITH m AS (
+                SELECT SUM(CAST(ROUND(value*100) AS BIGINT))/100.0/COUNT(value) AS mu,
+                       SQRT(SUM(CAST(ROUND(value*100) AS BIGINT)*CAST(ROUND(value*100) AS BIGINT))/10000.0/COUNT(value)
+                            - (SUM(CAST(ROUND(value*100) AS BIGINT))/100.0/COUNT(value))
+                              * (SUM(CAST(ROUND(value*100) AS BIGINT))/100.0/COUNT(value))) AS sd
+                FROM events)
+            SELECT event_id FROM events, m
+            WHERE value IS NOT NULL AND ABS((value - mu)/sd) > 3
         """,
         "knn_topk": """
             SELECT vec_id FROM (

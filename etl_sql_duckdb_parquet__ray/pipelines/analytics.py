@@ -489,3 +489,13 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         .groupby("user_id")
         .map_groups(sessionize, batch_format="pandas")
     )
+
+
+def value_outliers(sf_dir: str, threshold: float = 3.0):
+    """Z-score outliers on events.value (reference V11 outlier flagging,
+    ``src/profiling.py:69-81``) — exact integer-scaled moments so both Ray
+    and the SQL oracle derive identical mean/std, then a vectorized filter."""
+    from ..stages.profile import flag_outliers_zscore
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    return flag_outliers_zscore(ds, "value", threshold).select_columns(["event_id"])

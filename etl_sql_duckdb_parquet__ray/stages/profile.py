@@ -155,3 +155,52 @@ def flag_outliers_iqr(ds, column: str, k: float = 1.5):
         return t.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
+    """Pearson correlation matrix via streaming co-moment partials
+    (reference A2 ``df.corr()``, ``src/profiling.py:45-66``): per-batch
+    integer-scaled sums of x, x^2 and x*y (exact, order-independent),
+    combined on the driver. Null rows are dropped pairwise-complete per the
+    full-row mask (rows with ANY null among ``columns`` are excluded, which
+    matches numpy's behavior on a dropna'd frame)."""
+    import itertools
+
+    cols = list(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mask = np.ones(t.num_rows, dtype=bool)
+        vals = {}
+        for c in cols:
+            v = np.asarray(t.column(c).to_pandas(), dtype=np.float64)
+            mask &= ~np.isnan(v)
+            vals[c] = v
+        out = {"n": pa.array([int(mask.sum())], type=pa.int64())}
+        cents = {c: np.round(vals[c][mask] * 100.0).astype(np.int64) for c in cols}
+        for c in cols:
+            out[f"s_{c}"] = pa.array([int(cents[c].sum())], type=pa.int64())
+            out[f"ss_{c}"] = pa.array([int((cents[c] * cents[c]).sum())], type=pa.int64())
+        for a, b in itertools.combinations(cols, 2):
+            out[f"sp_{a}_{b}"] = pa.array(
+                [int((cents[a] * cents[b]).sum())], type=pa.int64()
+            )
+        return pa.table(out)
+
+    keys = (
+        ["n"]
+        + [f"s_{c}" for c in cols]
+        + [f"ss_{c}" for c in cols]
+        + [f"sp_{a}_{b}" for a, b in itertools.combinations(cols, 2)]
+    )
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(keys)
+    n = int(agg["sum(n)"])
+    mean = {c: agg[f"sum(s_{c})"] / n for c in cols}
+    var = {c: agg[f"sum(ss_{c})"] / n - mean[c] ** 2 for c in cols}
+    out: dict[tuple[str, str], float] = {}
+    for a, b in itertools.combinations(cols, 2):
+        cov = agg[f"sum(sp_{a}_{b})"] / n - mean[a] * mean[b]
+        denom = (var[a] * var[b]) ** 0.5
+        out[(a, b)] = cov / denom if denom else float("nan")
+    return out

@@ -66,3 +66,55 @@ def test_outlier_flagging(ray_session):
     assert len(z) < 50
     iqr = flag_outliers_iqr(ds, "value", k=1.5).to_pandas()
     assert {0, 1, 2} <= set(iqr["id"])
+
+
+def test_normalize_transforms(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.normalize import normalize_dataset
+
+    t = pa.table(
+        {
+            "name": [" alice ", "NA", "null", "Bob", ""],
+            "reads": [" 42 ", "x", "7", None, "3.9"],
+            "rate": ["0.5", "bad", " 1.25", "2", None],
+            "day": ["2024-01-02", "junk", " 2023-12-31", None, "2024-6-1"],
+            "flag": ["TRUE", "0", " yes ", "no", None],
+        }
+    )
+    spec = {
+        "name": {"kind": "string", "upper": True},
+        "reads": {"kind": "int64"},
+        "rate": {"kind": "float64"},
+        "day": {"kind": "date"},
+        "flag": {"kind": "bool"},
+    }
+    out = normalize_dataset(ray.data.from_arrow(t), spec).to_pandas()
+    assert list(out["name"]) == ["ALICE", None, None, "BOB", None]
+    assert out["reads"].tolist()[0] == 42 and out["reads"].tolist()[2] == 7
+    assert out["reads"].isna().tolist() == [False, True, False, True, False]
+    assert out["rate"].tolist()[2] == 1.25
+    assert str(out["day"].tolist()[0]) == "2024-01-02"
+    assert out["day"].isna().tolist()[1]
+    assert out["flag"].tolist()[:4] == [True, False, True, False]
+    assert out["flag"].isna().tolist()[4]
+
+
+def test_numeric_correlation_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import numeric_correlation
+
+    rng = np.random.default_rng(5)
+    x = np.round(rng.normal(10, 2, 3000), 2)
+    y = np.round(0.5 * x + rng.normal(0, 1, 3000), 2)
+    z = np.round(rng.normal(0, 1, 3000), 2)
+    df = pd.DataFrame({"x": x, "y": y, "z": z})
+    got = numeric_correlation(ray.data.from_pandas(df), ["x", "y", "z"])
+    exp = np.corrcoef(np.stack([np.round(x*100), np.round(y*100), np.round(z*100)]))
+    assert abs(got[("x", "y")] - exp[0, 1]) < 1e-9
+    assert abs(got[("x", "z")] - exp[0, 2]) < 1e-9
+    assert got[("x", "y")] > 0.5 and abs(got[("x", "z")]) < 0.1
