@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.minhash_dup_pairs(ds, threshold=0.7)
 
+    def dedup_corpus_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents")
+        return dedup.dedup_corpus(ds, threshold=0.7).select_columns(["doc_id"])
+
     def simhash_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return ds.map_batches(text.SimHash(), batch_format="pandas").select_columns(
@@ -129,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine + training-data ops (rows-only checks)
         "transcript_roundtrip": transcript_roundtrip,
         "minhash_dedup_docs": minhash_dedup_docs,
+        "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
         "langid_docs": langid_docs,

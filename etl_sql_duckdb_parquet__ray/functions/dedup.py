@@ -250,3 +250,53 @@ def embedding_dup_pairs(ds_emb, threshold: float = 0.95, n_planes: int = 12, see
         )
 
     return assigned.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# -- end-to-end near-dup removal --------------------------------------------
+
+def _components(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over candidate pairs -> {doc_id: canonical (min) doc_id}.
+    Pairs are rare relative to the corpus, so this is driver-side by design;
+    the corpus itself never leaves the cluster."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_corpus(ds_docs, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
+    """Full near-dedup pipeline: MinHash+LSH candidates -> exact n-gram
+    Jaccard verification -> connected components -> drop every doc whose
+    canonical representative is a different (smaller) doc_id. Returns the
+    deduplicated Dataset (all columns preserved)."""
+    pairs = minhash_dup_pairs(
+        ds_docs.select_columns(["doc_id", "text"]),
+        threshold=threshold, num_perm=num_perm, bands=bands,
+    ).to_pandas()
+    if len(pairs):
+        pairs = verify_pairs_exact(ds_docs, pairs, threshold)
+    if not len(pairs):
+        return ds_docs
+    comp = _components(pairs)
+    drop = pa.array(
+        sorted(d for d, canon in comp.items() if canon != d), type=pa.int64()
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.invert(pc.is_in(t.column("doc_id"), value_set=drop))
+        )
+
+    return ds_docs.map_batches(keep, batch_format="pyarrow")

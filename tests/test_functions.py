@@ -200,3 +200,15 @@ def test_fake_decoder_is_pure():
     out1 = d(t)
     out2 = d(t)
     assert out1.equals(out2)
+
+
+def test_dedup_corpus_end_to_end(ray_session):
+    import ray
+
+    docs = _doc_corpus()  # 42 docs: 40 unique + near-dup of 0 + copy of 1
+    ds = ray.data.from_pandas(docs)
+    kept = dedup.dedup_corpus(ds, threshold=0.5).to_pandas()
+    ids = set(int(x) for x in kept["doc_id"])
+    assert 0 in ids and 1 in ids          # canonical (min) docs stay
+    assert 40 not in ids and 41 not in ids  # near-dup + exact copy dropped
+    assert len(kept) == 40
