@@ -238,26 +238,51 @@ def fsst_encode_rows(
     n = len(data)
     if n == 0:
         return b"", b"", np.zeros(nrows, np.int64), np.zeros(nrows, np.int64)
-    arr = np.frombuffer(data, dtype=np.uint8)
+    full = np.frombuffer(data, dtype=np.uint8)
     lengths = lengths.astype(np.int64)
-    row_off = np.concatenate(([0], np.cumsum(lengths)))
-    pieces = np.maximum(1, -(-lengths // _SEG))
-    total_p = int(pieces.sum())
-    seg_row = np.repeat(np.arange(nrows), pieces)
-    k = np.arange(total_p, dtype=np.int64) - np.repeat(np.cumsum(pieces) - pieces, pieces)
-    seg_starts = row_off[seg_row] + k * _SEG
-    seg_ends = np.minimum(seg_starts + _SEG, row_off[seg_row + 1])
+    full_off = np.concatenate(([0], np.cumsum(lengths)))
 
-    token_start = _encode_segments(arr, seg_starts, seg_ends, idx)
-    best_code = _scratch("bc", n, np.uint8)
-    esc = token_start & (best_code == 255)
-    codes = best_code[token_start].copy()
-    lits = arr[esc].copy()
-    cs = np.concatenate(([0], np.cumsum(token_start, dtype=np.int64)))
-    ls = np.concatenate(([0], np.cumsum(esc, dtype=np.int64)))
-    codes_per_row = cs[row_off[1:]] - cs[row_off[:-1]]
-    lits_per_row = ls[row_off[1:]] - ls[row_off[:-1]]
-    return codes.tobytes(), lits.tobytes(), codes_per_row, lits_per_row
+    # process row-groups of ≤_WINDOW bytes so scratch stays bounded no
+    # matter the caller's batch size (greedy restarts at window edges land
+    # on row boundaries, which restart anyway)
+    codes_parts, lits_parts = [], []
+    cpr = np.empty(nrows, dtype=np.int64)
+    lpr = np.empty(nrows, dtype=np.int64)
+    r0 = 0
+    while r0 < nrows:
+        r1 = int(np.searchsorted(full_off, full_off[r0] + _WINDOW, side="right")) - 1
+        r1 = max(r1, r0 + 1)
+        r1 = min(r1, nrows)
+        lo, hi = full_off[r0], full_off[r1]
+        arr = full[lo:hi]
+        wlen = lengths[r0:r1]
+        row_off = full_off[r0 : r1 + 1] - lo
+        nr = r1 - r0
+        pieces = np.maximum(1, -(-wlen // _SEG))
+        total_p = int(pieces.sum())
+        seg_row = np.repeat(np.arange(nr), pieces)
+        k = np.arange(total_p, dtype=np.int64) - np.repeat(
+            np.cumsum(pieces) - pieces, pieces
+        )
+        seg_starts = row_off[seg_row] + k * _SEG
+        seg_ends = np.minimum(seg_starts + _SEG, row_off[seg_row + 1])
+
+        token_start = _encode_segments(arr, seg_starts, seg_ends, idx)
+        best_code = _scratch("bc", len(arr), np.uint8)
+        esc = token_start & (best_code == 255)
+        codes_parts.append(best_code[token_start].copy())
+        lits_parts.append(arr[esc].copy())
+        cs = np.concatenate(([0], np.cumsum(token_start, dtype=np.int64)))
+        ls = np.concatenate(([0], np.cumsum(esc, dtype=np.int64)))
+        cpr[r0:r1] = cs[row_off[1:]] - cs[row_off[:-1]]
+        lpr[r0:r1] = ls[row_off[1:]] - ls[row_off[:-1]]
+        r0 = r1
+    return (
+        np.concatenate(codes_parts).tobytes(),
+        np.concatenate(lits_parts).tobytes(),
+        cpr,
+        lpr,
+    )
 
 
 def train_fsst(

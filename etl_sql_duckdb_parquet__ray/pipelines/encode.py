@@ -335,12 +335,17 @@ def encode_transcripts(
     if mode != "fast":
         state_ref = ray.put(train_shared_state(ds, train_sample_rows))
 
+    # batch_size=None => whole blocks: the per-call fixed cost of the
+    # vectorized kernels amortizes over ~read-fragment-sized batches instead
+    # of Ray's 1024-row default
     bucketed = ds.map_batches(
-        add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
+        add_bucket, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"num_buckets": num_buckets},
     )
     if pre_encode and state_ref is not None:
         bucketed = bucketed.map_batches(
-            pre_encode_text, batch_format="pyarrow", fn_kwargs={"state_ref": state_ref}
+            pre_encode_text, batch_format="pyarrow", batch_size=None,
+            fn_kwargs={"state_ref": state_ref},
         )
     if done:
         done_arr = pa.array(sorted(done), type=pa.int32())
