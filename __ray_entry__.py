@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational layer (oracled)
         "pricing_summary": _q(A.pricing_summary),
         "revenue_by_nation": _q(A.revenue_by_nation),
+        "revenue_by_priority_hashjoin": _q(A.revenue_by_priority_hashjoin),
         "revenue_by_mktsegment": _q(A.revenue_by_mktsegment),
         "distinct_customers_by_priority": _q(A.distinct_customers_by_priority),
         "orders_per_day": _q(A.orders_per_day),
@@ -162,6 +163,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "revenue_by_priority_hashjoin": """
+            SELECT o_orderpriority,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_x10000,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "revenue_by_mktsegment": """
             SELECT c_mktsegment,

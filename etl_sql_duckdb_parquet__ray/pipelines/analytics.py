@@ -499,3 +499,32 @@ def value_outliers(sf_dir: str, threshold: float = 3.0):
 
     ds = read_table(sf_dir, "events", ["event_id", "value"])
     return flag_outliers_zscore(ds, "value", threshold).select_columns(["event_id"])
+
+
+def revenue_by_priority_hashjoin(sf_dir: str):
+    """Large-by-large join parity (reference J3/J4 via ``Dataset.join``
+    hash-partitioned exchange, not a broadcast): lineitem ⋈ orders on
+    orderkey, revenue per order priority."""
+    from ..stages.relational import hash_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+            pa.scalar(10000.0),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_x10000": pc.round(r).cast(pa.int64())}
+        )
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"), orders,
+        on="l_orderkey", right_on="o_orderkey", num_partitions=8,
+    )
+    out = joined.groupby("o_orderpriority").aggregate(Sum("rev_x10000"), Count())
+    return _rename(out, ["o_orderpriority", "revenue_x10000", "n_items"])

@@ -141,3 +141,25 @@ def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col
         cond = getattr(pc, op)(col, value)
         result = pc.if_else(cond, pa.scalar(label, type=pa.string()), result)
     return batch.append_column(out_col, result)
+
+
+def hash_join(left, right, on, right_on=None, join_type: str = "inner", num_partitions: int = 16):
+    """Large-by-large hash-partitioned join (``Dataset.join``) — the
+    shuffle-both-sides complement to ``broadcast_join`` (reference J3/J4
+    when neither side is a small dim). Requires the HASH_SHUFFLE strategy
+    context; both sides are exchanged on the key, so prefer broadcast when
+    one side fits in memory."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    try:
+        on = (on,) if isinstance(on, str) else tuple(on)
+        r_on = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+        return left.join(
+            right, join_type=join_type, num_partitions=num_partitions,
+            on=on, right_on=r_on,
+        )
+    finally:
+        ctx.shuffle_strategy = prev
