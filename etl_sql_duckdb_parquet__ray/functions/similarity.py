@@ -111,3 +111,43 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe:
     return probed.map_batches(score, batch_format="pandas").sort(
         ["cosine", "vec_id"], descending=[True, False]
     ).limit(k)
+
+
+def brute_force_topk_many(ds_emb, queries: np.ndarray, k: int = 10):
+    """Batched ANN: top-k for MANY query vectors at once — one broadcast of
+    the (q, d) query matrix via ``ray.put``, one matmul per data batch
+    (the batched-inference pattern: ship the model/queries once, stream the
+    corpus). Returns a Dataset of (query_idx, vec_id, cosine) rows, exact.
+    """
+    import pandas as pd
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        QQ = ray.get(qref)
+        ids, V = _stack(batch)
+        cos = _normalize(V) @ QQ.T  # (batch, q)
+        kk = min(k, len(ids))
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (k, q)
+        out = []
+        for qi in range(QQ.shape[0]):
+            sel = top[:, qi]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_idx": qi,
+                        "vec_id": ids[sel],
+                        "cosine": cos[sel, qi],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = ds_emb.map_batches(score, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partial.groupby("query_idx").map_groups(final_topk, batch_format="pandas")

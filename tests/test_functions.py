@@ -212,3 +212,25 @@ def test_dedup_corpus_end_to_end(ray_session):
     assert 0 in ids and 1 in ids          # canonical (min) docs stay
     assert 40 not in ids and 41 not in ids  # near-dup + exact copy dropped
     assert len(kept) == 40
+
+
+def test_brute_force_topk_many(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    V = rng.standard_normal((300, 24))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    )
+    Q = V[[5, 50, 200]]
+    got = similarity.brute_force_topk_many(ds, Q, k=4).to_pandas()
+    for qi, vid in [(0, 5), (1, 50), (2, 200)]:
+        rows = got[got["query_idx"] == qi].sort_values("cosine", ascending=False)
+        assert len(rows) == 4
+        assert int(rows.iloc[0]["vec_id"]) == vid  # self is nearest
+    # exact agreement with single-query path
+    single = similarity.brute_force_topk(ds, Q[0], k=4).to_pandas()
+    many0 = got[got["query_idx"] == 0].sort_values(
+        "cosine", ascending=False
+    ).reset_index(drop=True)
+    assert list(single["vec_id"]) == list(many0["vec_id"])
