@@ -142,6 +142,22 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
         )
         t_parquet = time.perf_counter() - t0
         zstd_bytes = os.path.getsize(ctrl)
+        # reference-analog single-node pipeline: the reference carries whole
+        # tables as pandas DataFrames in driver memory and sorts/writes
+        # single-process (src/etl/load.py) — this is the actual system the
+        # north rule's "reference single-node throughput" refers to
+        t0 = time.perf_counter()
+        ref_df = pq.read_table(src).to_pandas()
+        ref_df = ref_df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        import pyarrow as _pa
+
+        pq.write_table(
+            _pa.Table.from_pandas(ref_df, preserve_index=False),
+            os.path.join(out, "ref_analog.parquet"),
+            compression="zstd",
+        )
+        t_ref = time.perf_counter() - t0
+        del ref_df
         return {
             "rows": stats["rows"],
             "encode_sec": round(t_enc, 3),
@@ -156,6 +172,8 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             "parquet_src_bytes": parquet_bytes,
             "size_vs_parquet_zstd": round(stats["bytes_out"] / zstd_bytes, 4),
             "parquet_zstd_write_sec": round(t_parquet, 3),
+            "reference_analog_pipeline_sec": round(t_ref, 3),
+            "reference_analog_turns_per_sec": round(stats["rows"] / t_ref, 1),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
