@@ -112,12 +112,12 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             # class) - which would otherwise dominate a minutes-long bench.
             wout = tempfile.mkdtemp(prefix="bench-warm-", dir="/tmp")
             encode_transcripts(
-                ray.data.read_parquet(src), wout, num_buckets=64, resume=False
+                ray.data.read_parquet(src), wout, num_buckets=128, resume=False
             )
             shutil.rmtree(wout, ignore_errors=True)
         ds = ray.data.read_parquet(src)
         t0 = time.perf_counter()
-        encode_transcripts(ds, out, num_buckets=64, resume=False)
+        encode_transcripts(ds, out, num_buckets=128, resume=False)
         t_enc = time.perf_counter() - t0
         stats = manifest_stats(out)
 

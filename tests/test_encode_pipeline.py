@@ -163,3 +163,23 @@ def test_pre_encode_matches_plain_path(ray_session, tmp_path):
     src = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert pa.Table.from_pandas(outs[True]).equals(pa.Table.from_pandas(src))
     assert pa.Table.from_pandas(outs[True]).equals(pa.Table.from_pandas(outs[False]))
+
+
+def test_actor_pool_path(ray_session, tmp_path):
+    """use_actors=True (explicit ST4 actor pool) must produce identical
+    decodable output to the default task path."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        encode_transcripts,
+        roundtrip_ok,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    ds = ray.data.from_arrow(generate_transcripts(6000))
+    out = str(tmp_path / "actors")
+    encode_transcripts(
+        ds, out, num_buckets=4, resume=False, use_actors=True,
+        encoder_concurrency=(1, 2),
+    )
+    assert roundtrip_ok(ds, out)
