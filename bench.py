@@ -35,13 +35,10 @@ N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "500000"))
 # --scaling needs enough parallel work that per-job fixed costs (training,
 # read fan-out, shuffle floor, worker warmup) do not dominate either leg
 SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "3000000"))
-# N and 4N parallelism legs. Default 4->16: the 32-cpu leg saturates this
-# single host's shared memory bus and competes with Ray system processes,
-# which a multi-NODE 4x scale-up (the criterion's real subject) does not -
-# each node brings its own memory bandwidth. 8,32 is also supported and
-# reported in BASELINE.md.
+# N and 4N parallelism legs (default 8 -> 32; 4,16 also recorded in
+# SCALING_r1.json).
 SCALING_LEGS = tuple(
-    int(x) for x in os.environ.get("GRAFT_SCALING_LEGS", "4,16").split(",")
+    int(x) for x in os.environ.get("GRAFT_SCALING_LEGS", "8,32").split(",")
 )
 
 QUERY_NAMES = [
