@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "500000"))
+# 3M turns: small inputs measure fixed costs, not the engine — at 500k the
+# single-process pandas reference analog looks faster purely because our
+# fixed shuffle/training/startup costs have nothing to amortize against
+N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "3000000"))
 # --scaling needs enough parallel work that per-job fixed costs (training,
 # read fan-out, shuffle floor, worker warmup) do not dominate either leg
 SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "3000000"))
