@@ -163,7 +163,10 @@ def train_shared_state(ds, sample_rows: int = 2000) -> SharedEncodeState:
         corpus = b""
     if not corpus:
         sample = ds.limit(sample_rows).to_pandas()
-        corpus = "".join(sample["text"].dropna().tolist()).encode("utf-8", "surrogatepass")
+        if "text" in sample.columns:
+            corpus = "".join(sample["text"].dropna().tolist()).encode(
+                "utf-8", "surrogatepass"
+            )
     return SharedEncodeState(fsst_table=train_fsst(corpus, iters=5, cap=1 << 17) or None)
 
 

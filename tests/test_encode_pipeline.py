@@ -183,3 +183,103 @@ def test_actor_pool_path(ray_session, tmp_path):
         encoder_concurrency=(1, 2),
     )
     assert roundtrip_ok(ds, out)
+
+
+def test_conversation_split_across_input_files(ray_session, tmp_path):
+    """Rows of one conversation arriving from DIFFERENT input fragments must
+    reassemble into the stable (conv_id, turn_idx) order — the whole point
+    of the explicit conv shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+
+    rng = np.random.default_rng(4)
+
+    def part(turns):
+        n = len(turns)
+        return pa.table(
+            {
+                "conv_id": pa.array(["conv-split"] * n),
+                "turn_idx": pa.array(turns, type=pa.int32()),
+                "role": pa.array(["user" if t % 2 == 0 else "assistant" for t in turns]),
+                "text": pa.array([f"turn number {t} says something" for t in turns]),
+                "tool": pa.array([None] * n, type=pa.string()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + t * 1_000_000 for t in turns],
+                    type=pa.int64(),
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    # interleave one conversation's turns across two files, shuffled order
+    all_turns = np.arange(200)
+    rng.shuffle(all_turns)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(part(list(all_turns[:100])), str(src / "a.parquet"))
+    pq.write_table(part(list(all_turns[100:])), str(src / "b.parquet"))
+
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(str(src))
+    encode_transcripts(ds, out, num_buckets=4, resume=False)
+    back = (
+        decode_dataset(out).to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    )
+    assert list(back["turn_idx"]) == list(range(200))
+    assert list(back["text"]) == [f"turn number {t} says something" for t in range(200)]
+
+
+def test_resume_fuzz(ray_session, tmp_path):
+    """Randomized resume: delete arbitrary bucket subsets, re-run, always
+    converge to a complete bit-identical output."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        encode_transcripts,
+        roundtrip_ok,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+    from etl_sql_duckdb_parquet__ray.state.manifest import (
+        bucket_data_path,
+        bucket_manifest_path,
+    )
+
+    ds = ray.data.from_arrow(generate_transcripts(10000))
+    out = str(tmp_path / "fz")
+    encode_transcripts(ds, out, num_buckets=8, resume=False)
+    rng = np.random.default_rng(7)
+    import os
+
+    for _ in range(3):
+        victims = rng.choice(8, size=rng.integers(1, 5), replace=False)
+        for b in victims:
+            os.remove(bucket_data_path(out, int(b)))
+            os.remove(bucket_manifest_path(out, int(b)))
+        encode_transcripts(ds, out, num_buckets=8, resume=True)
+        assert roundtrip_ok(ds, out)
+
+
+def test_empty_input(ray_session, tmp_path):
+    """Zero-row input: encode completes with an empty manifest; decode
+    raises a clear error rather than returning garbage."""
+    import pytest as _pytest
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    empty = ray.data.from_arrow(generate_transcripts(100).slice(0, 0))
+    out = str(tmp_path / "empty")
+    encode_transcripts(empty, out, num_buckets=4, resume=False)
+    with _pytest.raises(FileNotFoundError):
+        decode_dataset(out)
