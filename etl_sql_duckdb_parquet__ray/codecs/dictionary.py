@@ -44,7 +44,12 @@ class DictCodec:
     def encode(self, values) -> tuple[bytes, dict]:
         n = len(values)
         if n == 0:
-            return pack_sections([b"", b""]), {"card": 0, "idx": "bitpack", "width": 0, "vmeta": None}
+            # record the value kind so empty chunks decode to the right shape
+            kind = "str" if isinstance(values, StringBlob) else str(values.dtype)
+            return (
+                pack_sections([b"", b""]),
+                {"card": 0, "idx": "bitpack", "width": 0, "vmeta": None, "kind": kind},
+            )
         codes, dict_vals, card = _codes_and_dict(values)
         width = required_width(card - 1)
         # index stream: bit-packed vs RLE of codes, measured
@@ -67,7 +72,10 @@ class DictCodec:
         idx_b, vals_b = unpack_sections(payload)
         card = meta["card"]
         if card == 0:
-            return StringBlob(np.empty(0, dtype=np.int64), b"")
+            kind = meta.get("kind", "str")
+            if kind == "str":
+                return StringBlob(np.empty(0, dtype=np.int64), b"")
+            return np.empty(0, dtype=np.dtype(kind))
         dict_vals = _zstd.decode(vals_b, meta["vmeta"], card)
         if meta["idx"] == "rle":
             lens_b, rv_b = unpack_sections(idx_b)

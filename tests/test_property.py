@@ -5,6 +5,9 @@ reference has no property tests; these close that gap)."""
 import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
+
+settings.register_profile("repo", derandomize=True, deadline=None)
+settings.load_profile("repo")
 from hypothesis import strategies as st
 
 from etl_sql_duckdb_parquet__ray.chunk import decode_chunk, encode_chunk
