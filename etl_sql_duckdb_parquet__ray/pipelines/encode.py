@@ -11,14 +11,15 @@ Shape (SURVEY.md §3.1 "Ray Data shape of the same flow"):
     decode: from_items(bucket files) -> map_batches(decode, streaming chunks)
 
 Partitioning contract (designed for the 10^12-turn cluster run, tested
-single-node): the shuffle key is ``hash(conv_id) % num_buckets`` so every
-conversation lands wholly in one bucket; within a bucket rows are sorted by
-``(conv_id, turn_idx)`` and split into fixed-row chunks — a hot conversation
-larger than one chunk is thereby *salted* into contiguous turn ranges whose
-``(conv_min, turn_min)`` ordering keys are recorded per chunk, so decode +
-sort reassembles the stable turn order exactly. Buckets are sized by
-``num_buckets`` so one group fits a worker's heap (~rows/num_buckets rows);
-at 100 TB raise ``num_buckets``, not chunk size.
+single-node): the shuffle key is ``hash(conv_id) % num_buckets`` so a normal
+conversation lands wholly in one bucket; a HOT conversation (sampled count
+estimate above the per-group budget) is salted by ``turn_idx // salt_block``
+so its contiguous turn ranges spread across buckets and no group can exceed
+~salt_block rows regardless of skew. Within a bucket rows sort by
+``(conv_id, turn_idx)`` and split into fixed-row chunks whose conv/turn
+ranges are recorded per chunk, so decode + global sort reassembles the
+stable turn order exactly. Buckets are sized by ``num_buckets`` so one group
+fits a worker's heap; at 100 TB raise ``num_buckets``, not chunk size.
 
 Nothing here calls ``ray.init``; callers own the session.
 """
@@ -62,10 +63,73 @@ def conv_bucket(conv_ids: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.nd
     return (pd.util.hash_array(ids) % num_buckets).astype(np.int32)
 
 
-def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    return batch.append_column(
-        "bucket", pa.array(conv_bucket(batch.column("conv_id"), num_buckets))
-    )
+def add_bucket(
+    batch: pa.Table,
+    num_buckets: int,
+    hot_convs: dict[str, int] | None = None,
+    salt_block: int = 262144,
+) -> pa.Table:
+    """Bucket assignment with SALTED-KEY skew splitting: a normal
+    conversation hashes wholly into one bucket; a *hot* conversation (from
+    the sampled count estimate) is salted by ``turn_idx // salt_block`` so
+    its contiguous turn ranges spread across buckets and no single group can
+    exceed ~salt_block rows. Decode + the global (conv_id, turn_idx) sort
+    reassembles the turn order exactly — per-chunk conv/turn ranges are
+    recorded in the manifest for ordered reassembly."""
+    buckets = conv_bucket(batch.column("conv_id"), num_buckets)
+    if hot_convs:
+        conv = np.asarray(batch.column("conv_id"), dtype=object)
+        hot_mask = np.isin(conv, np.array(list(hot_convs), dtype=object))
+        if hot_mask.any():
+            turn = np.asarray(batch.column("turn_idx"))
+            salt = (turn[hot_mask].astype(np.int64) // salt_block).astype("U16")
+            salted_keys = np.char.add(
+                np.char.add(conv[hot_mask].astype("U"), "#"), salt
+            )
+            buckets[hot_mask] = (
+                pd.util.hash_array(salted_keys.astype(object)) % num_buckets
+            ).astype(np.int32)
+    return batch.append_column("bucket", pa.array(buckets))
+
+
+def detect_hot_convs(
+    ds, sample_rows: int = 100_000, est_total: int | None = None,
+    hot_threshold: int = 262144,
+) -> dict[str, int]:
+    """Sampled hot-conversation detection (SURVEY.md §4 skew row): count
+    conv frequencies in a driver-side sample, scale to the dataset size,
+    return conversations whose estimated rows exceed the per-group budget."""
+    try:
+        paths = ds.input_files()
+    except Exception:
+        paths = []
+    counts: dict[str, int] = {}
+    seen = 0
+    if paths:
+        import pyarrow.parquet as pq
+
+        for path in paths[:4]:
+            pf = pq.ParquetFile(path)
+            for b in pf.iter_batches(batch_size=65536, columns=["conv_id"]):
+                vals, cnts = np.unique(np.asarray(b.column(0), dtype=object), return_counts=True)
+                for v, c in zip(vals, cnts):
+                    counts[v] = counts.get(v, 0) + int(c)
+                seen += b.num_rows
+                if seen >= sample_rows:
+                    break
+            if seen >= sample_rows:
+                break
+    else:
+        for row in ds.limit(sample_rows).select_columns(["conv_id"]).take_all():
+            counts[row["conv_id"]] = counts.get(row["conv_id"], 0) + 1
+            seen += 1
+    if not seen:
+        return {}
+    total = est_total or seen
+    scale = max(total / seen, 1.0)
+    return {
+        c: int(n * scale) for c, n in counts.items() if n * scale > hot_threshold
+    }
 
 
 @dataclass
@@ -313,6 +377,9 @@ def encode_transcripts(
     encoder_concurrency=None,
     use_actors: bool = False,
     pre_encode: bool = True,
+    salt_hot: bool = True,
+    salt_block: int = 262144,
+    hot_convs: dict[str, int] | None = None,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -338,12 +405,18 @@ def encode_transcripts(
     if mode != "fast":
         state_ref = ray.put(train_shared_state(ds, train_sample_rows))
 
+    if salt_hot and hot_convs is None:
+        hot_convs = detect_hot_convs(ds, hot_threshold=max(salt_block, chunk_rows))
     # batch_size=None => whole blocks: the per-call fixed cost of the
     # vectorized kernels amortizes over ~read-fragment-sized batches instead
     # of Ray's 1024-row default
     bucketed = ds.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None,
-        fn_kwargs={"num_buckets": num_buckets},
+        fn_kwargs={
+            "num_buckets": num_buckets,
+            "hot_convs": hot_convs or None,
+            "salt_block": salt_block,
+        },
     )
     if pre_encode and state_ref is not None:
         bucketed = bucketed.map_batches(

@@ -283,3 +283,69 @@ def test_empty_input(ray_session, tmp_path):
     encode_transcripts(empty, out, num_buckets=4, resume=False)
     with _pytest.raises(FileNotFoundError):
         decode_dataset(out)
+
+
+def test_salted_hot_conversation_spreads_buckets(ray_session, tmp_path):
+    """A conversation dominating the table must be salted across buckets
+    (bounded groups) and still decode to the exact turn order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        add_bucket,
+        decode_dataset,
+        encode_transcripts,
+    )
+
+    n_hot, n_cold = 40000, 4000
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * n_hot),
+            "turn_idx": pa.array(np.arange(n_hot, dtype=np.int32)),
+            "role": pa.array(["user", "assistant"] * (n_hot // 2)),
+            "text": pa.array([f"hot turn {i}" for i in range(n_hot)]),
+            "tool": pa.array([None] * n_hot, type=pa.string()),
+            "ts": pa.array(
+                1_700_000_000_000_000 + np.arange(n_hot, dtype=np.int64) * 1_000_000
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    cold = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i % 50:04d}" for i in range(n_cold)]),
+            "turn_idx": pa.array((np.arange(n_cold) % 80).astype(np.int32)),
+            "role": pa.array(["user"] * n_cold),
+            "text": pa.array([f"cold {i}" for i in range(n_cold)]),
+            "tool": pa.array([None] * n_cold, type=pa.string()),
+            "ts": pa.array(
+                1_700_000_000_000_000 + np.arange(n_cold, dtype=np.int64)
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    t = pa.concat_tables([hot, cold])
+
+    # unit check: salting spreads the hot conversation over many buckets
+    salted = add_bucket(t, 16, hot_convs={"conv-hot": n_hot}, salt_block=4096)
+    hot_buckets = set(
+        salted.filter(
+            pa.compute.equal(salted.column("conv_id"), "conv-hot")
+        ).column("bucket").to_pylist()
+    )
+    assert len(hot_buckets) >= 5  # 40000/4096 = 10 salt ranges over 16 buckets
+
+    # end-to-end: explicit hot map, bounded salt blocks, exact roundtrip
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "salted")
+    encode_transcripts(
+        ds, out, num_buckets=16, resume=False,
+        hot_convs={"conv-hot": n_hot}, salt_block=4096,
+    )
+    back = (
+        decode_dataset(out)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert pa.Table.from_pandas(back).equals(pa.Table.from_pandas(src))
