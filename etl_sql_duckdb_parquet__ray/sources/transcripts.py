@@ -147,14 +147,39 @@ def transcripts_parquet_dir(
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+
+    # conversation-id offsets no longer depend on the previous shard's
+    # actual conversation count (which would serialize generation): each
+    # shard gets a disjoint id block big enough for any draw
+    id_block = shard_rows  # a shard can never have more convs than rows
+    specs = []
     remaining = n_turns
-    conv_offset = 0
     for i in range(n_shards):
         rows = min(shard_rows, remaining)
-        t = generate_transcripts(rows, seed=seed + i, conv_offset=conv_offset)
-        conv_offset += len(set(t.column("conv_id").to_pylist()))
-        pq.write_table(t, os.path.join(out, f"shard-{i:05d}.parquet"))
+        specs.append((i, rows, seed + i, i * id_block))
         remaining -= rows
+
+    def _write(i: int, rows: int, sd: int, off: int) -> str:
+        t = generate_transcripts(rows, seed=sd, conv_offset=off)
+        path = os.path.join(out, f"shard-{i:05d}.parquet")
+        pq.write_table(t, path)
+        return path
+
+    ray = None
+    try:
+        import ray as _ray
+
+        ray = _ray if _ray.is_initialized() else None
+    except Exception:
+        ray = None
+    if ray is not None and len(specs) > 1:
+        # parallel generation on the existing session (still deterministic:
+        # each shard is a pure function of its spec)
+        task = ray.remote(num_cpus=1)(_write)
+        ray.get([task.remote(*s) for s in specs])
+    else:
+        for s in specs:
+            _write(*s)
     with open(done, "w") as f:
         f.write("ok")
     return out
