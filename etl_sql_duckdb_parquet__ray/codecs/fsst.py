@@ -70,6 +70,9 @@ class _TableIndex:
         self.lut1 = np.full(256, 255, dtype=np.uint8)
         self.lut2 = np.full(65536, 255, dtype=np.uint8)
         self.len_mask2 = np.zeros(65536, dtype=np.uint8)
+        # direct 24-bit LUT for 3-byte symbols (16 MB, built once per cached
+        # index per worker): one gather replaces gate+searchsorted for L=3
+        self.lut3 = np.full(1 << 24, 255, dtype=np.uint8)
         for L in self.lengths:
             syms = sorted(
                 (int.from_bytes(s, "big"), i) for i, s in enumerate(table) if len(s) == L
@@ -80,6 +83,9 @@ class _TableIndex:
             elif L == 2:
                 for v, i in syms:
                     self.lut2[v] = i
+            elif L == 3:
+                for v, i in syms:
+                    self.lut3[v] = i
             else:
                 self.by_len[L] = (
                     np.array([v for v, _ in syms], dtype=np.uint32),
@@ -87,6 +93,14 @@ class _TableIndex:
                 )
                 for v, _ in syms:
                     self.len_mask2[v >> (8 * (L - 2))] |= 1 << (L - 3)
+        # combined (code | len<<8) table over the 2-byte prefix: one uint16
+        # gather yields the best 1/2-byte match per position
+        base1 = np.repeat(
+            self.lut1.astype(np.uint16) | np.uint16(1 << 8), 256
+        )
+        self.combo2 = np.where(
+            self.lut2 != 255, self.lut2.astype(np.uint16) | np.uint16(2 << 8), base1
+        )
 
 
 _BUFS: dict[tuple, np.ndarray] = {}
@@ -136,28 +150,35 @@ def _match_positions(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.
     sh = _scratch("sh", n, np.uint32)
     np.right_shift(code4, 16, out=sh)
     np.multiply(sh, 1, out=p2, casting="unsafe")
+    # one combined-LUT gather resolves the best 1/2-byte match per position
+    combo = _scratch("combo", n, np.uint16)
+    np.take(idx.combo2, p2, out=combo)
     best_code = _scratch("bc", n, np.uint8)
     best_len = _scratch("bl", n, np.uint8)
-    np.take(idx.lut1, arr, out=best_code)           # L=1 base layer
-    best_len[:] = 1
-    two = _scratch("two", n, np.uint8)
-    np.take(idx.lut2, p2, out=two)
-    ok2 = np.flatnonzero(two != 255)
-    best_code[ok2] = two[ok2]
-    best_len[ok2] = 2
-    m2 = _scratch("m2", n, np.uint8)
-    np.take(idx.len_mask2, p2, out=m2)
-    for L in sorted(idx.by_len):                    # ascending so longer wins
-        cand = np.flatnonzero(m2 & (1 << (L - 3)))
-        if not cand.size:
-            continue
-        vals, ids = idx.by_len[L]
-        v = code4[cand] >> np.uint32(8 * (4 - L))
-        pos_c = np.minimum(np.searchsorted(vals, v), len(vals) - 1)
-        found = vals[pos_c] == v
-        hit = cand[found]
-        best_code[hit] = ids[pos_c[found]]
-        best_len[hit] = L
+    np.multiply(combo, 1, out=best_code, casting="unsafe")  # low byte
+    np.right_shift(combo, 8, out=combo)
+    np.multiply(combo, 1, out=best_len, casting="unsafe")
+    # L=3 via the 24-bit direct LUT
+    np.right_shift(code4, 8, out=sh)
+    p3 = _scratch("p3", n, np.int32)
+    np.multiply(sh, 1, out=p3, casting="unsafe")
+    id3 = _scratch("id3", n, np.uint8)
+    np.take(idx.lut3, p3, out=id3)
+    m3 = id3 != 255
+    np.copyto(best_code, id3, where=m3)
+    np.copyto(best_len, np.uint8(3), where=m3)
+    # L=4: gated searchsorted over the rare candidate positions
+    if 4 in idx.by_len:
+        m2 = _scratch("m2", n, np.uint8)
+        np.take(idx.len_mask2, p2, out=m2)
+        cand = np.flatnonzero(m2 & 2)
+        if cand.size:
+            vals, ids = idx.by_len[4]
+            pos_c = np.minimum(np.searchsorted(vals, code4[cand]), len(vals) - 1)
+            found = vals[pos_c] == code4[cand]
+            hit = cand[found]
+            best_code[hit] = ids[pos_c[found]]
+            best_len[hit] = 4
     esc0 = best_code == 255
     best_len[esc0] = 1
     return best_code, best_len

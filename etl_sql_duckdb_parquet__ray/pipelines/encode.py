@@ -174,6 +174,7 @@ def pre_encode_text(batch: pa.Table, state_ref) -> pa.Table:
         tune_malloc()
         state = ray.get(state_ref) if is_ref else state_ref
         cached = (state.fsst_table, _TableIndex(state.fsst_table))
+        _PRE_INDEX.clear()  # one live entry per worker: jobs don't interleave
         _PRE_INDEX[key] = cached
     _, idx = cached
 
