@@ -43,6 +43,7 @@ def cmd_encode(args) -> int:
         chunk_rows=args.chunk_rows,
         mode=args.mode,
         resume=not args.no_resume,
+        use_actors=args.use_actors,
         encoder_concurrency=(1, args.concurrency),
     )
     print(json.dumps(manifest_stats(args.out)))
@@ -53,9 +54,11 @@ def cmd_decode(args) -> int:
     _ray()
     from .pipelines.encode import decode_dataset
 
+    from .state.manifest import manifest_stats
+
     ds = decode_dataset(args.input)
     ds.write_parquet(args.out)
-    print(json.dumps({"rows": ds.count()}))
+    print(json.dumps({"rows": manifest_stats(args.input)["rows"]}))
     return 0
 
 
@@ -92,7 +95,15 @@ def main(argv=None) -> int:
     enc.add_argument("--buckets", type=int, default=64)
     enc.add_argument("--chunk-rows", type=int, default=65536)
     enc.add_argument("--mode", default="balanced", choices=["fast", "balanced"])
-    enc.add_argument("--concurrency", type=int, default=8)
+    enc.add_argument(
+        "--concurrency", type=int, default=8,
+        help="max encoder actors (applies with --use-actors; the default "
+             "task path scales with the cluster's CPUs automatically)",
+    )
+    enc.add_argument(
+        "--use-actors", action="store_true",
+        help="explicit actor-pool encoder (long-lived cluster jobs)",
+    )
     enc.add_argument("--no-resume", action="store_true")
     enc.set_defaults(fn=cmd_encode)
 

@@ -159,13 +159,11 @@ def verify_pairs_exact(ds_docs, pairs: pd.DataFrame, threshold: float, n: int = 
             batch_format="pyarrow",
         ).take_all()
     }
-    ref = ray.put(texts)
     out = []
-    lookup = ray.get(ref)
-    for _, row in pairs.iterrows():
-        j = ngram_jaccard(lookup.get(int(row["doc_a"]), ""), lookup.get(int(row["doc_b"]), ""), n)
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        j = ngram_jaccard(texts.get(int(a), ""), texts.get(int(b), ""), n)
         if j >= threshold:
-            out.append((int(row["doc_a"]), int(row["doc_b"]), j))
+            out.append((int(a), int(b), j))
     return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
 

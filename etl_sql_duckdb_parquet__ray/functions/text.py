@@ -63,13 +63,14 @@ class QualityScore:
     STOPWORDS = _LANG_STOPWORDS["en"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
+        # nulls are scored as empty strings (quality 0-ish), never NaN
+        text = pc.fill_null(batch.column("text"), "")
         n_chars = pc.utf8_length(text).cast(pa.float64())
         # punctuation ratio via vectorized kernels
         n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.float64())
         n_tokens = pc.add(pc.count_substring(text, " "), 1).cast(pa.float64())
         # stopword hits need tokenization; pandas str ops stay in C mostly
-        s = text.to_pandas().fillna("")
+        s = text.to_pandas()
         stop_ratio = np.array(
             [
                 (sum(1 for w in t.split() if w in self.STOPWORDS) / max(len(t.split()), 1))
@@ -77,7 +78,7 @@ class QualityScore:
             ],
             dtype=np.float64,
         )
-        nc = np.asarray(n_chars.to_pandas().fillna(0.0))
+        nc = np.asarray(n_chars.to_pandas())
         punct_ratio = np.asarray(n_punct.to_pandas()) / np.maximum(nc, 1.0)
         mean_tok_len = nc / np.maximum(np.asarray(n_tokens.to_pandas()), 1.0)
         len_score = np.clip(nc / 500.0, 0.0, 1.0)

@@ -173,7 +173,7 @@ def pre_encode_text(batch: pa.Table, state_ref) -> pa.Table:
     if cached is None:
         tune_malloc()
         state = ray.get(state_ref) if is_ref else state_ref
-        cached = (state.fsst_table, _TableIndex(state.fsst_table))
+        cached = (state.fsst_table, _TableIndex(state.fsst_table or []))
         _PRE_INDEX.clear()  # one live entry per worker: jobs don't interleave
         _PRE_INDEX[key] = cached
     _, idx = cached
@@ -357,7 +357,11 @@ _WORKER_ENCODERS: dict[tuple, "BucketEncoder"] = {}
 
 
 def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref) -> pa.Table:
-    key = (out_dir, chunk_rows, mode)
+    # the broadcast-state identity MUST be part of the key: a reused worker
+    # serving a new job would otherwise assemble chunks with a stale symbol
+    # table (codes from table B stored next to table A = silent corruption)
+    skey = state_ref.hex() if hasattr(state_ref, "hex") else str(id(state_ref))
+    key = (out_dir, chunk_rows, mode, skey)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
         enc = BucketEncoder(
@@ -403,11 +407,19 @@ def encode_transcripts(
         return load_manifest(out_dir)
 
     state_ref = None
+    shared_state = None
     if mode != "fast":
-        state_ref = ray.put(train_shared_state(ds, train_sample_rows))
+        shared_state = train_shared_state(ds, train_sample_rows)
+        state_ref = ray.put(shared_state)
 
     if salt_hot and hot_convs is None:
-        hot_convs = detect_hot_convs(ds, hot_threshold=max(salt_block, chunk_rows))
+        try:
+            est_total = ds.count()  # parquet metadata only — cheap
+        except Exception:
+            est_total = None
+        hot_convs = detect_hot_convs(
+            ds, est_total=est_total, hot_threshold=max(salt_block, chunk_rows)
+        )
     # batch_size=None => whole blocks: the per-call fixed cost of the
     # vectorized kernels amortizes over ~read-fragment-sized batches instead
     # of Ray's 1024-row default
@@ -419,11 +431,8 @@ def encode_transcripts(
             "salt_block": salt_block,
         },
     )
-    if pre_encode and state_ref is not None:
-        bucketed = bucketed.map_batches(
-            pre_encode_text, batch_format="pyarrow", batch_size=None,
-            fn_kwargs={"state_ref": state_ref},
-        )
+    # resume filter sits BEFORE the expensive pre-encode map so a rerun
+    # only pays the row-FSST kernel for unfinished partitions
     if done:
         done_arr = pa.array(sorted(done), type=pa.int32())
         bucketed = bucketed.map_batches(
@@ -431,6 +440,11 @@ def encode_transcripts(
                 pc.invert(pc.is_in(t.column("bucket"), value_set=done_arr))
             ),
             batch_format="pyarrow",
+        )
+    if pre_encode and shared_state is not None and shared_state.fsst_table:
+        bucketed = bucketed.map_batches(
+            pre_encode_text, batch_format="pyarrow", batch_size=None,
+            fn_kwargs={"state_ref": state_ref},
         )
     if use_actors:
         # explicit actor pool (ST4 pattern): best when the job is long-lived

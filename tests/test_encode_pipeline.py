@@ -349,3 +349,28 @@ def test_salted_hot_conversation_spreads_buckets(ray_session, tmp_path):
     )
     src = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert pa.Table.from_pandas(back).equals(pa.Table.from_pandas(src))
+
+
+def test_detect_hot_convs_fires_with_total_scaling(tmp_path):
+    """Automatic hot detection must actually trigger: a conversation that
+    dominates the sample, scaled by the dataset/sample ratio, crosses the
+    per-group budget."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import detect_hot_convs
+
+    # sample file: 50k rows, 40k of them one conversation
+    conv = np.array(["conv-hot"] * 40000 + [f"conv-{i}" for i in range(10000)], dtype=object)
+    t = pa.table({"conv_id": pa.array(conv), "turn_idx": pa.array(np.arange(50000, dtype=np.int32))})
+    src = tmp_path / "hot"
+    src.mkdir()
+    pq.write_table(t, str(src / "a.parquet"))
+    ds = ray.data.read_parquet(str(src))
+    # dataset claimed 100x larger than the sample -> est count 4M >> 262144
+    hot = detect_hot_convs(ds, sample_rows=50000, est_total=5_000_000)
+    assert "conv-hot" in hot and hot["conv-hot"] > 262144
+    # without scaling the 40k-count conv stays under the default threshold
+    assert detect_hot_convs(ds, sample_rows=50000) == {}

@@ -234,3 +234,17 @@ def test_brute_force_topk_many(ray_session):
         "cosine", ascending=False
     ).reset_index(drop=True)
     assert list(single["vec_id"]) == list(many0["vec_id"])
+
+
+def test_quality_score_null_text(ray_session):
+    import ray
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [None, "a solid piece of prose with the usual words in it"]})
+    q = (
+        ray.data.from_pandas(docs)
+        .map_batches(QualityScore(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert 0 <= q["quality"].iloc[0] <= 100  # null text: defined, in range
+    assert q["quality"].iloc[1] > q["quality"].iloc[0]
