@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
+        "lineitem_correlation": _q(A.lineitem_correlation),
         "user_sessions": _q(A.user_sessions),
         "value_outliers": _q(A.value_outliers),
         "knn_topk": knn_topk,
@@ -264,6 +265,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MIN(l_extendedprice)*100) AS BIGINT) AS price_min_x100,
                    CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS price_max_x100
             FROM lineitem
+        """,
+        "lineitem_correlation": """
+            WITH c AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sp,
+                       SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sd,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_quantity*100) AS BIGINT)) AS sqq,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS spp,
+                       SUM(CAST(ROUND(l_discount*100) AS BIGINT)*CAST(ROUND(l_discount*100) AS BIGINT)) AS sdd,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sqp,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_discount*100) AS BIGINT)) AS spd
+                FROM lineitem)
+            SELECT
+                (sqp/n - (sq/n)*(sp/n)) / SQRT((sqq/n - (sq/n)*(sq/n)) * (spp/n - (sp/n)*(sp/n))) AS corr_qty_price,
+                (spd/n - (sp/n)*(sd/n)) / SQRT((spp/n - (sp/n)*(sp/n)) * (sdd/n - (sd/n)*(sd/n))) AS corr_price_disc
+            FROM c
         """,
         "user_sessions": """
             SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -528,3 +528,20 @@ def revenue_by_priority_hashjoin(sf_dir: str):
     )
     out = joined.groupby("o_orderpriority").aggregate(Sum("rev_x10000"), Count())
     return _rename(out, ["o_orderpriority", "revenue_x10000", "n_items"])
+
+
+def lineitem_correlation(sf_dir: str):
+    """Pearson correlations from exact integer-scaled co-moments (reference
+    A2 correlation matrix, ``src/profiling.py:45-66``) — the SQL oracle
+    derives the same moments from the same integer sums, so the doubles
+    match bit-for-bit."""
+    from ..stages.profile import numeric_correlation
+
+    ds = read_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    corr = numeric_correlation(ds, ["l_quantity", "l_extendedprice", "l_discount"])
+    return pa.table(
+        {
+            "corr_qty_price": pa.array([corr[("l_quantity", "l_extendedprice")]], type=pa.float64()),
+            "corr_price_disc": pa.array([corr[("l_extendedprice", "l_discount")]], type=pa.float64()),
+        }
+    )
