@@ -150,15 +150,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_x100,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_x100,
-                   SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sum_disc_x100,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_x100,
+                   CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_x100,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_x10000,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_x10000,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -167,14 +167,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_priority_hashjoin": """
             SELECT o_orderpriority,
-                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_x10000,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_x10000,
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
         "revenue_by_mktsegment": """
             SELECT c_mktsegment,
-                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_x100,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -288,10 +288,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
             FROM (
                 SELECT user_id, event_id, ts_us,
-                       SUM(new_sess) OVER (
+                       CAST(SUM(new_sess) OVER (
                            PARTITION BY user_id ORDER BY ts_us, event_id
                            ROWS UNBOUNDED PRECEDING
-                       ) AS session_id
+                       ) AS BIGINT) AS session_id
                 FROM (
                     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
