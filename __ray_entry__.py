@@ -80,8 +80,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def embedding_dup_pairs(sf_dir: str):
+        # The synthetic embeddings table has no near-dup pairs (max cosine
+        # ~0.48), so a bare run would return 0 rows and validate nothing.
+        # Plant deterministic exact copies of vec_id < 10 at vec_id+1000000
+        # (derived from the input itself) as a positive control; the DuckDB
+        # oracle runs the equivalent brute-force cosine self-join, so this
+        # query is hash-checked, not rows-only.
+        import pyarrow.compute as pc
+
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        return dedup.embedding_dup_pairs(ds, threshold=0.95)
+
+        def plant(t):
+            c = t.filter(pc.less(t.column("vec_id"), 10))
+            return c.set_column(
+                c.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(c.column("vec_id"), 1000000),
+            )
+
+        aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+        pairs = dedup.embedding_dup_pairs(aug, threshold=0.95)
+        return pairs.select_columns(["vec_a", "vec_b"])
 
     def langid_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -320,5 +338,21 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(embedding,
                            (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
                 FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10) t
+        """,
+        # see queries()['embedding_dup_pairs']: copies of vec_id<10 are
+        # planted at vec_id+1000000; every >=0.95-cosine pair must involve
+        # a copy (the raw corpus max cosine is ~0.48), so the brute-force
+        # oracle joins the full augmented set against the copies only.
+        "embedding_dup_pairs": """
+            WITH copies AS (
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 10
+            ), aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM copies
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM aug a JOIN copies b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
     }

@@ -3,10 +3,21 @@ SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
 Scale design (100 TB): every variant reduces to *hash-partition by a derived
 key, then per-group work* — the same shuffle shape as the encode pipeline's
-``conv_id`` bucketing. Nothing broadcasts the corpus; candidate generation
-happens through groupby on band/bucket keys, so all-pairs comparison is
-confined to LSH buckets. The reference has no near-dedup (SURVEY.md §2.9);
-its exact dedup (``src/etl/transform.py:52-57``) is the D1 analog here.
+``conv_id`` bucketing. Nothing broadcasts the corpus and nothing funnels
+through the driver:
+
+- the MinHash band stage ships only ``(doc_id, band, bucket)`` rows (24
+  bytes/row), never the 64-perm signatures — candidates are re-verified from
+  text, so the signatures are not needed downstream;
+- candidate verification is a double hash-partitioned join of the pair list
+  against the corpus (``Dataset.join``), not a driver-side text dict;
+- connected components run as iterative min-label propagation
+  (join + groupby-min per round, O(component diameter) rounds), not a
+  driver union-find;
+- the final drop is a native hash-partitioned ``left_anti`` join.
+
+The reference has no near-dedup (SURVEY.md §2.9); its exact dedup
+(``src/etl/transform.py:52-57``) is the D1 analog here.
 """
 
 from __future__ import annotations
@@ -14,8 +25,42 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .text import token_hashes
+from .text import popcount64, token_hashes
+
+
+def _rename(ds, mapping: dict):
+    """Block-format-safe column rename: ``Dataset.rename_columns``'s Project
+    operator assumes Arrow blocks and breaks on pandas-block datasets (e.g.
+    ``from_pandas`` test inputs); a pyarrow map_batches normalizes both."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _strip_empty_blocks(ds):
+    """``Dataset.join`` emits zero-row blocks with an EMPTY schema, and
+    ``map_batches`` passes empty blocks through without calling the UDF —
+    so those schema-less blocks survive every transform and crash the next
+    join's per-partition Arrow join ("No match for FieldRef ... "). Strip
+    them at a materialization barrier: metadata-only (num_rows per block),
+    no block ever moves to the driver. Requires Arrow-block input (all call
+    sites are outputs of pyarrow map_batches stages)."""
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if (meta.num_rows or 0) > 0
+    ]
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
+
 
 # -- MinHash -----------------------------------------------------------------
 
@@ -56,8 +101,13 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 class MinHasher:
-    """Actor-pool stage: per-doc MinHash signatures + LSH band keys.
-    Permutation parameters are built once per actor in ``__init__``."""
+    """Actor-pool stage: per-doc MinHash signatures -> LSH band rows.
+    Emits ONLY ``(doc_id, band, bucket)`` — one row per (doc, band), built
+    with numpy repeat/tile and a single vectorized hash over all band
+    segments; the signatures themselves never leave the task (candidates
+    are exact-verified from text downstream, so shipping 64x8 bytes per
+    band row would only multiply shuffle volume). Permutation parameters
+    are built once per actor in ``__init__``."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         assert num_perm % bands == 0
@@ -69,67 +119,69 @@ class MinHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sh = shingle_hashes(batch["text"], self.shingle_n)
         sigs = np.stack([minhash_signature(s, self.a, self.b) for s in sh])
-        out = {"doc_id": batch["doc_id"].to_numpy(), "sig": list(sigs)}
-        # one row per (doc, band): band bucket = hash of the band's rows
-        band_keys = np.empty((len(batch), self.bands), dtype=np.uint64)
-        for bi in range(self.bands):
-            seg = sigs[:, bi * self.rows : (bi + 1) * self.rows]
-            band_keys[:, bi] = pd.util.hash_array(
-                np.ascontiguousarray(seg).view([("", np.uint64)] * self.rows).ravel()
-            )
-        rows = []
-        for i in range(len(batch)):
-            for bi in range(self.bands):
-                rows.append(
-                    (
-                        int(batch["doc_id"].iloc[i]),
-                        int(bi),
-                        int(band_keys[i, bi]),
-                        sigs[i],
-                    )
-                )
-        return pd.DataFrame(rows, columns=["doc_id", "band", "bucket", "sig"])
+        n = len(batch)
+        # one hash over all (doc, band) segments at once: view each
+        # rows-wide segment as a struct record and hash the flat array
+        flat = np.ascontiguousarray(sigs).reshape(n * self.bands, self.rows)
+        buckets = pd.util.hash_array(
+            flat.view([("", np.uint64)] * self.rows).ravel()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+                "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "bucket": buckets.astype(np.int64),
+            }
+        )
 
 
-def _jaccard_from_sigs(s1: np.ndarray, s2: np.ndarray) -> float:
-    return float(np.mean(s1 == s2))
+def _bucket_candidates(g: pd.DataFrame, max_bucket: int = 256) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket. Buckets are tiny by
+    construction; a pathological mega-bucket (boilerplate text) is linked
+    as a sorted chain instead of all-pairs — connectivity for the
+    components stage is preserved while rows stay linear in bucket size."""
+    ids = np.unique(g["doc_id"].to_numpy())
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+    if n > max_bucket:
+        return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+    iu, ju = np.triu_indices(n, k=1)
+    return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """All-pairs within one LSH bucket (buckets are tiny by construction),
-    estimated Jaccard from signature agreement."""
-    docs = g.drop_duplicates("doc_id")
-    n = len(docs)
-    rows = []
-    ids = docs["doc_id"].to_numpy()
-    sigs = list(docs["sig"])
-    for i in range(n):
-        for j in range(i + 1, n):
-            est = _jaccard_from_sigs(sigs[i], sigs[j])
-            if est >= threshold:
-                a, b = sorted((int(ids[i]), int(ids[j])))
-                rows.append((a, b, est))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_est"])
+def _distinct_pairs(pairs):
+    """Distinct (doc_a, doc_b) via a hash aggregate — no per-group Python."""
+    out = pairs.groupby(["doc_a", "doc_b"]).count()
+    return out.drop_columns([c for c in out.columns() if c not in ("doc_a", "doc_b")])
 
 
-def minhash_dup_pairs(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
-    """documents Dataset -> near-dup pairs via MinHash + LSH banding:
-    signature stage (actor pool) -> groupby (band, bucket) -> per-bucket
-    pairs -> global dedup of pairs found in multiple bands."""
-    sigs = ds.map_batches(
+def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3, max_bucket: int = 256):
+    """documents Dataset -> distinct candidate pairs via MinHash + LSH
+    banding: signature stage (actor pool) -> groupby (band, bucket) ->
+    per-bucket pairs -> distinct. No signatures shipped, no threshold —
+    candidates are exact-verified from text by the caller."""
+    band_rows = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n},
         batch_format="pandas",
         concurrency=(1, 4),
     )
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    pairs = band_rows.groupby(["band", "bucket"]).map_groups(
+        lambda g: _bucket_candidates(g, max_bucket), batch_format="pandas"
     )
+    return _distinct_pairs(pairs)
 
-    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first_per_pair, batch_format="pandas")
+def minhash_dup_pairs(ds, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
+    """documents Dataset -> exact-verified near-dup pairs: MinHash+LSH
+    candidate generation, then distributed n-gram-Jaccard verification
+    (two hash joins against the corpus — the texts never collect on the
+    driver). Returns (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    cands = minhash_candidate_pairs(ds.select_columns(["doc_id", "text"]),
+                                    num_perm=num_perm, bands=bands)
+    return verify_pairs_distributed(ds, cands, threshold)
 
 
 # -- n-gram Jaccard (exact verification) ------------------------------------
@@ -144,18 +196,70 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def verify_pairs_exact(ds_docs, pairs: pd.DataFrame, threshold: float, n: int = 3):
-    """Exact n-gram Jaccard on candidate pairs: broadcast the (small)
-    candidate texts, verify inside map_batches — candidates are rare, the
-    corpus is not collected."""
-    import ray
+def _pair_jaccard_batch(batch: pd.DataFrame, threshold: float, n: int) -> pd.DataFrame:
+    """Exact Jaccard for a batch of (doc_a, text_a, doc_b, text_b) pairs:
+    one vectorized shingle pass over all 2k texts, then per-pair sorted-set
+    intersection (the sets are per-pair variable-length; the loop is per
+    PAIR with numpy set kernels inside, not per token)."""
+    texts = pd.concat([batch["text_a"], batch["text_b"]], ignore_index=True)
+    sh = shingle_hashes(texts.fillna(""), n)
+    k = len(batch)
+    ja = np.empty(k, dtype=np.float64)
+    for i in range(k):
+        sa, sb = sh[i], sh[k + i]
+        if len(sa) == 0 and len(sb) == 0:
+            ja[i] = 1.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        ja[i] = inter / max(len(sa) + len(sb) - inter, 1)
+    keep = ja >= threshold
+    return pd.DataFrame(
+        {
+            "doc_a": batch["doc_a"].to_numpy()[keep],
+            "doc_b": batch["doc_b"].to_numpy()[keep],
+            "jaccard": ja[keep],
+        }
+    )
 
+
+def verify_pairs_distributed(ds_docs, pairs_ds, threshold: float, n: int = 3):
+    """Exact n-gram Jaccard over candidate pairs WITHOUT collecting any
+    text on the driver: hash-join the pair list against the corpus twice
+    (once per side), then verify per batch. This is the 100-TB shape — at
+    web-scale dup ratios the candidate set is itself a large dataset."""
+    from ..stages.relational import hash_join
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    docs = ds_docs.select_columns(["doc_id", "text"])
+    da = _rename(docs, {"doc_id": "doc_a", "text": "text_a"})
+    db = _rename(docs, {"doc_id": "doc_b", "text": "text_b"})
+    # materialize between the two joins: each JoinOperator reserves a CPU
+    # budget for its aggregator actors, and two live pools deadlock small
+    # clusters (see hash_join docstring); strip the join's empty blocks
+    ja = _strip_empty_blocks(hash_join(pairs_ds, da, on="doc_a"))
+    j = hash_join(ja, db, on="doc_b")
+    return j.map_batches(
+        lambda b: _pair_jaccard_batch(b, threshold, n), batch_format="pandas"
+    )
+
+
+def verify_pairs_exact(ds_docs, pairs: pd.DataFrame, threshold: float, n: int = 3):
+    """Small-scale convenience verifier for a DRIVER-side pair DataFrame
+    (tests / interactive use): broadcast only the candidate texts. For the
+    scale path use :func:`verify_pairs_distributed`."""
     needed = set(int(x) for x in pairs["doc_a"]) | set(int(x) for x in pairs["doc_b"])
     need_arr = pa.array(sorted(needed), type=pa.int64())
     texts = {
         int(r["doc_id"]): r["text"]
         for r in ds_docs.map_batches(
-            lambda t: t.filter(pa.compute.is_in(t.column("doc_id"), value_set=need_arr)),
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=need_arr)),
             batch_format="pyarrow",
         ).take_all()
     }
@@ -178,13 +282,21 @@ def simhash_dup_pairs(ds, max_hamming: int = 3):
     sh = ds.map_batches(SimHash, batch_format="pandas", concurrency=(1, 4))
 
     def explode_blocks(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, h in zip(batch["doc_id"], batch["simhash"]):
-            h = np.uint64(h)
-            for blk in range(4):
-                key = int((h >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
-                rows.append((int(did), blk, key, int(h)))
-        return pd.DataFrame(rows, columns=["doc_id", "blk", "key", "simhash"])
+        n = len(batch)
+        h = batch["simhash"].to_numpy(dtype=np.uint64)
+        blk = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = (
+            (h[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :])
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), 4),
+                "blk": blk,
+                "key": keys.ravel(),
+                "simhash": np.repeat(h, 4),
+            }
+        )
 
     exploded = sh.map_batches(explode_blocks, batch_format="pandas")
 
@@ -192,109 +304,238 @@ def simhash_dup_pairs(ds, max_hamming: int = 3):
         docs = g.drop_duplicates("doc_id")
         ids = docs["doc_id"].to_numpy()
         hs = docs["simhash"].to_numpy(dtype=np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(ham <= max_hamming):
-                a, b = sorted((int(ids[i]), int(ids[i + 1 + off])))
-                rows.append((a, b, int(ham[off])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        ham = popcount64(hs[iu] ^ hs[ju])
+        keep = ham <= max_hamming
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(a, b),
+                "doc_b": np.maximum(a, b),
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
 
     pairs = exploded.groupby(["blk", "key"]).map_groups(bucket_verify, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    out = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    return _rename(out, {"min(hamming)": "hamming"})
 
 
 # -- embedding cosine near-dup ----------------------------------------------
 
-def embedding_dup_pairs(ds_emb, threshold: float = 0.95, n_planes: int = 12, seed: int = 11):
-    """Embedding near-dup via random-hyperplane LSH bucketing (scale path:
-    no all-pairs across the corpus): sign-pattern bucket key -> per-bucket
-    exact cosine. Pairs split across buckets are caught probabilistically;
-    raise n_probes/rotations for recall at scale."""
-    def assign(batch: pd.DataFrame, planes: np.ndarray) -> pd.DataFrame:
+class _HyperplaneAssign:
+    """Actor-pool stage: random-hyperplane LSH bucket keys, ``n_tables``
+    independent plane sets per vector (multi-table amplification: a pair at
+    cosine c collides in >=1 table with prob 1-(1-p^b)^L, p=1-acos(c)/pi).
+    Emits ONLY ``(vec_id, table, bucket)`` — the vectors themselves never
+    enter the shuffle; candidate pairs are re-verified with an exact cosine
+    through a join against the embeddings table. Planes are built lazily on
+    the first batch (dim read from the data) with a fixed seed, so every
+    actor derives the identical plane set."""
+
+    def __init__(self, n_planes: int, n_tables: int, seed: int):
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+        self.planes = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((self.n_tables, self.n_planes, V.shape[1]))
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        signs = (V @ planes.T) > 0
-        key = signs @ (1 << np.arange(planes.shape[0]))
-        return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy(), "bucket": key.astype(np.int64), "vn": list(V)}
-        )
-
-    # deterministic planes, built driver-side once (tiny) and closed over
-    first = ds_emb.take(1)[0]
-    dim = len(first["embedding"])
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-
-    assigned = ds_emb.map_batches(
-        assign, batch_format="pandas", fn_kwargs={"planes": planes}
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        V = np.stack(g["vn"].to_numpy())
-        S = V @ V.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        n = len(batch)
+        keys = np.empty((n, self.n_tables), dtype=np.int64)
+        weights = 1 << np.arange(self.n_planes)
+        for t in range(self.n_tables):
+            keys[:, t] = ((V @ self.planes[t].T) > 0) @ weights
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(a, b),
-                "vec_b": np.maximum(a, b),
-                "cosine": np.floor(S[iu[keep], ju[keep]] * 1000).astype(np.int64) / 1000.0,
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), self.n_tables),
+                "table": np.tile(np.arange(self.n_tables, dtype=np.int32), n),
+                "bucket": keys.ravel(),
             }
         )
 
-    return assigned.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+def _bucket_id_pairs(g: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
+    ids = np.unique(g[id_col].to_numpy())
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)})
+    if n > max_bucket:
+        return pd.DataFrame({"vec_a": ids[:-1], "vec_b": ids[1:]})
+    iu, ju = np.triu_indices(n, k=1)
+    return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[ju]})
+
+
+def embedding_dup_pairs(
+    ds_emb,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 11,
+):
+    """Embedding near-dup via multi-table random-hyperplane LSH (scale
+    path: no all-pairs across the corpus, no vectors in the shuffle):
+    per-table sign-pattern bucket key -> per-bucket candidate ID pairs ->
+    distinct -> exact cosine via two hash joins against the embeddings
+    table (row-wise einsum, fully vectorized). ``n_tables`` independent
+    tables amplify recall (identical vectors always collide; 0.95-cosine
+    pairs collide in >=1 of 4 tables w.p. ~0.99 at 12 planes); exact
+    verification keeps precision exact — LSH only gates candidates.
+    Returns (vec_a, vec_b, cosine_milli)."""
+    from ..stages.relational import hash_join
+
+    assigned = ds_emb.map_batches(
+        _HyperplaneAssign,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables, "seed": seed},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    cands = assigned.groupby(["table", "bucket"]).map_groups(
+        lambda g: _bucket_id_pairs(g, "vec_id", 4096), batch_format="pandas"
+    )
+    distinct = cands.groupby(["vec_a", "vec_b"]).count()
+    distinct = distinct.drop_columns(
+        [c for c in distinct.columns() if c not in ("vec_a", "vec_b")]
+    )
+
+    distinct = distinct.materialize()
+    if distinct.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine_milli": pa.array([], pa.int64()),
+        }))
+
+    def pack(b: pd.DataFrame) -> pa.Table:
+        # Arrow's hash join rejects list / tensor payload columns outright;
+        # pack each float32 vector into one binary cell (vectorized: one
+        # stack + one tobytes for the whole batch)
+        V = np.ascontiguousarray(np.stack(b["embedding"].to_numpy()), dtype=np.float32)
+        n, dim = V.shape
+        offs = (np.arange(n + 1, dtype=np.int32) * (4 * dim))
+        arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(V.tobytes())],
+        )
+        return pa.table({"vec_id": pa.array(b["vec_id"].to_numpy()), "embedding": arr})
+
+    emb = ds_emb.select_columns(["vec_id", "embedding"]).map_batches(
+        pack, batch_format="pandas"
+    )
+    ea = _rename(emb, {"vec_id": "vec_a", "embedding": "emb_a"})
+    eb = _rename(emb, {"vec_id": "vec_b", "embedding": "emb_b"})
+    # one live JoinOperator at a time (see hash_join docstring)
+    ja = _strip_empty_blocks(hash_join(distinct, ea, on="vec_a"))
+    j = hash_join(ja, eb, on="vec_b")
+
+    def unpack(col: pd.Series) -> np.ndarray:
+        flat = np.frombuffer(b"".join(col.to_numpy()), dtype=np.float32)
+        return flat.reshape(len(col), -1)
+
+    def exact_cosine(b: pd.DataFrame) -> pd.DataFrame:
+        Va = unpack(b["emb_a"]).astype(np.float64)
+        Vb = unpack(b["emb_b"]).astype(np.float64)
+        Va /= np.maximum(np.linalg.norm(Va, axis=1, keepdims=True), 1e-12)
+        Vb /= np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-12)
+        cos = np.einsum("ij,ij->i", Va, Vb)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": b["vec_a"].to_numpy()[keep],
+                "vec_b": b["vec_b"].to_numpy()[keep],
+                "cosine_milli": np.floor(cos[keep] * 1000).astype(np.int64),
+            }
+        )
+
+    return j.map_batches(exact_cosine, batch_format="pandas")
+
+
+# -- distributed connected components ----------------------------------------
+
+def distributed_components(pairs_ds, max_iters: int = 64):
+    """Connected components over an edge Dataset (doc_a, doc_b) WITHOUT
+    driver-side union-find: iterative min-label propagation. Each round is
+    one hash join (pull the neighbor's current label along every directed
+    edge) plus one groupby-min; labels decrease monotonically, so the sum
+    of labels is a convergence certificate. Rounds ~ component diameter
+    (near-dup clusters are shallow), every round is pair-scale, nothing
+    touches the driver but one scalar per round."""
+    from ..stages.relational import hash_join
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    edges = _strip_empty_blocks(
+        pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+            bidir, batch_format="pyarrow"
+        )
+    )
+
+    def with_self(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": np.concatenate([s, s]), "dst": np.concatenate([d, s])}
+        )
+
+    # all renames below go through _rename: Ray's native rename_columns can
+    # emit empty blocks with an EMPTY schema out of a groupby, which then
+    # breaks the hash-join aggregator on whichever partition drew one
+    labels = _strip_empty_blocks(_rename(
+        edges.map_batches(with_self, batch_format="pyarrow").groupby("src").min("dst"),
+        {"src": "node", "min(dst)": "label"},
+    ))
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = hash_join(
+            edges, labels, on="dst", right_on="node"
+        ).select_columns(["src", "label"])
+        msgs = prop.union(_rename(labels, {"node": "src"}))
+        labels = _strip_empty_blocks(_rename(
+            msgs.groupby("src").min("label"),
+            {"src": "node", "min(label)": "label"},
+        ))
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 # -- end-to-end near-dup removal --------------------------------------------
 
-def _components(pairs: pd.DataFrame) -> dict[int, int]:
-    """Union-find over candidate pairs -> {doc_id: canonical (min) doc_id}.
-    Pairs are rare relative to the corpus, so this is driver-side by design;
-    the corpus itself never leaves the cluster."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    return {x: find(x) for x in parent}
-
-
 def dedup_corpus(ds_docs, threshold: float = 0.7, num_perm: int = 64, bands: int = 16):
-    """Full near-dedup pipeline: MinHash+LSH candidates -> exact n-gram
-    Jaccard verification -> connected components -> drop every doc whose
-    canonical representative is a different (smaller) doc_id. Returns the
-    deduplicated Dataset (all columns preserved)."""
+    """Full near-dedup pipeline, end-to-end distributed: MinHash+LSH
+    candidates -> exact n-gram Jaccard verification (hash joins, no driver
+    text dict) -> min-label-propagation components -> drop every doc whose
+    canonical label is a different (smaller) doc_id via a native
+    hash-partitioned LEFT ANTI join. Returns the deduplicated Dataset (all
+    columns preserved). No stage materializes pairs or texts on the
+    driver — safe at web-scale dup ratios."""
+    from ..stages.relational import hash_join
+
     pairs = minhash_dup_pairs(
         ds_docs.select_columns(["doc_id", "text"]),
         threshold=threshold, num_perm=num_perm, bands=bands,
-    ).to_pandas()
-    if len(pairs):
-        pairs = verify_pairs_exact(ds_docs, pairs, threshold)
-    if not len(pairs):
+    ).materialize()
+    if pairs.count() == 0:
         return ds_docs
-    comp = _components(pairs)
-    drop = pa.array(
-        sorted(d for d, canon in comp.items() if canon != d), type=pa.int64()
-    )
-
-    def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(
-            pc.invert(pc.is_in(t.column("doc_id"), value_set=drop))
-        )
-
-    return ds_docs.map_batches(keep, batch_format="pyarrow")
+    labels = distributed_components(pairs)
+    drop = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("node"), t.column("label"))),
+        batch_format="pyarrow",
+    ).select_columns(["node"])
+    drop = _strip_empty_blocks(_rename(drop, {"node": "doc_id"}))
+    if drop.count() == 0:
+        return ds_docs
+    return hash_join(ds_docs, drop, on="doc_id", join_type="left_anti")

@@ -94,8 +94,9 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe:
         IvfAssign, fn_constructor_kwargs={"centroids_ref": cref},
         batch_format="pandas", concurrency=(1, 4),
     )
-    probed = assigned.filter(
-        lambda row: row["list_id"] in probes
+    probe_ids = np.array(sorted(probes), dtype=np.int32)
+    probed = assigned.map_batches(
+        lambda df: df[df["list_id"].isin(probe_ids)], batch_format="pandas"
     )
 
     qref = ray.put(q)

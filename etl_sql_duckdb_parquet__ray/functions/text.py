@@ -26,33 +26,67 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
     "de": frozenset("der die das und ist ein eine zu den von mit nicht im für auf sich des dem als".split()),
 }
 _CJK = re.compile(r"[一-鿿぀-ヿ]")
+_CJK_RE = r"[一-鿿぀-ヿ]"
+_WORD_CHARS_RE = r"[^a-zàâäéèêëîïôöùûüñáíóúß'\s]+"
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via an 8-bit LUT (numpy<2 has no
+    ``bitwise_count``)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1)
+
+
+def _doc_stop_hits(toks: list[np.ndarray], stop_hashes: np.ndarray) -> np.ndarray:
+    """Per-doc count of tokens whose hash is in ``stop_hashes`` — one
+    ``np.isin`` over the flat concatenated token hashes, folded back per doc
+    with bincount (no per-row Python)."""
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    if lens.sum() == 0:
+        return np.zeros(len(toks), dtype=np.int64)
+    flat = np.concatenate(toks)
+    doc_idx = np.repeat(np.arange(len(toks)), lens)
+    hit = np.isin(flat, stop_hashes)
+    return np.bincount(doc_idx[hit], minlength=len(toks)).astype(np.int64)
 
 
 class LangId:
     """Heuristic language ID: CJK codepoint share, else stopword-overlap
-    argmax over per-language profiles; 'und' when nothing matches."""
+    argmax over per-language profiles; 'und' when nothing matches.
+
+    Fully vectorized: Arrow regex kernels strip non-word chars and detect
+    CJK; stopword membership is a hashed ``np.isin`` over the batch's flat
+    token list (hash sets built once per actor in ``__init__``)."""
 
     def __init__(self):
-        self._word = re.compile(r"[a-zàâäéèêëîïôöùûüñáíóúß']+")
-
-    def _ident(self, text: str) -> str:
-        if not text:
-            return "und"
-        if _CJK.search(text):
-            return "zh"
-        words = self._word.findall(text.lower())
-        if not words:
-            return "und"
-        best, best_hits = "und", 0
-        for lang, sw in _LANG_STOPWORDS.items():
-            hits = sum(1 for w in words if w in sw)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        self._langs = list(_LANG_STOPWORDS)
+        self._stop_hashes = [
+            pd.util.hash_array(np.array(sorted(sw), dtype=object))
+            for sw in _LANG_STOPWORDS.values()
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._ident(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        text = pc.fill_null(batch.column("text"), "")
+        cjk = pc.greater(pc.count_substring_regex(text, _CJK_RE), 0).to_numpy(
+            zero_copy_only=False
+        )
+        words_only = pc.replace_substring_regex(
+            pc.utf8_lower(text), _WORD_CHARS_RE, " "
+        )
+        toks = token_hashes(words_only.to_pandas())
+        hits = np.stack(
+            [_doc_stop_hits(toks, sh) for sh in self._stop_hashes]
+        )  # (lang, doc)
+        best = hits.argmax(axis=0)
+        best_hits = hits[best, np.arange(hits.shape[1])]
+        lang_arr = np.array(self._langs, dtype=object)
+        preds = np.where(best_hits > 0, lang_arr[best], "und")
+        preds = np.where(cjk, "zh", preds)
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), type=pa.string())
+        )
 
 
 class QualityScore:
@@ -62,6 +96,11 @@ class QualityScore:
 
     STOPWORDS = _LANG_STOPWORDS["en"]
 
+    def __init__(self):
+        self._stop_hashes = pd.util.hash_array(
+            np.array(sorted(self.STOPWORDS), dtype=object)
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         # nulls are scored as empty strings (quality 0-ish), never NaN
         text = pc.fill_null(batch.column("text"), "")
@@ -69,15 +108,11 @@ class QualityScore:
         # punctuation ratio via vectorized kernels
         n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.float64())
         n_tokens = pc.add(pc.count_substring(text, " "), 1).cast(pa.float64())
-        # stopword hits need tokenization; pandas str ops stay in C mostly
-        s = text.to_pandas()
-        stop_ratio = np.array(
-            [
-                (sum(1 for w in t.split() if w in self.STOPWORDS) / max(len(t.split()), 1))
-                for t in s
-            ],
-            dtype=np.float64,
-        )
+        # stopword term: one hashed isin over the batch's flat token list
+        toks = token_hashes(text.to_pandas())
+        tok_lens = np.array([len(t) for t in toks], dtype=np.float64)
+        hits = _doc_stop_hits(toks, self._stop_hashes).astype(np.float64)
+        stop_ratio = hits / np.maximum(tok_lens, 1.0)
         nc = np.asarray(n_chars.to_pandas())
         punct_ratio = np.asarray(n_punct.to_pandas()) / np.maximum(nc, 1.0)
         mean_tok_len = nc / np.maximum(np.asarray(n_tokens.to_pandas()), 1.0)
@@ -93,16 +128,13 @@ class TokenCount:
     """Whitespace tokens plus a BPE-ish regex token count (words,
     numbers, punctuation runs) — regex compiled once per actor."""
 
-    def __init__(self):
-        self._tok = re.compile(r"\w+|[^\w\s]")
+    TOKEN_RE = r"\w+|[^\w\s]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
+        text = pc.fill_null(batch.column("text"), "")
         ws = pc.add(pc.count_substring(text, " "), 1).cast(pa.int64())
-        bpe = pa.array(
-            [len(self._tok.findall(t)) if t else 0 for t in text.to_pylist()],
-            type=pa.int64(),
-        )
+        # count of non-overlapping regex matches == len(findall), in RE2/C++
+        bpe = pc.count_substring_regex(text, self.TOKEN_RE).cast(pa.int64())
         return batch.append_column("ws_tokens", ws).append_column("re_tokens", bpe)
 
 

@@ -14,6 +14,7 @@ form of the reference's ingest module (``src/etl/ingest.py:14-87``).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.csv as pacsv
@@ -55,12 +56,15 @@ def add_audit_columns(ds, source_file: str, ingested_at: str):
 
     def stamp(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        h = pd.util.hash_pandas_object(
-            batch.astype(str).agg("|".join, axis=1), index=False
-        )
+        # hash_pandas_object on the frame combines per-column C-vectorized
+        # hashes row-wise — no per-row Python string join
+        h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
         batch["ingested_at"] = ingested_at
         batch["source_file"] = source_file
-        batch["row_hash"] = h.map(lambda v: format(v, "016x"))
+        hexchars = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+        nib = (h[:, None] >> (np.uint64(60) - np.uint64(4) * np.arange(16, dtype=np.uint64))) & np.uint64(0xF)
+        hx = hexchars[nib.astype(np.int64)].tobytes()
+        batch["row_hash"] = np.frombuffer(hx, dtype="S16").astype("U16")
         return batch
 
     return ds.map_batches(stamp, batch_format="pandas")

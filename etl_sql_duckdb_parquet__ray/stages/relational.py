@@ -143,13 +143,26 @@ def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col
     return batch.append_column(out_col, result)
 
 
-def hash_join(left, right, on, right_on=None, join_type: str = "inner", num_partitions: int = 16):
+def hash_join(left, right, on, right_on=None, join_type: str = "inner",
+              num_partitions: int | None = None):
     """Large-by-large hash-partitioned join (``Dataset.join``) — the
     shuffle-both-sides complement to ``broadcast_join`` (reference J3/J4
     when neither side is a small dim). Requires the HASH_SHUFFLE strategy
     context; both sides are exchanged on the key, so prefer broadcast when
-    one side fits in memory."""
+    one side fits in memory.
+
+    ``num_partitions`` defaults to ``min(16, cluster CPUs)``: each
+    JoinOperator reserves a CPU budget proportional to its partition count
+    for its aggregator actors, and oversizing it on a small cluster (or two
+    live joins in one plan) starves the map stages into a deadlock. Callers
+    chaining joins should ``materialize()`` between them so only one
+    JoinOperator's aggregator pool is alive at a time."""
+    import ray
     import ray.data
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus))
 
     ctx = ray.data.DataContext.get_current()
     prev = ctx.shuffle_strategy

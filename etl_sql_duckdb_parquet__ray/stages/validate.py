@@ -57,12 +57,16 @@ def annotate_violations(ds, rules: list[Rule]):
     rule names; empty string = clean row)."""
 
     def check(batch: pa.Table) -> pa.Table:
-        tags = [""] * batch.num_rows
+        # vectorized accumulate: tags ++ ("," if joining) ++ rule name
+        tags = pa.array([""] * batch.num_rows, type=pa.string())
         for rule in rules:
             mask = _violation_mask(batch, rule)
-            for i in mask.to_numpy(zero_copy_only=False).nonzero()[0]:
-                tags[i] = f"{tags[i]},{rule.name}" if tags[i] else rule.name
-        return batch.append_column("_violations", pa.array(tags, type=pa.string()))
+            sep = pc.if_else(
+                pc.and_(mask, pc.not_equal(tags, "")), ",", ""
+            )
+            add = pc.if_else(mask, rule.name, "")
+            tags = pc.binary_join_element_wise(tags, sep, add, "")
+        return batch.append_column("_violations", tags)
 
     return ds.map_batches(check, batch_format="pyarrow")
 
