@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
+        "orders_nunique": _q(A.orders_nunique),
         "lineitem_correlation": _q(A.lineitem_correlation),
         "user_sessions": _q(A.user_sessions),
         "value_outliers": _q(A.value_outliers),
@@ -283,6 +284,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MIN(l_extendedprice)*100) AS BIGINT) AS price_min_x100,
                    CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS price_max_x100
             FROM lineitem
+        """,
+        "orders_nunique": """
+            SELECT COUNT(DISTINCT o_custkey) AS n_custkey,
+                   COUNT(DISTINCT o_orderpriority) AS n_priority
+            FROM orders
         """,
         "lineitem_correlation": """
             WITH c AS (

@@ -24,6 +24,7 @@ chunk auto-selector measures both against plain zstd and picks the smallest
 from __future__ import annotations
 
 import re
+import weakref
 
 import numpy as np
 
@@ -70,9 +71,15 @@ class _TableIndex:
         self.lut1 = np.full(256, 255, dtype=np.uint8)
         self.lut2 = np.full(65536, 255, dtype=np.uint8)
         self.len_mask2 = np.zeros(65536, dtype=np.uint8)
-        # direct 24-bit LUT for 3-byte symbols (16 MB, built once per cached
-        # index per worker): one gather replaces gate+searchsorted for L=3
-        self.lut3 = np.full(1 << 24, 255, dtype=np.uint8)
+        # direct 24-bit LUT for 3-byte symbols: one gather replaces
+        # gate+searchsorted for L=3. Only allocated when the table actually
+        # has 3-byte symbols, and recycled through a pool — the non-shared
+        # encode path builds a fresh index per chunk / selector probe, and
+        # repeated 16 MB first-touch allocations are what _scratch exists
+        # to avoid (matcher skips the L=3 block when lut3 is None)
+        self.lut3 = _acquire_lut3() if any(len(s) == 3 for s in table) else None
+        if self.lut3 is not None:
+            weakref.finalize(self, _LUT3_POOL.append, self.lut3)
         for L in self.lengths:
             syms = sorted(
                 (int.from_bytes(s, "big"), i) for i, s in enumerate(table) if len(s) == L
@@ -101,6 +108,18 @@ class _TableIndex:
         self.combo2 = np.where(
             self.lut2 != 255, self.lut2.astype(np.uint16) | np.uint16(2 << 8), base1
         )
+
+
+_LUT3_POOL: list[np.ndarray] = []
+
+
+def _acquire_lut3() -> np.ndarray:
+    """Pooled 16 MB L=3 lookup table: `.fill(255)` on a recycled buffer
+    touches already-faulted pages, avoiding the first-touch cost of a fresh
+    ``np.full(1 << 24)`` per index construction."""
+    buf = _LUT3_POOL.pop() if _LUT3_POOL else np.empty(1 << 24, dtype=np.uint8)
+    buf.fill(255)
+    return buf
 
 
 _BUFS: dict[tuple, np.ndarray] = {}
@@ -158,15 +177,17 @@ def _match_positions(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.
     np.multiply(combo, 1, out=best_code, casting="unsafe")  # low byte
     np.right_shift(combo, 8, out=combo)
     np.multiply(combo, 1, out=best_len, casting="unsafe")
-    # L=3 via the 24-bit direct LUT
-    np.right_shift(code4, 8, out=sh)
-    p3 = _scratch("p3", n, np.int32)
-    np.multiply(sh, 1, out=p3, casting="unsafe")
-    id3 = _scratch("id3", n, np.uint8)
-    np.take(idx.lut3, p3, out=id3)
-    m3 = id3 != 255
-    np.copyto(best_code, id3, where=m3)
-    np.copyto(best_len, np.uint8(3), where=m3)
+    # L=3 via the 24-bit direct LUT (absent when the table has no 3-byte
+    # symbols — no hits possible, skip the gather entirely)
+    if idx.lut3 is not None:
+        np.right_shift(code4, 8, out=sh)
+        p3 = _scratch("p3", n, np.int32)
+        np.multiply(sh, 1, out=p3, casting="unsafe")
+        id3 = _scratch("id3", n, np.uint8)
+        np.take(idx.lut3, p3, out=id3)
+        m3 = id3 != 255
+        np.copyto(best_code, id3, where=m3)
+        np.copyto(best_len, np.uint8(3), where=m3)
     # L=4: gated searchsorted over the rare candidate positions
     if 4 in idx.by_len:
         m2 = _scratch("m2", n, np.uint8)

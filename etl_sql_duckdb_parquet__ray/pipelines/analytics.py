@@ -161,8 +161,10 @@ def orders_per_day(sf_dir: str):
     ds = read_table(sf_dir, "orders", ["o_orderdate"])
 
     def day(t: pa.Table) -> pa.Table:
-        d = pc.divide(_ts_us(t.column("o_orderdate")), pa.scalar(US_PER_DAY, type=pa.int64()))
-        return pa.table({"day_num": d})
+        # numpy // is FLOOR division, matching DuckDB's // for pre-1970
+        # (negative-epoch) dates; pc.divide truncates toward zero
+        us = _ts_us(t.column("o_orderdate")).to_numpy(zero_copy_only=False)
+        return pa.table({"day_num": pa.array(us // US_PER_DAY, type=pa.int64())})
 
     out = ds.map_batches(day, batch_format="pyarrow").groupby("day_num").count()
     return _rename(out, ["day_num", "n_orders"])
@@ -447,6 +449,20 @@ def column_profile_lineitem(sf_dir: str):
             "price_max_x100": pa.array([cents(agg["max(l_extendedprice)"])], type=pa.int64()),
         }
     )
+
+
+def orders_nunique(sf_dir: str):
+    """Exact per-column distinct counts (reference per-column nunique,
+    ``src/profiling.py:12-42``) via the groupby shuffle; the HLL-sketch
+    companion is ``stages.profile.approx_nunique`` (one streaming pass,
+    ~1% error) for when the exchange isn't worth it."""
+    from ..stages.profile import exact_nunique
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return pa.table({
+        "n_custkey": pa.array([exact_nunique(orders, "o_custkey")], type=pa.int64()),
+        "n_priority": pa.array([exact_nunique(orders, "o_orderpriority")], type=pa.int64()),
+    })
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30):

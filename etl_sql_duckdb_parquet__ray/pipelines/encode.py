@@ -106,23 +106,43 @@ def detect_hot_convs(
     counts: dict[str, int] = {}
     seen = 0
     if paths:
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.parquet as pq
 
-        for path in paths[:4]:
-            pf = pq.ParquetFile(path)
-            for b in pf.iter_batches(batch_size=65536, columns=["conv_id"]):
-                vals, cnts = np.unique(np.asarray(b.column(0), dtype=object), return_counts=True)
-                for v, c in zip(vals, cnts):
-                    counts[v] = counts.get(v, 0) + int(c)
-                seen += b.num_rows
-                if seen >= sample_rows:
-                    break
-            if seen >= sample_rows:
-                break
-    else:
-        for row in ds.limit(sample_rows).select_columns(["conv_id"]).take_all():
-            counts[row["conv_id"]] = counts.get(row["conv_id"], 0) + 1
-            seen += 1
+            # evenly spaced across ALL fragments (first and last included):
+            # a hot conversation living only in later files must be seen
+            paths = sorted(paths)  # input_files() order is not deterministic
+            k = min(8, len(paths))
+            idxs = sorted({int(i) for i in np.linspace(0, len(paths) - 1, k)})
+            chosen = [paths[i] for i in idxs]
+            # budget is PER FILE (no global early-stop): a global cap would
+            # exhaust on the first files and never reach the last fragment
+            per_file = max(sample_rows // len(chosen), 1)
+            for path in chosen:
+                pf = pq.ParquetFile(path)
+                file_seen = 0
+                for b in pf.iter_batches(
+                    batch_size=min(65536, per_file), columns=["conv_id"]
+                ):
+                    vals, cnts = np.unique(
+                        np.asarray(b.column(0), dtype=object), return_counts=True
+                    )
+                    for v, c in zip(vals, cnts):
+                        counts[v] = counts.get(v, 0) + int(c)
+                    seen += b.num_rows
+                    file_seen += b.num_rows
+                    if file_seen >= per_file:
+                        break
+        except Exception:
+            # paths that aren't readable parquet with a conv_id column
+            # (e.g. input_files() of a derived dataset) — fall back to
+            # sampling the dataset itself
+            counts, seen = {}, 0
+    if not seen:
+        df = ds.limit(sample_rows).select_columns(["conv_id"]).to_pandas()
+        if "conv_id" in df.columns:  # empty datasets come back column-less
+            counts = {k: int(v) for k, v in df["conv_id"].value_counts().items()}
+            seen = len(df)
     if not seen:
         return {}
     total = est_total or seen
@@ -364,6 +384,9 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
     key = (out_dir, chunk_rows, mode, skey)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
+        # one-live-entry policy (same as _PRE_INDEX): a long-lived worker
+        # serving many encode jobs must not pin one FSST table per past job
+        _WORKER_ENCODERS.clear()
         enc = BucketEncoder(
             out_dir=out_dir, chunk_rows=chunk_rows, mode=mode, state_ref=state_ref
         )
@@ -413,8 +436,18 @@ def encode_transcripts(
         state_ref = ray.put(shared_state)
 
     if salt_hot and hot_convs is None:
+        # estimate total rows from parquet METADATA when the dataset is a
+        # pure read; ds.count() on a derived dataset would execute the whole
+        # upstream pipeline just to size the sample scale
+        est_total = None
         try:
-            est_total = ds.count()  # parquet metadata only — cheap
+            paths = ds.input_files()
+            if paths:
+                import pyarrow.parquet as pq
+
+                est_total = sum(
+                    pq.ParquetFile(p).metadata.num_rows for p in paths
+                )
         except Exception:
             est_total = None
         hot_convs = detect_hot_convs(

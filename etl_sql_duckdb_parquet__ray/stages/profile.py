@@ -16,11 +16,92 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# -- HyperLogLog (Flajolet et al. '07) --------------------------------------
+
+_HLL_P = 12                      # 4096 uint8 registers = 4 KB per sketch
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_registers(values: np.ndarray) -> np.ndarray:
+    """Vectorized HLL update: hash -> top-p bits pick the register, rank =
+    leading-zero count of the remaining bits + 1. frexp gives the exact bit
+    length for < 2^53, which the low 52 bits always are."""
+    import pandas as pd
+
+    reg = np.zeros(_HLL_M, dtype=np.uint8)
+    if len(values) == 0:
+        return reg
+    h = pd.util.hash_array(values)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    low = (h & np.uint64((1 << 52) - 1)).astype(np.float64)
+    bitlen = np.frexp(low)[1]            # 0 for low==0
+    rank = (53 - bitlen).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)      # linear counting for small ranges
+    return int(round(est))
+
+
+def _column_sketch(col: pa.ChunkedArray | pa.Array) -> bytes:
+    """HLL registers for one column chunk, or b'' for unhashable types
+    (nested lists/tensors — nunique is not meaningful there)."""
+    try:
+        v = col.drop_null()
+        if pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+            vals = np.asarray(v, dtype=object)
+        else:
+            vals = np.asarray(v)
+        return _hll_registers(vals).tobytes()
+    except (TypeError, ValueError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return b""
+
+
+def approx_nunique(ds, columns: list[str]) -> dict[str, int]:
+    """Distributed distinct-count estimate: one streaming pass emitting a
+    4 KB HLL sketch per column per block; sketches merge by elementwise max
+    on the driver. ~1-2% relative error at p=12 — the scale path where an
+    exact two-level groupby shuffle isn't worth it (reference
+    ``src/profiling.py:12-42`` computes per-column nunique exactly)."""
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            name: pa.array([_column_sketch(t.column(name))], type=pa.binary())
+            for name in columns
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    out = {}
+    for name in columns:
+        merged = np.zeros(_HLL_M, dtype=np.uint8)
+        ok = False
+        for p in parts:
+            if p[name]:
+                merged = np.maximum(merged, np.frombuffer(p[name], dtype=np.uint8))
+                ok = True
+        out[name] = _hll_estimate(merged) if ok else None
+    return out
+
+
+def exact_nunique(ds, column: str) -> int:
+    """Exact distinct count via the groupby shuffle (distinct keys, then
+    count rows) — the companion to :func:`approx_nunique` when exactness
+    matters more than the all-to-all exchange."""
+    return ds.select_columns([column]).groupby(column).count().count()
+
+
 def _batch_partial(batch: pa.Table, columns: list[str]) -> pa.Table:
     out: dict[str, Any] = {"_rows": [batch.num_rows]}
     for name in columns:
         col = batch.column(name)
         out[f"{name}__nulls"] = [col.null_count]
+        out[f"{name}__hll"] = [_column_sketch(col)]
         typ = col.type
         if pa.types.is_integer(typ) or pa.types.is_floating(typ) or pa.types.is_timestamp(typ):
             valid = col.drop_null()
@@ -54,6 +135,14 @@ def profile_dataset(ds, columns: list[str] | None = None) -> dict[str, Any]:
     for name in columns:
         c: dict[str, Any] = {"nulls": sum(p[f"{name}__nulls"] for p in parts)}
         c["null_rate"] = c["nulls"] / rows if rows else 0.0
+        merged = np.zeros(_HLL_M, dtype=np.uint8)
+        any_hll = False
+        for p in parts:
+            sk = p.get(f"{name}__hll")
+            if sk:
+                merged = np.maximum(merged, np.frombuffer(sk, dtype=np.uint8))
+                any_hll = True
+        c["nunique_approx"] = _hll_estimate(merged) if any_hll else None
         def _agg(key, fn):
             vals = [p[key] for p in parts if p.get(key) is not None]
             return fn(vals) if vals else None
@@ -132,21 +221,70 @@ def flag_outliers_zscore(ds, column: str, threshold: float = 3.0):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
-def flag_outliers_iqr(ds, column: str, k: float = 1.5):
-    """IQR outlier flagging (reference ``qc_metrics.py:125-142``): exact
-    quantiles computed from the (collected, numeric-only) column — at scale
-    substitute a t-digest sketch; the filter pass stays distributed."""
+def approx_quantiles(ds, column: str, qs: list[float], bins: int = 8192) -> list[float]:
+    """Distributed quantile sketch: per-batch min/max partials, then a
+    per-batch fixed-width histogram summed across the cluster (both passes
+    are column-pruned map_batches + a tiny aggregate — the column never
+    collects on the driver). Quantiles interpolate inside the hit bin, so
+    the error is bounded by (max-min)/bins."""
     import numpy as np
     import pyarrow.compute as pc
 
-    vals = np.concatenate(
-        [
-            np.asarray(b.column(column).drop_null())
-            for b in ds.select_columns([column]).iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
+    def mm(t: pa.Table) -> pa.Table:
+        c = t.column(column).drop_null()
+        if len(c) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "mn": pa.array([pc.min(c).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(c).as_py()], pa.float64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    col = ds.select_columns([column])
+    agg = col.map_batches(mm, batch_format="pyarrow").aggregate(
+        Min("mn"), Max("mx")
     )
-    q1, q3 = np.percentile(vals, [25, 75])
+    lo_v, hi_v = float(agg["min(mn)"]), float(agg["max(mx)"])
+    if not np.isfinite(lo_v) or hi_v <= lo_v:
+        return [lo_v for _ in qs]
+    edges = np.linspace(lo_v, hi_v, bins + 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(column).drop_null(), dtype=np.float64)
+        h, _ = np.histogram(v, bins=edges)
+        return pa.table({"bin": np.arange(bins, dtype=np.int64), "cnt": h})
+
+    hdf = (
+        col.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin").sum("cnt").to_pandas()
+        .sort_values("bin")
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    counts[hdf["bin"].to_numpy()] = hdf["sum(cnt)"].to_numpy()
+    cum = np.cumsum(counts)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        inbin = counts[b] or 1
+        frac = (target - prev) / inbin
+        out.append(float(edges[b] + frac * (edges[b + 1] - edges[b])))
+    return out
+
+
+def flag_outliers_iqr(ds, column: str, k: float = 1.5, bins: int = 8192):
+    """IQR outlier flagging (reference ``qc_metrics.py:125-142``): Q1/Q3
+    from the distributed histogram sketch (:func:`approx_quantiles` — the
+    column never materializes on the driver), then a vectorized filter
+    pass. Fence error is bounded by ``(1+k) * (max-min)/bins``."""
+    import pyarrow.compute as pc
+
+    q1, q3 = approx_quantiles(ds, column, [0.25, 0.75], bins=bins)
     lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
 
     def flag(t: pa.Table) -> pa.Table:

@@ -97,6 +97,50 @@ def test_hot_conversation_salted_into_ordered_chunks(ray_session, tmp_path):
     assert roundtrip_ok(ds, out)
 
 
+def test_detect_hot_convs_sees_last_fragment(ray_session, tmp_path):
+    """A hot conversation living ONLY in the last of many parquet fragments
+    must still be detected — the sampler strides across all fragments
+    instead of reading the first few."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import detect_hot_convs
+
+    d = tmp_path / "frags"
+    d.mkdir()
+    for i in range(16):
+        if i < 15:
+            t = pa.table({
+                "conv_id": pa.array([f"conv-{i}-{j % 50}" for j in range(2000)]),
+                "turn_idx": pa.array(range(2000), type=pa.int32()),
+            })
+        else:
+            t = pa.table({
+                "conv_id": pa.array(["conv-hot"] * 2000),
+                "turn_idx": pa.array(range(2000), type=pa.int32()),
+            })
+        pq.write_table(t, str(d / f"part-{i:03d}.parquet"))
+    ds = ray.data.read_parquet(str(d))
+    hot = detect_hot_convs(ds, sample_rows=8000, est_total=32000, hot_threshold=1000)
+    assert "conv-hot" in hot
+
+
+def test_detect_hot_convs_derived_dataset_fallback(ray_session):
+    """input_files() paths that aren't conv_id parquet (derived datasets)
+    must fall back to sampling the dataset itself, not crash."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import detect_hot_convs
+
+    t = pa.table({
+        "conv_id": pa.array(["conv-hot"] * 3000 + [f"c{i}" for i in range(100)]),
+        "turn_idx": pa.array(range(3100), type=pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    hot = detect_hot_convs(ds, sample_rows=5000, hot_threshold=1000)
+    assert "conv-hot" in hot
+
+
 def test_resume_skips_completed_buckets(ds, tmp_path):
     out = str(tmp_path / "enc4")
     encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=4096)

@@ -10,7 +10,10 @@ import pyarrow as pa
 import pytest
 
 from etl_sql_duckdb_parquet__ray.stages.profile import (
+    approx_nunique,
+    approx_quantiles,
     duplicate_row_count,
+    exact_nunique,
     profile_dataset,
     quality_score,
 )
@@ -114,6 +117,39 @@ def test_profile_dataset_matches_duckdb(ray_session, sf_dir):
     assert v["nulls"] == exp[4]
     et = prof["columns"]["event_type"]
     assert et["strlen_min"] >= 1 and et["strlen_max"] >= et["strlen_min"]
+
+
+def test_nunique_exact_and_hll_vs_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    exp_user, exp_type = con.sql(
+        f"SELECT COUNT(DISTINCT user_id), COUNT(DISTINCT event_type) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert exact_nunique(ds, "user_id") == exp_user
+    est = approx_nunique(ds, ["user_id", "event_type"])
+    # p=12 HLL: ~1.6% stddev; allow 5%
+    assert abs(est["user_id"] - exp_user) <= max(0.05 * exp_user, 2)
+    assert abs(est["event_type"] - exp_type) <= max(0.05 * exp_type, 2)
+    prof = profile_dataset(ds, ["user_id"])
+    nu = prof["columns"]["user_id"]["nunique_approx"]
+    assert abs(nu - exp_user) <= max(0.05 * exp_user, 2)
+
+
+def test_approx_quantiles_close_to_exact(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100.0, 15.0, 50_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    q1, q2, q3 = approx_quantiles(ds, "v", [0.25, 0.5, 0.75])
+    e1, e2, e3 = np.percentile(vals, [25, 50, 75])
+    span = vals.max() - vals.min()
+    for a, e in [(q1, e1), (q2, e2), (q3, e3)]:
+        assert abs(a - e) < span / 1000  # well under one bin of slack
 
 
 def test_duplicate_row_count_and_quality(ray_session):
