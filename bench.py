@@ -211,6 +211,96 @@ def run_default() -> None:
     ray.shutdown()
 
 
+def run_formats() -> None:
+    """CSV-vs-Parquet A/B (reference ``src/benchmarks.py:67-144``): the same
+    queries over the same rows stored as CSV and as zstd Parquet, median of
+    3, plus on-disk sizes. All queries run as streaming Ray Data pipelines;
+    the parquet side passes ``columns=`` so only needed columns leave disk —
+    the CSV side structurally can't prune, which IS the point of the table.
+    """
+    _init_ray(NUM_CPUS)
+    import ray
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    work = tempfile.mkdtemp(prefix="bench_formats_")
+    csv_dir = os.path.join(work, "csv")
+    pq_dir = os.path.join(work, "parquet")
+    # replicate the table so scan I/O dominates the ~0.5 s Ray orchestration
+    # floor — otherwise the format difference is invisible at small SF
+    copies = int(os.environ.get("GRAFT_FORMATS_COPIES", "8"))
+    base = ray.data.read_parquet([src] * copies)
+    n_rows = base.count()
+    base.write_csv(csv_dir)
+    base.write_parquet(pq_dir, compression="zstd")
+
+    def du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    def q_topk(ds):
+        return _consume(
+            ds.select_columns(["l_orderkey", "l_extendedprice"])
+            .sort("l_extendedprice", descending=True).limit(10)
+        )
+
+    def q_agg(ds):
+        a = ds.select_columns(["l_quantity"]).aggregate(Count(), Sum("l_quantity"))
+        return a["count()"]
+
+    def q_filter_agg(ds):
+        f = ds.select_columns(["l_returnflag", "l_extendedprice"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R")),
+            batch_format="pyarrow",
+        )
+        return f.aggregate(Sum("l_extendedprice"))["sum(l_extendedprice)"]
+
+    queries = {
+        "top10_by_price": (q_topk, ["l_orderkey", "l_extendedprice"]),
+        "count_sum_qty": (q_agg, ["l_quantity"]),
+        "filtered_revenue": (q_filter_agg, ["l_returnflag", "l_extendedprice"]),
+    }
+    table = {}
+    for name, (fn, cols) in queries.items():
+        csv_t, pq_t = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(ray.data.read_csv(csv_dir))
+            csv_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            fn(ray.data.read_parquet(pq_dir, columns=cols))
+            pq_t.append(time.perf_counter() - t0)
+        cm, pm = sorted(csv_t)[1], sorted(pq_t)[1]
+        table[name] = {
+            "csv_ms": round(cm * 1000, 1),
+            "parquet_ms": round(pm * 1000, 1),
+            "speedup": round(cm / pm, 2),
+        }
+    csv_b, pq_b = du(csv_dir), du(pq_dir)
+    shutil.rmtree(work)
+    out = {
+        "metric": "csv vs parquet A/B (median of 3)",
+        "value": round(sum(t["speedup"] for t in table.values()) / len(table), 2),
+        "unit": "speedup",
+        "queries": {k: v["parquet_ms"] / 1000 for k, v in table.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "formats": {
+            "rows": n_rows,
+            "csv_bytes": csv_b,
+            "parquet_zstd_bytes": pq_b,
+            "compression_ratio": round(csv_b / pq_b, 2),
+            "per_query": table,
+        },
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def run_child(num_cpus: int, n_turns: int) -> None:
     """Entry for --scaling subprocess: one fresh encode+decode measurement."""
     _init_ray(num_cpus)
@@ -267,12 +357,16 @@ def run_scaling() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--formats", action="store_true",
+                    help="CSV-vs-Parquet A/B per-query table")
     ap.add_argument("--child", nargs=2, metavar=("CPUS", "TURNS"))
     args = ap.parse_args()
     if args.child:
         run_child(int(args.child[0]), int(args.child[1]))
     elif args.scaling:
         run_scaling()
+    elif args.formats:
+        run_formats()
     else:
         run_default()
 

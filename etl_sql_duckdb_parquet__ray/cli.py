@@ -72,6 +72,22 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_report(args) -> int:
+    ray = _ray()
+    from .stages.report import build_report, write_html_report, write_markdown_report
+
+    ds = ray.data.read_parquet(args.input)
+    rep = build_report(ds, key_columns=args.keys.split(",") if args.keys else None)
+    written = []
+    if args.md:
+        written.append(write_markdown_report(rep, args.md))
+    if args.html:
+        written.append(write_html_report(rep, args.html))
+    print(json.dumps({"quality_score": rep["quality_score"],
+                      "rows": rep["total_rows"], "written": written}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .state.manifest import load_manifest, manifest_stats
 
@@ -116,6 +132,13 @@ def main(argv=None) -> int:
     ver.add_argument("--input", required=True, help="original parquet dir")
     ver.add_argument("--encoded", required=True)
     ver.set_defaults(fn=cmd_verify)
+
+    rp = sub.add_parser("report", help="quality report (markdown/html)")
+    rp.add_argument("--input", required=True, help="parquet dir to profile")
+    rp.add_argument("--md", default=None, help="markdown output path")
+    rp.add_argument("--html", default=None, help="html output path")
+    rp.add_argument("--keys", default=None, help="comma-separated dup-key columns")
+    rp.set_defaults(fn=cmd_report)
 
     st = sub.add_parser("stats", help="manifest statistics")
     st.add_argument("--encoded", required=True)

@@ -166,6 +166,51 @@ def test_duplicate_row_count_and_quality(ray_session):
     assert s_clean == 100.0
 
 
+def test_report_writers(ray_session, tmp_path):
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.report import (
+        build_report,
+        write_html_report,
+        write_markdown_report,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "id": [1, 2, 2, 4, None],
+        "name": ["a", "b", "b", "d", "e"],
+    }))
+    rep = build_report(ds, pipeline_results={"stage": "unit-test"})
+    assert rep["total_rows"] == 5 and rep["total_columns"] == 2
+    assert rep["missing_cells"] == 1
+    assert rep["duplicate_rows"] == 1          # (2, b) appears twice
+    assert rep["columns"]["name"]["unique"] == 4
+    md = write_markdown_report(rep, str(tmp_path / "r.md"))
+    html = write_html_report(rep, str(tmp_path / "r.html"))
+    md_text = open(md).read()
+    html_text = open(html).read()
+    assert "| name |" in md_text and "unit-test" in md_text
+    assert "<table>" in html_text and "Quality score" in html_text
+    assert f"{rep['quality_score']:.1f}" in html_text
+
+
+def test_export_history(ray_session, tmp_path):
+    import json as _json
+
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+    from etl_sql_duckdb_parquet__ray.stages.report import export_history
+
+    t = generate_transcripts(2000, seed=5)
+    out = str(tmp_path / "enc")
+    encode_transcripts(ray.data.from_arrow(t), out, num_buckets=4)
+    path = export_history(out, str(tmp_path / "hist.json"))
+    payload = _json.load(open(path))
+    assert payload["statistics"]["rows"] == 2000
+    assert len(payload["runs"]) == 4
+
+
 def test_cli_encode_decode_verify_stats(ray_session, tmp_path, capsys):
     import pyarrow.parquet as pq
 
