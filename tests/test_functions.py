@@ -214,6 +214,43 @@ def test_dedup_corpus_end_to_end(ray_session):
     assert len(kept) == 40
 
 
+def test_distributed_components_planted_clique(ray_session):
+    """A large clique + chains must resolve to min-label components without
+    any driver-side union-find — only Dataset ops (join/groupby) run."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    # clique on 0..99 (random spanning edges), chain 200..260, pair (500, 501)
+    clique_nodes = np.arange(100)
+    perm = rng.permutation(clique_nodes[1:])
+    edges = [(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(np.concatenate(([0], perm[:-1])), perm)]
+    edges += [(i, i + 1) for i in range(200, 260)]
+    edges += [(500, 501)]
+    rng.shuffle(edges)
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )).repartition(6)
+    labels = dedup.distributed_components(pairs).to_pandas()
+    lab = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
+    assert all(lab[int(n)] == 0 for n in clique_nodes)
+    assert all(lab[i] == 200 for i in range(200, 261))
+    assert lab[500] == 500 and lab[501] == 500
+
+
+def test_minhash_band_stage_ships_no_signatures(ray_session):
+    """Scale invariant: the band stage's shuffle rows carry ONLY
+    (doc_id, band, bucket) — never the 64-perm signature."""
+    import ray
+
+    ds = ray.data.from_pandas(_doc_corpus())
+    band_rows = ds.select_columns(["doc_id", "text"]).map_batches(
+        dedup.MinHasher, batch_format="pandas", concurrency=(1, 2)
+    )
+    schema = band_rows.schema()
+    assert sorted(schema.names) == ["band", "bucket", "doc_id"]
+
+
 def test_brute_force_topk_many(ray_session):
     import ray
 
