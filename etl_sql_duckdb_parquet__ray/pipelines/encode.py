@@ -68,6 +68,7 @@ def add_bucket(
     num_buckets: int,
     hot_convs: dict[str, int] | None = None,
     salt_block: int = 262144,
+    dict_conv: bool = False,
 ) -> pa.Table:
     """Bucket assignment with SALTED-KEY skew splitting: a normal
     conversation hashes wholly into one bucket; a *hot* conversation (from
@@ -89,6 +90,23 @@ def add_bucket(
             buckets[hot_mask] = (
                 pd.util.hash_array(salted_keys.astype(object)) % num_buckets
             ).astype(np.int32)
+    # OPT-IN: dictionary-encode conv_id for the exchange — int32 indices +
+    # one small per-block dictionary instead of ~13 B of string per row;
+    # the bucket encoder re-expands before its per-bucket sort, so
+    # downstream semantics are unchanged (roundtrip bit-identity tested
+    # both ways). Measured A/B at 3M turns: exchange bytes/turn 158.9 ->
+    # 146.1 (-8%), but encode at 32 cpus 13.1 s -> 15.8-17.1 s (+20-30%:
+    # the sort-shuffle's concat must UNIFY per-block dictionaries, and that
+    # hash work lands in the narrow reduce stage). On shared-memory
+    # single-host exchange the byte saving buys nothing, so default OFF;
+    # flip on (GRAFT_DICT_CONV=1 or dict_conv=True) only for network-bound
+    # multi-node clusters where 8% of exchange traffic outweighs the
+    # reduce-side CPU.
+    if dict_conv:
+        i = batch.schema.get_field_index("conv_id")
+        batch = batch.set_column(
+            i, "conv_id", pc.dictionary_encode(batch.column("conv_id"))
+        )
     return batch.append_column("bucket", pa.array(buckets))
 
 
@@ -314,6 +332,13 @@ class BucketEncoder:
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
         body = group.drop_columns(["bucket"])
+        conv_col = body.column("conv_id")
+        if pa.types.is_dictionary(conv_col.type):
+            # re-expand the exchange's dictionary indices (see add_bucket)
+            body = body.set_column(
+                body.schema.get_field_index("conv_id"), "conv_id",
+                conv_col.cast(pa.string()),
+            )
         body = body.take(pc.sort_indices(body, sort_keys=SORT_KEYS))
         pre = "text_codes" in body.column_names
         chunks: list[bytes] = []
@@ -408,6 +433,7 @@ def encode_transcripts(
     salt_hot: bool = True,
     salt_block: int = 262144,
     hot_convs: dict[str, int] | None = None,
+    dict_conv: bool | None = None,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -456,12 +482,15 @@ def encode_transcripts(
     # batch_size=None => whole blocks: the per-call fixed cost of the
     # vectorized kernels amortizes over ~read-fragment-sized batches instead
     # of Ray's 1024-row default
+    if dict_conv is None:  # resolved at the DRIVER (workers may not see env)
+        dict_conv = os.environ.get("GRAFT_DICT_CONV", "0") == "1"
     bucketed = ds.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None,
         fn_kwargs={
             "num_buckets": num_buckets,
             "hot_convs": hot_convs or None,
             "salt_block": salt_block,
+            "dict_conv": dict_conv,
         },
     )
     # resume filter sits BEFORE the expensive pre-encode map so a rerun

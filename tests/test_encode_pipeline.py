@@ -172,6 +172,28 @@ def test_second_run_is_noop(ds, tmp_path):
     assert before == after
 
 
+def test_dict_conv_exchange_roundtrip(ray_session, tmp_path):
+    """Opt-in dictionary-encoded conv_id exchange must stay bit-identical
+    with the plain path (the encoder re-expands before its bucket sort)."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(6000, seed=11)
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "dictconv")
+    encode_transcripts(ds, out, num_buckets=4, dict_conv=True)
+    dec = decode_dataset(out).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    orig = t.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert dec.equals(orig)
+
+
 def test_pre_encode_matches_plain_path(ray_session, tmp_path):
     """Pre-shuffle row-FSST and the plain post-shuffle path must decode to
     the same table, including null/empty/unicode text rows."""
