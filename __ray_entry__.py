@@ -285,6 +285,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS price_max_x100
             FROM lineitem
         """,
+        # mirrors functions/text.py LangId exactly: same CJK codepoint test,
+        # same accent-preserving word regex, whitespace tokenization, and
+        # FIRST-max argmax over the same stopword lists in dict order
+        # (en, fr, es, de) — the CASE falls through in that order
+        "langid_docs": """
+            WITH f AS (
+                SELECT doc_id,
+                       regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                           '[^a-zàâäéèêëîïôöùûüñáíóúß''\\s]+', ' ', 'g')), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id, cjk,
+                  len(list_filter(toks, t -> t IN ('a','an','and','as','at','be','by','for','from','have','in','is','it','of','on','or','that','the','this','to','was','with'))) AS n_en,
+                  len(list_filter(toks, t -> t IN ('au','avec','ce','dans','de','des','du','est','et','il','la','le','les','ne','pas','pour','que','qui','se','sur','un','une'))) AS n_fr,
+                  len(list_filter(toks, t -> t IN ('como','con','de','del','el','en','es','la','las','los','más','no','para','pero','por','que','se','su','un','una','y'))) AS n_es,
+                  len(list_filter(toks, t -> t IN ('als','auf','das','dem','den','der','des','die','ein','eine','für','im','ist','mit','nicht','sich','und','von','zu'))) AS n_de
+                FROM f
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN GREATEST(n_en, n_fr, n_es, n_de) = 0 THEN 'und'
+                        WHEN n_en = GREATEST(n_en, n_fr, n_es, n_de) THEN 'en'
+                        WHEN n_fr = GREATEST(n_en, n_fr, n_es, n_de) THEN 'fr'
+                        WHEN n_es = GREATEST(n_en, n_fr, n_es, n_de) THEN 'es'
+                        ELSE 'de' END AS lang_pred
+            FROM h
+        """,
+        # mirrors functions/text.py QualityScore exactly: same RE2 \\w
+        # semantics (Arrow and DuckDB both use RE2), same single-space
+        # tokenization (the synthetic docs are single-spaced, no
+        # null/empty/tab text — verified), same double arithmetic order,
+        # floor to int at the end
+        "doc_quality": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS nc,
+                       CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS np,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS nt,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('a','an','and','as','at','be','by','for','from','have','in','is','it','of','on','or','that','the','this','to','was','with'))) AS DOUBLE) AS hits,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(FLOOR(100.0 * (
+                       0.3 * LEAST(GREATEST(nc / 500.0, 0.0), 1.0)
+                     + 0.2 * (1.0 - LEAST(GREATEST((np / GREATEST(nc, 1.0)) * 4.0, 0.0), 1.0))
+                     + 0.3 * LEAST(GREATEST((hits / GREATEST(toks, 1.0)) * 3.0, 0.0), 1.0)
+                     + 0.2 * (CASE WHEN nc / GREATEST(nt, 1.0) >= 3.0
+                                    AND nc / GREATEST(nt, 1.0) <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                   )) AS BIGINT) AS quality
+            FROM f
+        """,
         "orders_nunique": """
             SELECT COUNT(DISTINCT o_custkey) AS n_custkey,
                    COUNT(DISTINCT o_orderpriority) AS n_priority
