@@ -69,6 +69,33 @@ def sample_values(values, max_rows: int = _SAMPLE_ROWS):
     return values[lo : lo + max_rows]
 
 
+def sample_windows(values, max_rows: int = _SAMPLE_ROWS) -> list:
+    """Up to three CONTIGUOUS windows (head / middle / tail) instead of one
+    middle slice: a chunk whose structure drifts (sorted head, random tail)
+    mis-prices codecs when judged on the middle alone. Each window keeps
+    internal contiguity, and callers measure each window separately — no
+    artificial splice boundary ever reaches a codec."""
+    n = len(values)
+    if n <= max_rows:
+        return [values]
+    w = max(max_rows // 3, 1)
+
+    def slice_at(lo: int):
+        if isinstance(values, StringBlob):
+            offsets = np.concatenate(([0], np.cumsum(values.lengths)))
+            hi = lo + w
+            while hi > lo + 1 and offsets[hi] - offsets[lo] > _SAMPLE_STR_BYTES // 3:
+                hi = lo + (hi - lo) // 2
+            return StringBlob(
+                np.asarray(values.lengths[lo:hi], dtype=np.int64),
+                values.data[offsets[lo] : offsets[hi]],
+            )
+        return values[lo : lo + w]
+
+    los = sorted({0, (n - w) // 2, n - w})
+    return [slice_at(lo) for lo in los]
+
+
 def chunk_stats(values) -> dict:
     """Sampled cardinality / run-length / range statistics for one chunk."""
     n = len(values)
@@ -149,14 +176,16 @@ def select_codec(
     cands = candidates_for(values, arrow_type, stats, mode)
     if len(cands) == 1:
         return cands[0]
-    sample = sample_values(values)
+    windows = sample_windows(values)
     best_name, best_score = None, None
     for name in cands:
         try:
-            payload, _ = REGISTRY[name].encode(sample)
+            # sum of per-window measured bytes: each window is contiguous,
+            # so drift between head and tail is priced in without feeding
+            # any spliced boundary to the codec
+            score = sum(len(REGISTRY[name].encode(w)[0]) for w in windows)
         except Exception:
             continue
-        score = len(payload)
         if mode == "balanced":
             score *= _SPEED_PENALTY.get(name, 1.0)
         if best_score is None or score < best_score:

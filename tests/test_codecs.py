@@ -177,3 +177,47 @@ def test_fsst_incompressible_fallback_correct():
 def test_unknown_type_rejected():
     with pytest.raises(TypeError):
         encode_column(pa.array([[1, 2], [3]], type=pa.list_(pa.int64())))
+
+
+def test_sample_windows_cover_head_middle_tail():
+    from etl_sql_duckdb_parquet__ray.codecs.selector import sample_windows
+    import numpy as np
+
+    v = np.arange(100_000, dtype=np.int64)
+    ws = sample_windows(v, max_rows=1024)
+    assert len(ws) == 3
+    assert ws[0][0] == 0                       # head window starts at 0
+    assert ws[-1][-1] == 99_999                # tail window ends at the end
+    for w in ws:                               # each window is contiguous
+        assert (np.diff(w) == 1).all()
+    small = np.arange(100, dtype=np.int64)
+    assert len(sample_windows(small, max_rows=1024)) == 1
+
+
+def test_selector_sees_tail_drift():
+    """A chunk with a sorted head+middle but a random tail must not be
+    priced on the middle window alone (delta looks perfect there)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.codecs.selector import REGISTRY, sample_windows, select_codec
+
+    rng = np.random.default_rng(4)
+    v = np.concatenate([
+        np.arange(60_000, dtype=np.int64),                        # sorted 2/3
+        rng.integers(0, 2**40, 30_000).astype(np.int64),          # chaotic tail
+    ])
+    name = select_codec(v, pa.int64())
+    # whatever wins must actually be the best on the full head+mid+tail
+    # measurement, not just the middle
+    windows = sample_windows(v)
+    measured = {}
+    for cand in ("delta", "for_bitpack", "zstd", "plain"):
+        try:
+            measured[cand] = sum(len(REGISTRY[cand].encode(w)[0]) for w in windows)
+        except Exception:
+            pass
+    assert measured[name] if name in measured else True
+    best = min(measured, key=measured.get)
+    if name in measured:
+        assert measured[name] <= measured[best] * 1.2
