@@ -48,8 +48,14 @@ def train_ivf_centroids(
     ds_emb, n_lists: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 5
 ) -> np.ndarray:
     """Deterministic k-means-lite on a sample (train on a sample, never a
-    full scan — same rule as FSST training, SURVEY.md §7.4)."""
-    sample = ds_emb.limit(sample_rows).to_pandas()
+    full scan — same rule as FSST training, SURVEY.md §7.4). The sample is
+    spread across blocks (head of every block, then limit) rather than the
+    head of the dataset, so a sorted/partitioned corpus doesn't bias the
+    centroids to its first shard."""
+    per_block = max(64, sample_rows // 32)
+    sample = ds_emb.map_batches(
+        lambda df: df.head(per_block), batch_format="pandas"
+    ).limit(sample_rows).to_pandas()
     _, V = _stack(sample)
     V = _normalize(V)
     rng = np.random.default_rng(seed)
@@ -65,24 +71,37 @@ def train_ivf_centroids(
 
 
 class IvfAssign:
-    """Actor-pool stage: nearest-centroid list id per vector; centroids
+    """Actor-pool stage: top-``n_assign`` nearest-centroid list ids per
+    vector (redundant assignment — the cluster-spilling trick from
+    SPANN-style systems: a vector near a list boundary lands in both lists,
+    which is what rescues recall on weakly-clustered corpora); centroids
     arrive once per actor via a ray.put handle."""
 
-    def __init__(self, centroids_ref):
+    def __init__(self, centroids_ref, n_assign: int = 2):
         import ray
 
         self.C = ray.get(centroids_ref)
+        self.n_assign = min(n_assign, len(self.C))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, V = _stack(batch)
         Vn = _normalize(V)
-        lists = np.argmax(Vn @ self.C.T, axis=1).astype(np.int32)
-        return pd.DataFrame({"vec_id": ids, "list_id": lists, "vn": list(Vn)})
+        sims = Vn @ self.C.T
+        r = self.n_assign
+        top = np.argpartition(-sims, r - 1, axis=1)[:, :r].astype(np.int32)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, r),
+            "list_id": top.ravel(),
+            "vn": list(np.repeat(Vn, r, axis=0)),
+        })
 
 
-def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe: int = 4):
-    """IVF approximate top-k: assign every vector to its list, then search
-    only the ``n_probe`` lists nearest the query."""
+def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, n_assign: int = 2):
+    """IVF approximate top-k: assign every vector to its ``n_assign``
+    nearest lists, then search only the ``n_probe`` lists nearest the
+    query; duplicate candidates (a vector probed via two lists) collapse
+    in a groupby before the final top-k."""
     import ray
 
     C = train_ivf_centroids(ds_emb, n_lists=n_lists)
@@ -91,7 +110,8 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe:
     probes = set(np.argsort(-(C @ q))[:n_probe].tolist())
 
     assigned = ds_emb.map_batches(
-        IvfAssign, fn_constructor_kwargs={"centroids_ref": cref},
+        IvfAssign,
+        fn_constructor_kwargs={"centroids_ref": cref, "n_assign": n_assign},
         batch_format="pandas", concurrency=(1, 4),
     )
     probe_ids = np.array(sorted(probes), dtype=np.int32)
@@ -103,15 +123,24 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16, n_probe:
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         qq = ray.get(qref)
+        # dedupe within the batch (same vec via two probed lists)
+        batch = batch.drop_duplicates("vec_id")
         ids = batch["vec_id"].to_numpy()
         V = np.stack(batch["vn"].to_numpy())
         cos = V @ qq
         top = np.argsort(-cos, kind="stable")[:k]
         return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
 
-    return probed.map_batches(score, batch_format="pandas").sort(
-        ["cosine", "vec_id"], descending=[True, False]
-    ).limit(k)
+    partial = probed.map_batches(score, batch_format="pandas")
+    # cross-batch dedupe, then the global top-k
+    best = partial.groupby("vec_id").max("cosine")
+    best = best.map_batches(
+        lambda t: t.rename_columns(
+            ["vec_id" if c == "vec_id" else "cosine" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return best.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
 def brute_force_topk_many(ds_emb, queries: np.ndarray, k: int = 10):

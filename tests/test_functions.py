@@ -136,6 +136,11 @@ def test_ivf_topk_recall(ray_session):
     ds = ray.data.from_pandas(df)
     got = similarity.ivf_topk(ds, V[11], k=5, n_lists=8, n_probe=3).to_pandas()
     assert got["vec_id"].iloc[0] == 11  # query vector's own list is probed
+    assert got["vec_id"].is_unique     # redundant assignment deduped
+    # quantified recall vs the exact answer on isotropic (worst-case) data
+    exact = similarity.brute_force_topk(ds, V[11], k=5).to_pandas()
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 5
+    assert recall >= 0.6, recall
 
 
 # -- text stages end-to-end --------------------------------------------------
