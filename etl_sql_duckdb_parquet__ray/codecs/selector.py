@@ -177,13 +177,26 @@ def select_codec(
     if len(cands) == 1:
         return cands[0]
     windows = sample_windows(values)
+    # FSST candidates: train ONE symbol table on the union of the sample
+    # windows and share it across windows AND across fsst/fsst_zstd —
+    # otherwise every (candidate, window) probe pays a full train_fsst,
+    # which dominates selection cost (measured ~70% of standalone
+    # encode_chunk time before this)
+    probes: dict[str, Codec] = {}
+    if any(c in ("fsst", "fsst_zstd") for c in cands):
+        from .fsst import train_fsst
+
+        table = train_fsst(b"".join(w.data for w in windows))
+        probes["fsst"] = FsstCodec(table)
+        probes["fsst_zstd"] = FsstZstdCodec(table)
     best_name, best_score = None, None
     for name in cands:
+        codec = probes.get(name, REGISTRY[name])
         try:
             # sum of per-window measured bytes: each window is contiguous,
             # so drift between head and tail is priced in without feeding
             # any spliced boundary to the codec
-            score = sum(len(REGISTRY[name].encode(w)[0]) for w in windows)
+            score = sum(len(codec.encode(w)[0]) for w in windows)
         except Exception:
             continue
         if mode == "balanced":
