@@ -222,21 +222,50 @@ def _pair_jaccard_batch(batch: pd.DataFrame, threshold: float, n: int) -> pd.Dat
     )
 
 
-def verify_pairs_distributed(ds_docs, pairs_ds, threshold: float, n: int = 3):
-    """Exact n-gram Jaccard over candidate pairs WITHOUT collecting any
-    text on the driver: hash-join the pair list against the corpus twice
-    (once per side), then verify per batch. This is the 100-TB shape — at
-    web-scale dup ratios the candidate set is itself a large dataset."""
+def verify_pairs_distributed(ds_docs, pairs_ds, threshold: float, n: int = 3,
+                             broadcast_limit: int = 200_000):
+    """Exact n-gram Jaccard over candidate pairs, size-adaptive (the same
+    rule as broadcast-vs-shuffle joins): a SMALL candidate set (≤
+    ``broadcast_limit`` pairs — known exactly, the pairs are materialized)
+    gathers just the candidate texts with one distributed filter and
+    verifies with the vectorized pair kernel, skipping two hash-join
+    aggregator-actor pools whose startup dwarfs small workloads; a LARGE
+    set takes the join path, where nothing ever collects on the driver."""
     from ..stages.relational import hash_join
 
     pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         import ray.data
         return ray.data.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
         }))
+    if n_pairs <= broadcast_limit:
+        import ray.data
+
+        pairs = pairs_ds.to_pandas()
+        need = np.unique(np.concatenate([
+            pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+        ]))
+        need_arr = pa.array(need, type=pa.int64())
+        got = pa.concat_tables([
+            b for b in ds_docs.select_columns(["doc_id", "text"]).map_batches(
+                lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=need_arr)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow") if b.num_rows
+        ]) if len(need) else pa.table({"doc_id": [], "text": []})
+        texts = dict(zip(
+            got.column("doc_id").to_pylist(), got.column("text").to_pylist()
+        ))
+        df = pd.DataFrame({
+            "doc_a": pairs["doc_a"].to_numpy(),
+            "doc_b": pairs["doc_b"].to_numpy(),
+            "text_a": [texts.get(int(a), "") for a in pairs["doc_a"]],
+            "text_b": [texts.get(int(b), "") for b in pairs["doc_b"]],
+        })
+        return ray.data.from_pandas(_pair_jaccard_batch(df, threshold, n))
     docs = ds_docs.select_columns(["doc_id", "text"])
     da = _rename(docs, {"doc_id": "doc_a", "text": "text_a"})
     db = _rename(docs, {"doc_id": "doc_b", "text": "text_b"})
@@ -425,15 +454,6 @@ def embedding_dup_pairs(
         )
         return pa.table({"vec_id": pa.array(b["vec_id"].to_numpy()), "embedding": arr})
 
-    emb = ds_emb.select_columns(["vec_id", "embedding"]).map_batches(
-        pack, batch_format="pandas"
-    )
-    ea = _rename(emb, {"vec_id": "vec_a", "embedding": "emb_a"})
-    eb = _rename(emb, {"vec_id": "vec_b", "embedding": "emb_b"})
-    # one live JoinOperator at a time (see hash_join docstring)
-    ja = _strip_empty_blocks(hash_join(distinct, ea, on="vec_a"))
-    j = hash_join(ja, eb, on="vec_b")
-
     def unpack(col: pd.Series) -> np.ndarray:
         flat = np.frombuffer(b"".join(col.to_numpy()), dtype=np.float32)
         return flat.reshape(len(col), -1)
@@ -453,6 +473,45 @@ def embedding_dup_pairs(
             }
         )
 
+    n_cands = distinct.count()
+    if n_cands <= 200_000:
+        # small candidate set (size-adaptive, same rule as
+        # verify_pairs_distributed): gather just the candidate vectors with
+        # one distributed filter; skip two join-aggregator pools
+        import ray.data
+
+        cand = distinct.to_pandas()
+        need = np.unique(np.concatenate([
+            cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()
+        ]))
+        need_arr = pa.array(need, type=pa.int64())
+        got = pa.concat_tables([
+            b for b in ds_emb.select_columns(["vec_id", "embedding"]).map_batches(
+                pack, batch_format="pandas"
+            ).map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need_arr)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow") if b.num_rows
+        ])
+        vecs = dict(zip(
+            got.column("vec_id").to_pylist(), got.column("embedding").to_pylist()
+        ))
+        df = pd.DataFrame({
+            "vec_a": cand["vec_a"].to_numpy(),
+            "vec_b": cand["vec_b"].to_numpy(),
+            "emb_a": [vecs[int(a)] for a in cand["vec_a"]],
+            "emb_b": [vecs[int(b)] for b in cand["vec_b"]],
+        })
+        return ray.data.from_pandas(exact_cosine(df))
+
+    emb = ds_emb.select_columns(["vec_id", "embedding"]).map_batches(
+        pack, batch_format="pandas"
+    )
+    ea = _rename(emb, {"vec_id": "vec_a", "embedding": "emb_a"})
+    eb = _rename(emb, {"vec_id": "vec_b", "embedding": "emb_b"})
+    # one live JoinOperator at a time (see hash_join docstring)
+    ja = _strip_empty_blocks(hash_join(distinct, ea, on="vec_a"))
+    j = hash_join(ja, eb, on="vec_b")
     return j.map_batches(exact_cosine, batch_format="pandas")
 
 
@@ -512,7 +571,37 @@ def _edge_signature(edges_ds) -> tuple[int, int]:
     )
 
 
-def distributed_components(pairs_ds, max_iters: int = 32):
+def _local_components(edges: pa.Table) -> "pa.Table":
+    """Union-find on a DRIVER-side edge table — used only below the
+    size-adaptive cutoff (same broadcast-vs-shuffle rule as everywhere
+    else: the edge list is KNOWN small, so a shuffle round-trip per star
+    round is pure overhead). Path-compressed, vectorized relabel."""
+    a = edges.column("a").to_numpy(zero_copy_only=False)
+    b = edges.column("b").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min label so the root IS the component minimum
+            lo, hi = (rx, ry) if nodes[rx] <= nodes[ry] else (ry, rx)
+            parent[hi] = lo
+    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table({"node": nodes, "label": nodes[roots]})
+
+
+def distributed_components(pairs_ds, max_iters: int = 32,
+                           local_limit: int = 2_000_000):
     """Connected components over an edge Dataset (doc_a, doc_b) WITHOUT
     driver-side union-find: alternating large-star / small-star contraction
     (Kiveris et al. SoCC'14), O(log^2 n) rounds with ~6 observed in
@@ -525,7 +614,15 @@ def distributed_components(pairs_ds, max_iters: int = 32):
     on a 100-node random path where this converges in 6.
 
     Returns (node, label) with label = component minimum; only two scalars
-    (the edge-set fingerprint) touch the driver per round."""
+    (the edge-set fingerprint) touch the driver per round.
+
+    Size-adaptive: an edge set at or below ``local_limit`` (count known —
+    the edges are materialized either way) resolves with a driver-side
+    union-find instead, because 2 shuffle rounds x ~6 star iterations is
+    pure overhead when the edges fit in one task's memory; pass
+    ``local_limit=0`` to force the distributed path (the planted-clique
+    test does)."""
+    import ray.data
 
     def canon(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy(zero_copy_only=False)
@@ -537,6 +634,11 @@ def distributed_components(pairs_ds, max_iters: int = 32):
             canon, batch_format="pyarrow"
         )
     )
+    if edges.count() <= local_limit:
+        tbl = pa.concat_tables(
+            b for b in edges.iter_batches(batch_format="pyarrow") if b.num_rows
+        )
+        return ray.data.from_arrow(_local_components(tbl))
     prev_sig = None
     for _ in range(max_iters):
         edges = _star_round(edges, large=True)
@@ -588,6 +690,20 @@ def dedup_corpus(ds_docs, threshold: float = 0.7, num_perm: int = 64, bands: int
         batch_format="pyarrow",
     ).select_columns(["node"])
     drop = _strip_empty_blocks(_rename(drop, {"node": "doc_id"}))
-    if drop.count() == 0:
+    n_drop = drop.count()
+    if n_drop == 0:
         return ds_docs
+    if n_drop <= 1_000_000:
+        # small drop set: broadcast an is_in filter instead of paying a
+        # hash-join aggregator pool (same broadcast-vs-shuffle rule as
+        # verify_pairs_distributed)
+        drop_ids = pa.array(
+            [r["doc_id"] for r in drop.take_all()], type=pa.int64()
+        )
+        return ds_docs.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("doc_id"), value_set=drop_ids))
+            ),
+            batch_format="pyarrow",
+        )
     return hash_join(ds_docs, drop, on="doc_id", join_type="left_anti")

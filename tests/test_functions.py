@@ -236,11 +236,17 @@ def test_distributed_components_planted_clique(ray_session):
     pairs = ray.data.from_pandas(pd.DataFrame(
         {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
     )).repartition(6)
-    labels = dedup.distributed_components(pairs).to_pandas()
+    # local_limit=0 forces the star-contraction path (the size-adaptive
+    # default would resolve this locally)
+    labels = dedup.distributed_components(pairs, local_limit=0).to_pandas()
     lab = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
     assert all(lab[int(n)] == 0 for n in clique_nodes)
     assert all(lab[i] == 200 for i in range(200, 261))
     assert lab[500] == 500 and lab[501] == 500
+    # the local union-find cutoff path must agree exactly
+    local = dedup.distributed_components(pairs).to_pandas()
+    ll = dict(zip(local["node"].astype(int), local["label"].astype(int)))
+    assert ll == lab
 
 
 def test_minhash_band_stage_ships_no_signatures(ray_session):
