@@ -59,66 +59,84 @@ _SEG = 1024  # greedy-restart segment size for the parallel matcher
 
 
 class _TableIndex:
-    """Vectorized longest-match structures: direct lookup tables for 1- and
-    2-byte symbols (a fancy-index gather), sorted uint32 prefix-code arrays
-    + searchsorted for 3/4-byte symbols, gated by a 2-byte-prefix bitmask so
-    the probes only touch positions that can start a long symbol."""
+    """Vectorized longest-match structures, all keyed LITTLE-endian (so the
+    matcher reads each position's 4-byte window with one overlapping-stride
+    uint32 load and derives every key with a mask, no byte shifting):
+
+    - ``combo2``: 2^16 uint16 (code | len<<8) — one gather resolves the best
+      1/2-byte match per position.
+    - ``lut34``: 2^24 uint16 over the 3-byte prefix — low byte is the 3-byte
+      symbol's code (255 = none), high byte is the start of the 4-byte
+      symbol GROUP sharing that prefix in ``vals4g`` (255 = none). One
+      gather serves both lengths; 4-byte resolution is then an exact-match
+      scan of the (tiny, usually size-1) group — no searchsorted.
+    """
 
     def __init__(self, table: list[bytes]):
         table = [s for s in table if len(s) <= _MAX_SYM_LEN]
         self.lengths: list[int] = sorted({len(s) for s in table}, reverse=True)
-        self.by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.lut1 = np.full(256, 255, dtype=np.uint8)
         self.lut2 = np.full(65536, 255, dtype=np.uint8)
-        self.len_mask2 = np.zeros(65536, dtype=np.uint8)
-        # direct 24-bit LUT for 3-byte symbols: one gather replaces
-        # gate+searchsorted for L=3. Only allocated when the table actually
-        # has 3-byte symbols, and recycled through a pool — the non-shared
+        # combined 24-bit LUT (see class docstring). Pooled: the non-shared
         # encode path builds a fresh index per chunk / selector probe, and
-        # repeated 16 MB first-touch allocations are what _scratch exists
-        # to avoid (matcher skips the L=3 block when lut3 is None)
-        self.lut3 = _acquire_lut3() if any(len(s) == 3 for s in table) else None
-        if self.lut3 is not None:
-            weakref.finalize(self, _LUT3_POOL.append, self.lut3)
-        for L in self.lengths:
-            syms = sorted(
-                (int.from_bytes(s, "big"), i) for i, s in enumerate(table) if len(s) == L
-            )
+        # repeated 32 MB first-touch allocations are what _scratch exists
+        # to avoid (matcher skips the L>=3 block when lut34 is None)
+        need34 = any(len(s) >= 3 for s in table)
+        self.lut34 = _acquire_lut34() if need34 else None
+        if self.lut34 is not None:
+            weakref.finalize(self, _LUT34_POOL.append, self.lut34)
+        syms4: list[tuple[int, int]] = []  # (LE value, code), grouped later
+        for i, s in enumerate(table):
+            v = int.from_bytes(s, "little")
+            L = len(s)
             if L == 1:
-                for v, i in syms:
-                    self.lut1[v] = i
+                self.lut1[v] = i
             elif L == 2:
-                for v, i in syms:
-                    self.lut2[v] = i
+                self.lut2[v] = i
             elif L == 3:
-                for v, i in syms:
-                    self.lut3[v] = i
+                self.lut34[v] = (self.lut34[v] & 0xFF00) | i
             else:
-                self.by_len[L] = (
-                    np.array([v for v, _ in syms], dtype=np.uint32),
-                    np.array([i for _, i in syms], dtype=np.uint8),
-                )
-                for v, _ in syms:
-                    self.len_mask2[v >> (8 * (L - 2))] |= 1 << (L - 3)
+                syms4.append((v, i))
+        # group 4-byte symbols by 3-byte prefix; within a group keep table
+        # order (training emits by descending gain, so scan pass j=0 catches
+        # the most frequent member first)
+        groups: dict[int, list[tuple[int, int]]] = {}
+        for v, i in syms4:
+            groups.setdefault(v & 0xFFFFFF, []).append((v, i))
+        self.maxc4 = max((len(g) for g in groups.values()), default=0)
+        vals, ids = [], []
+        for p, members in groups.items():
+            self.lut34[p] = (self.lut34[p] & 0x00FF) | (len(vals) << 8)
+            for v, i in members:
+                vals.append(v)
+                ids.append(i)
+        if groups:
+            # sentinel padding so scan pass j may read past a group's end:
+            # its 3-byte prefix is chosen to be no group's prefix, so no
+            # probing position (whose code4 prefix == its group's prefix)
+            # can ever equal it
+            free = next(p for p in range(1 << 24) if p not in groups)
+            vals.extend([free] * self.maxc4)
+            ids.extend([255] * self.maxc4)
+        self.vals4g = np.array(vals, dtype=np.uint32)
+        self.ids4g = np.array(ids, dtype=np.uint8)
         # combined (code | len<<8) table over the 2-byte prefix: one uint16
         # gather yields the best 1/2-byte match per position
-        base1 = np.repeat(
-            self.lut1.astype(np.uint16) | np.uint16(1 << 8), 256
-        )
+        base1 = np.tile(self.lut1.astype(np.uint16) | np.uint16(1 << 8), 256)
         self.combo2 = np.where(
             self.lut2 != 255, self.lut2.astype(np.uint16) | np.uint16(2 << 8), base1
         )
 
 
-_LUT3_POOL: list[np.ndarray] = []
+_LUT34_POOL: list[np.ndarray] = []
 
 
-def _acquire_lut3() -> np.ndarray:
-    """Pooled 16 MB L=3 lookup table: `.fill(255)` on a recycled buffer
-    touches already-faulted pages, avoiding the first-touch cost of a fresh
-    ``np.full(1 << 24)`` per index construction."""
-    buf = _LUT3_POOL.pop() if _LUT3_POOL else np.empty(1 << 24, dtype=np.uint8)
-    buf.fill(255)
+def _acquire_lut34() -> np.ndarray:
+    """Pooled 32 MB combined L3/L4 lookup table: `.fill(0xFFFF)` on a
+    recycled buffer touches already-faulted pages, avoiding the first-touch
+    cost of a fresh ``np.full(1 << 24)`` per index construction."""
+    buf = _LUT34_POOL.pop() if _LUT34_POOL else np.empty(1 << 24, dtype=np.uint16)
+    buf.fill(0xFFFF)
     return buf
 
 
@@ -141,14 +159,12 @@ def _scratch(name: str, n: int, dtype) -> np.ndarray:
 
 
 def _prefix_codes(pad: np.ndarray, n: int) -> np.ndarray:
-    """code4[i] = big-endian uint32 of bytes data[i:i+4] (zero-padded)."""
+    """code4[i] = LITTLE-endian uint32 of bytes data[i:i+4] (zero-padded):
+    one overlapping-stride unaligned uint32 load (a single memcpy-like pass)
+    instead of four shift/or byte passes."""
     code4 = _scratch("code4", n, np.uint32)
-    tmp = _scratch("ptmp", n, np.uint32)
-    np.multiply(pad[:n], 1, out=code4, casting="unsafe")
-    for j in range(1, 4):
-        np.left_shift(code4, 8, out=code4)
-        np.multiply(pad[j : j + n], 1, out=tmp, casting="unsafe")
-        np.bitwise_or(code4, tmp, out=code4)
+    view = np.ndarray(buffer=pad, shape=(n,), dtype=np.uint32, strides=(1,))
+    np.copyto(code4, view)
     return code4
 
 
@@ -161,13 +177,13 @@ def _match_positions(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.
     per longer length. Returns (best_code, best_len) scratch views; no
     boundary handling (the caller fixes up its own segment ends)."""
     n = len(arr)
-    pad = _scratch("pad", n + 4, np.uint8)
+    pad = _scratch("pad", n + 8, np.uint8)
     pad[:n] = arr
     pad[n:] = 0
     code4 = _prefix_codes(pad, n)
-    p2 = _scratch("p2", n, np.int32)
     sh = _scratch("sh", n, np.uint32)
-    np.right_shift(code4, 16, out=sh)
+    p2 = _scratch("p2", n, np.int32)
+    np.bitwise_and(code4, np.uint32(0xFFFF), out=sh)
     np.multiply(sh, 1, out=p2, casting="unsafe")
     # one combined-LUT gather resolves the best 1/2-byte match per position
     combo = _scratch("combo", n, np.uint16)
@@ -177,29 +193,54 @@ def _match_positions(arr: np.ndarray, idx: _TableIndex) -> tuple[np.ndarray, np.
     np.multiply(combo, 1, out=best_code, casting="unsafe")  # low byte
     np.right_shift(combo, 8, out=combo)
     np.multiply(combo, 1, out=best_len, casting="unsafe")
-    # L=3 via the 24-bit direct LUT (absent when the table has no 3-byte
-    # symbols — no hits possible, skip the gather entirely)
-    if idx.lut3 is not None:
-        np.right_shift(code4, 8, out=sh)
+    # L=3 and L=4 share ONE gather of the combined 24-bit LUT (absent when
+    # the table has no symbols longer than 2 — skip entirely)
+    if idx.lut34 is not None:
+        np.bitwise_and(code4, np.uint32(0xFFFFFF), out=sh)
         p3 = _scratch("p3", n, np.int32)
         np.multiply(sh, 1, out=p3, casting="unsafe")
+        c34 = _scratch("c34", n, np.uint16)
+        np.take(idx.lut34, p3, out=c34)
         id3 = _scratch("id3", n, np.uint8)
-        np.take(idx.lut3, p3, out=id3)
+        np.multiply(c34, 1, out=id3, casting="unsafe")  # low byte
         m3 = id3 != 255
         np.copyto(best_code, id3, where=m3)
         np.copyto(best_len, np.uint8(3), where=m3)
-    # L=4: gated searchsorted over the rare candidate positions
-    if 4 in idx.by_len:
-        m2 = _scratch("m2", n, np.uint8)
-        np.take(idx.len_mask2, p2, out=m2)
-        cand = np.flatnonzero(m2 & 2)
-        if cand.size:
-            vals, ids = idx.by_len[4]
-            pos_c = np.minimum(np.searchsorted(vals, code4[cand]), len(vals) - 1)
-            found = vals[pos_c] == code4[cand]
-            hit = cand[found]
-            best_code[hit] = ids[pos_c[found]]
-            best_len[hit] = 4
+        if idx.maxc4:
+            np.right_shift(c34, 8, out=c34)  # high byte: L4 group start
+            # full-width scan pass j=0 (nearly every position is an L4
+            # candidate on text, so compressing to a candidate list costs
+            # more than it saves): remap 'none' (255) to the sentinel pad so
+            # one clipless gather is safe, then exact-compare. Later passes
+            # (rare multi-member groups) run on the small miss remainder.
+            pad_start = len(idx.vals4g) - idx.maxc4
+            gidx = _scratch("gidx", n, np.int32)
+            np.multiply(c34, 1, out=gidx, casting="unsafe")
+            none34 = c34 == 255
+            np.copyto(gidx, np.int32(pad_start), where=none34)
+            v4 = _scratch("v4", n, np.uint32)
+            np.take(idx.vals4g, gidx, out=v4)
+            hit = v4 == code4
+            id4 = _scratch("id4", n, np.uint8)
+            np.take(idx.ids4g, gidx, out=id4)
+            np.copyto(best_code, id4, where=hit)
+            np.copyto(best_len, np.uint8(4), where=hit)
+            if idx.maxc4 > 1:
+                rem = np.flatnonzero(~(hit | none34))
+                if rem.size:
+                    gs = gidx[rem]
+                    k4 = code4[rem]
+                    for j in range(1, idx.maxc4):
+                        hj = idx.vals4g[gs + j] == k4
+                        h = rem[hj]
+                        best_code[h] = idx.ids4g[gs[hj] + j]
+                        best_len[h] = 4
+                        miss = ~hj
+                        rem = rem[miss]
+                        if not rem.size:
+                            break
+                        gs = gs[miss]
+                        k4 = k4[miss]
     esc0 = best_code == 255
     best_len[esc0] = 1
     return best_code, best_len
@@ -415,26 +456,36 @@ class FsstCodec:
         table = unpack_sections(tbl_b) if tbl_b else []
         codes = np.frombuffer(codes_b, dtype=np.uint8)
         nc = len(codes)
-        # fully vectorized decode: pad symbols into a (256, w) byte matrix,
-        # gather rows by code, then boolean-mask-flatten (row-major) — this
-        # IS the concatenation, with zero per-token Python. Gathers land in
-        # reusable scratch (see _scratch: fresh pages are pathologically slow
-        # to first-touch on this host class).
+        # fully vectorized decode: pad symbols into a (256, wp) byte matrix
+        # (wp = symbol width rounded to a power of two), gather rows by code
+        # as SINGLE WORDS (uint16/32/64 view — ~4x faster than a 2-D
+        # axis-0 take), then boolean-mask-flatten (row-major) — this IS the
+        # concatenation, with zero per-token Python. The prefix mask is
+        # itself a 256-row table gathered the same way (it depends only on
+        # the code), so no per-row length compare is materialized. Gathers
+        # land in reusable scratch (see _scratch: fresh pages are
+        # pathologically slow to first-touch on this host class).
         w = max((len(s) for s in table), default=1)
-        mat = np.zeros((256, w), dtype=np.uint8)
-        slen = np.zeros(256, dtype=np.uint8)
+        wp = 1 << max(w - 1, 0).bit_length()  # 1,2,4,8
+        word = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[wp]
+        mat = np.zeros((256, wp), dtype=np.uint8)
+        msk = np.zeros((256, wp), dtype=np.uint8)
         for i, s in enumerate(table):
             mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            slen[i] = len(s)
-        slen[255] = 1  # escape: one literal byte
-        big = _scratch("dec_big", nc * w, np.uint8).reshape(nc, w)
-        np.take(mat, codes, axis=0, out=big)
-        ln = _scratch("dec_ln", nc, np.uint8)
-        np.take(slen, codes, out=ln)
+            msk[i, : len(s)] = 1
+        msk[255, 0] = 1  # escape: one literal byte
+        matw = mat.view(word).ravel()
+        mskw = msk.view(word).ravel()
+        bw = _scratch("dec_bw", nc, word)
+        mw = _scratch("dec_mw", nc, word)
+        np.take(matw, codes, out=bw)
+        np.take(mskw, codes, out=mw)
+        big = bw.view(np.uint8).reshape(nc, wp)
+        mask = mw.view(np.uint8).reshape(nc, wp).view(np.bool_)
         esc = codes == 255
         if esc.any():
             big[esc, 0] = np.frombuffer(lits_b, dtype=np.uint8)
-        data = big[np.arange(w, dtype=np.uint8) < ln[:, None]].tobytes()
+        data = big.ravel()[mask.ravel()].tobytes()
         lengths = bitunpack(lens_b, meta["lw"], n).astype(np.int64)
         return StringBlob(lengths, data)
 
