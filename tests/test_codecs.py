@@ -221,3 +221,58 @@ def test_selector_sees_tail_drift():
     best = min(measured, key=measured.get)
     if name in measured:
         assert measured[name] <= measured[best] * 1.2
+
+
+def test_fsst_multimember_group_longest_match():
+    """Deterministic coverage of the matcher's 4-byte GROUP scan: several
+    4-byte symbols share one 3-byte prefix (the j>=1 remainder passes), the
+    shared prefix itself is a 3-byte symbol (L3 must lose to L4 exactly when
+    a group member matches), and short groups sit before longer ones so the
+    scan reads past a group's end into its neighbor (must never false-hit:
+    neighbors differ in the 3-byte prefix by construction)."""
+    from etl_sql_duckdb_parquet__ray.codecs.fsst import (
+        _TableIndex,
+        fsst_encode_buffer,
+    )
+
+    table = [
+        b"xyzA",  # group "xyz": member 0 (j=0 fast path)
+        b"xyzB",  # member 1 (first remainder pass)
+        b"xyzC",  # member 2 (second remainder pass)
+        b"qrst",  # singleton group placed AFTER a multi-member one
+        b"xyz",   # the shared prefix as an L3 symbol
+        b"ab",
+        b"a",
+    ]
+    idx = _TableIndex(table)
+    assert idx.maxc4 == 3
+
+    def roundtrip(data: bytes) -> list[int]:
+        codes_b, lits_b = fsst_encode_buffer(data, idx)
+        out, li = bytearray(), 0
+        codes = list(codes_b)
+        for c in codes:
+            if c == 255:
+                out.append(lits_b[li])
+                li += 1
+            else:
+                out += table[c]
+        assert bytes(out) == data, data
+        return codes
+
+    # every group member resolves to ITS code, not the group leader's
+    assert roundtrip(b"xyzA") == [0]
+    assert roundtrip(b"xyzB") == [1]
+    assert roundtrip(b"xyzC") == [2]
+    assert roundtrip(b"qrst") == [3]
+    # a non-member with the group's prefix falls back to the L3 symbol
+    assert roundtrip(b"xyzD") == [4, 255]
+    # bare prefix at end-of-buffer: L3 wins (no 4th byte to extend)
+    assert roundtrip(b"xyz") == [4]
+    # longest-match priority among the short symbols
+    assert roundtrip(b"ab") == [5]
+    assert roundtrip(b"abx") == [5, 255]
+    # mixed stream stressing all passes back-to-back, with escapes between
+    mixed = b"xyzCxyzB!xyzAqrstxyzDab?a" * 40
+    codes = roundtrip(mixed)
+    assert codes[:8] == [2, 1, 255, 0, 3, 4, 255, 5]
