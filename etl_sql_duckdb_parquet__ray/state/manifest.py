@@ -57,7 +57,14 @@ def load_manifest(out_dir: str) -> list[dict[str, Any]]:
     records = []
     for b in sorted(completed_buckets(out_dir)):
         with open(bucket_manifest_path(out_dir, b)) as f:
-            records.append(json.load(f))
+            rec = json.load(f)
+        # resolve the data-file path against the directory's CURRENT
+        # location: outputs must stay decodable after the directory is
+        # moved/copied (rsync'd off a node, relocated between storage
+        # tiers), so the absolute path stamped at encode time is only a
+        # hint, never authoritative
+        rec["path"] = os.path.join(out_dir, os.path.basename(rec["path"]))
+        records.append(rec)
     return records
 
 

@@ -161,6 +161,24 @@ def test_resume_skips_completed_buckets(ds, tmp_path):
     assert roundtrip_ok(ds, out)
 
 
+def test_output_dir_decodable_after_move(ds, tmp_path):
+    """Manifest paths are hints, not authoritative: an output directory
+    moved to a new location (rsync between nodes / storage tiers) must
+    still decode and resume — load_manifest re-roots every data path."""
+    a = str(tmp_path / "enc-orig")
+    b = str(tmp_path / "enc-moved")
+    encode_transcripts(ds, a, num_buckets=4, chunk_rows=8192)
+    os.rename(a, b)
+    assert roundtrip_ok(ds, b)
+    # resume against the moved dir sees everything complete (no rewrite)
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(b, "bucket-*"))
+    }
+    encode_transcripts(ds, b, num_buckets=4, chunk_rows=8192)
+    after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(b, "bucket-*"))}
+    assert before == after
+
+
 def test_second_run_is_noop(ds, tmp_path):
     out = str(tmp_path / "enc5")
     encode_transcripts(ds, out, num_buckets=4, chunk_rows=8192)
