@@ -434,6 +434,7 @@ def encode_transcripts(
     salt_block: int = 262144,
     hot_convs: dict[str, int] | None = None,
     dict_conv: bool | None = None,
+    exchange: str | None = None,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -508,37 +509,61 @@ def encode_transcripts(
             pre_encode_text, batch_format="pyarrow", batch_size=None,
             fn_kwargs={"state_ref": state_ref},
         )
-    if use_actors:
-        # explicit actor pool (ST4 pattern): best when the job is long-lived
-        # relative to actor-fleet startup — the default on a real cluster run
-        grouped = bucketed.groupby("bucket").map_groups(
-            BucketEncoder,
-            fn_constructor_kwargs={
-                "out_dir": out_dir,
-                "chunk_rows": chunk_rows,
-                "mode": mode,
-                "state_ref": state_ref,
-            },
-            batch_format="pyarrow",
-            concurrency=encoder_concurrency or (1, 8),
-        )
-    else:
-        # task path with per-worker encoder cache (identical semantics &
-        # state amortization; reuses prestarted workers)
-        import functools
+    # exchange strategy: "sort" (default — Ray's sort-based pull shuffle) or
+    # "hash" (HASH_SHUFFLE: map tasks stream partition shards straight to
+    # aggregator actors keyed by hash(bucket), skipping the global sort of
+    # bucket ids the sort exchange pays even though the key is already a
+    # dense int). Tuning caveat measured on this host: untuned hash shuffle
+    # deadlocks a small cluster — it wants 64 aggregators × 0.25 cpu and
+    # 200 default partitions — so we pin num_partitions=num_buckets and cap
+    # aggregators at cpus/4.
+    if exchange is None:
+        exchange = os.environ.get("GRAFT_EXCHANGE", "sort")
+    ctx = ray.data.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    prev_aggs = ctx.max_hash_shuffle_aggregators
+    group_kwargs: dict[str, Any] = {}
+    if exchange == "hash":
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ctx.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+        group_kwargs["num_partitions"] = num_buckets
+    try:
+        if use_actors:
+            # explicit actor pool (ST4 pattern): best when the job is
+            # long-lived relative to actor-fleet startup — the default on a
+            # real cluster run
+            grouped = bucketed.groupby("bucket", **group_kwargs).map_groups(
+                BucketEncoder,
+                fn_constructor_kwargs={
+                    "out_dir": out_dir,
+                    "chunk_rows": chunk_rows,
+                    "mode": mode,
+                    "state_ref": state_ref,
+                },
+                batch_format="pyarrow",
+                concurrency=encoder_concurrency or (1, 8),
+            )
+        else:
+            # task path with per-worker encoder cache (identical semantics &
+            # state amortization; reuses prestarted workers)
+            import functools
 
-        grouped = bucketed.groupby("bucket").map_groups(
-            functools.partial(
-                _encode_group_task,
-                out_dir=out_dir,
-                chunk_rows=chunk_rows,
-                mode=mode,
-                state_ref=state_ref,
-            ),
-            batch_format="pyarrow",
-        )
-    # consume the (tiny: one row per bucket) manifest dataset
-    grouped.materialize()
+            grouped = bucketed.groupby("bucket", **group_kwargs).map_groups(
+                functools.partial(
+                    _encode_group_task,
+                    out_dir=out_dir,
+                    chunk_rows=chunk_rows,
+                    mode=mode,
+                    state_ref=state_ref,
+                ),
+                batch_format="pyarrow",
+            )
+        # consume the (tiny: one row per bucket) manifest dataset
+        grouped.materialize()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        ctx.max_hash_shuffle_aggregators = prev_aggs
     return load_manifest(out_dir)
 
 
