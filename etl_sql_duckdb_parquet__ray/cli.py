@@ -20,10 +20,17 @@ import sys
 
 
 def _ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # honor RAY_ADDRESS so the same entrypoint serves both a laptop run
+        # (RAY_ADDRESS unset/local -> private local session) and a cluster
+        # run (scripts/submit_encode_job.py exports the head address and
+        # this driver schedules onto the cluster's workers)
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        ray.init(address=addr, include_dashboard=False, logging_level="ERROR")
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
