@@ -304,7 +304,25 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
     matches numpy's behavior on a dropna'd frame)."""
     import itertools
 
+    import math
+
     cols = list(columns)
+    moments = (
+        [f"s_{c}" for c in cols]
+        + [f"ss_{c}" for c in cols]
+        + [f"sp_{a}_{b}" for a, b in itertools.combinations(cols, 2)]
+    )
+
+    # Exactness at scale: second moments reach ~1e14 per row, so a plain
+    # int64 sum overflows around 1e5 rows per block and again at the
+    # cross-block combine (DuckDB's SUM(BIGINT) silently widens to HUGEINT;
+    # int64 does not). Each partial is computed as an exact Python int
+    # (chunked int64 reductions, 32768 rows per chunk keeps each below
+    # 2^62), then shipped as TWO int64 limbs (hi = v >> 31, lo = v & mask)
+    # so the distributed Dataset.sum can never overflow — lo sums stay
+    # < 2^31 * nblocks and hi sums < 2^31 * nblocks — and the driver
+    # recombines the exact 128-bit total.
+    _MASK = (1 << 31) - 1
 
     def partial(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -315,30 +333,57 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
             v = np.asarray(t.column(c).to_pandas(), dtype=np.float64)
             mask &= ~np.isnan(v)
             vals[c] = v
-        out = {"n": pa.array([int(mask.sum())], type=pa.int64())}
         cents = {c: np.round(vals[c][mask] * 100.0).astype(np.int64) for c in cols}
-        for c in cols:
-            out[f"s_{c}"] = pa.array([int(cents[c].sum())], type=pa.int64())
-            out[f"ss_{c}"] = pa.array([int((cents[c] * cents[c]).sum())], type=pa.int64())
-        for a, b in itertools.combinations(cols, 2):
-            out[f"sp_{a}_{b}"] = pa.array(
-                [int((cents[a] * cents[b]).sum())], type=pa.int64()
+        amax = {
+            c: int(np.abs(cents[c]).max()) if len(cents[c]) else 0 for c in cols
+        }
+
+        def exact_prod_sum(a: "np.ndarray", b: "np.ndarray" | None, bound: int) -> int:
+            # bound = max possible element magnitude after the (optional)
+            # product. Chunk the int64 reduction so no chunk sum can
+            # overflow; if even the element-wise product can overflow
+            # int64, fall back to exact Python ints (rare: needs |values|
+            # > ~3e7 after the x100 scaling).
+            if bound >= (1 << 62):
+                return int(np.multiply(a.astype(object), b.astype(object)).sum())
+            prod = a if b is None else a * b
+            step = max(1, (1 << 62) // (bound + 1))
+            return sum(
+                int(prod[i : i + step].sum()) for i in range(0, len(prod), step)
             )
+
+        exact = {f"s_{c}": exact_prod_sum(cents[c], None, amax[c]) for c in cols}
+        exact |= {
+            f"ss_{c}": exact_prod_sum(cents[c], cents[c], amax[c] * amax[c])
+            for c in cols
+        }
+        exact |= {
+            f"sp_{a}_{b}": exact_prod_sum(cents[a], cents[b], amax[a] * amax[b])
+            for a, b in itertools.combinations(cols, 2)
+        }
+        out = {"n": pa.array([int(mask.sum())], type=pa.int64())}
+        for k, v in exact.items():
+            out[f"{k}_hi"] = pa.array([v >> 31], type=pa.int64())
+            out[f"{k}_lo"] = pa.array([v & _MASK], type=pa.int64())
         return pa.table(out)
 
-    keys = (
-        ["n"]
-        + [f"s_{c}" for c in cols]
-        + [f"ss_{c}" for c in cols]
-        + [f"sp_{a}_{b}" for a, b in itertools.combinations(cols, 2)]
-    )
+    keys = ["n"] + [f"{m}_{part}" for m in moments for part in ("hi", "lo")]
     agg = ds.map_batches(partial, batch_format="pyarrow").sum(keys)
-    n = int(agg["sum(n)"])
-    mean = {c: agg[f"sum(s_{c})"] / n for c in cols}
-    var = {c: agg[f"sum(ss_{c})"] / n - mean[c] ** 2 for c in cols}
+    n = float(int(agg["sum(n)"]))
+    tot = {
+        m: (int(agg[f"sum({m}_hi)"]) << 31) + int(agg[f"sum({m}_lo)"])
+        for m in moments
+    }
+    # Downstream arithmetic mirrors ANSI-SQL integer division (DuckDB casts
+    # both HUGEINT operands to DOUBLE before dividing — measured; see the
+    # lineitem_correlation oracle), NOT Python's correctly-rounded int/int:
+    # for moments above 2^53 the two differ in the last ulp, and the oracle
+    # hash compares raw double bits.
+    mean = {c: float(tot[f"s_{c}"]) / n for c in cols}
+    var = {c: float(tot[f"ss_{c}"]) / n - mean[c] * mean[c] for c in cols}
     out: dict[tuple[str, str], float] = {}
     for a, b in itertools.combinations(cols, 2):
-        cov = agg[f"sum(sp_{a}_{b})"] / n - mean[a] * mean[b]
-        denom = (var[a] * var[b]) ** 0.5
+        cov = float(tot[f"sp_{a}_{b}"]) / n - mean[a] * mean[b]
+        denom = math.sqrt(var[a] * var[b]) if var[a] * var[b] > 0 else 0.0
         out[(a, b)] = cov / denom if denom else float("nan")
     return out

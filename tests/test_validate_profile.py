@@ -119,6 +119,69 @@ def test_profile_dataset_matches_duckdb(ray_session, sf_dir):
     assert et["strlen_min"] >= 1 and et["strlen_max"] >= et["strlen_min"]
 
 
+def test_correlation_bit_identical_to_duckdb(ray_session, sf_dir):
+    """Pearson from integer co-moments must match the SQL-mirror DuckDB
+    expression to the BIT (the driver's oracle hash compares raw double
+    bytes). Pins the DuckDB-division mirror: HUGEINT/BIGINT divides as
+    double(s)/double(n), which differs from Python's correctly-rounded
+    int/int in the last ulp once a moment exceeds 2^53."""
+    import duckdb
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import numeric_correlation
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = ray.data.read_parquet(path, columns=["l_quantity", "l_extendedprice"])
+    corr = numeric_correlation(ds, ["l_quantity", "l_extendedprice"])
+    got = corr[("l_quantity", "l_extendedprice")]
+    exp = duckdb.connect().execute(
+        f"""
+        WITH c AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sp,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_quantity*100) AS BIGINT)) AS sqq,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS spp,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)*CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sqp
+            FROM read_parquet('{path}'))
+        SELECT (sqp/n - (sq/n)*(sp/n)) /
+               SQRT((sqq/n - (sq/n)*(sq/n)) * (spp/n - (sp/n)*(sp/n)))
+        FROM c
+        """
+    ).fetchone()[0]
+    assert got.hex() == exp.hex(), (got.hex(), exp.hex())
+
+
+def test_correlation_exact_beyond_int64(ray_session):
+    """Co-moment sums that overflow int64 (DuckDB widens to HUGEINT; numpy
+    would wrap silently) must still be exact via the limb-split distributed
+    sum + chunked per-batch reduction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import numeric_correlation
+
+    rng = np.random.default_rng(5)
+    # values ~2e7 -> cents ~2e9, squares ~4e18; 40k rows pushes the ss sum
+    # to ~1.6e23, far beyond int64
+    x = rng.uniform(1.5e7, 2.1e7, 40_000)
+    y = 3.0 * x + rng.normal(0, 1e6, 40_000)
+    t = pa.table({"x": x, "y": y})
+    corr = numeric_correlation(ray.data.from_arrow(t), ["x", "y"])[("x", "y")]
+    cx = [int(v) for v in np.round(x * 100).astype(np.int64)]
+    cy = [int(v) for v in np.round(y * 100).astype(np.int64)]
+    n = float(len(cx))
+    sx, sy = float(sum(cx)) / n, float(sum(cy)) / n
+    cov = float(sum(a * b for a, b in zip(cx, cy))) / n - sx * sy
+    vx = float(sum(a * a for a in cx)) / n - sx * sx
+    vy = float(sum(b * b for b in cy)) / n - sy * sy
+    import math
+
+    exp = cov / math.sqrt(vx * vy)
+    assert corr.hex() == exp.hex(), (corr, exp)
+
+
 def test_nunique_exact_and_hll_vs_duckdb(ray_session, sf_dir):
     import duckdb
     import ray
