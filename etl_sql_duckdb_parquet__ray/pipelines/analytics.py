@@ -385,11 +385,34 @@ def validation_summary(sf_dir: str):
 
 def dedup_exact_docs(sf_dir: str):
     """Exact text dedup, keep the smallest doc_id per distinct text (the
-    scalable form of ``drop_duplicates(subset=['text'])``; hash-partition by
-    the dedup key, min per group)."""
+    scalable form of ``drop_duplicates(subset=['text'])``).
+
+    Shuffle-volume design: grouping by the raw ``text`` would ship every
+    byte of the corpus through the exchange. Instead a map-side 128-bit
+    composite hash (two independent SipHash-64 passes — vectorized C via
+    ``pd.util.hash_array``) replaces the key, so the exchange moves 24
+    bytes/row regardless of document size. At 10^12 docs the expected
+    number of 128-bit birthday collisions is ~1e-15 — far below any
+    hardware error rate — which is why the output matches the full-text
+    ``GROUP BY`` oracle exactly."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.groupby("text").aggregate(Min("doc_id"))
-    return _rename(out, ["text", "doc_id"]).select_columns(["doc_id"])
+
+    def key_hash(t: pa.Table) -> pa.Table:
+        txt = np.asarray(t.column("text"), dtype=object)
+        # hash_key must be exactly 16 bytes; two independent keys -> 128 bits
+        h1 = pd.util.hash_array(txt, hash_key="dedupexactkey__1")
+        h2 = pd.util.hash_array(txt, hash_key="dedupexactkey__2")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key_hash, batch_format="pyarrow")
+    out = keyed.groupby(["h1", "h2"]).aggregate(Min("doc_id"))
+    return _rename(out, ["h1", "h2", "doc_id"]).select_columns(["doc_id"])
 
 
 def doc_token_stats(sf_dir: str):
