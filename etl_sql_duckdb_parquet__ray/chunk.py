@@ -97,33 +97,51 @@ def _encode_with_instance(arr: pa.Array, codec) -> tuple[bytes, dict]:
             REGISTRY[codec.name] = prev
 
 
-def decode_chunk(chunk: bytes) -> pa.Table:
+def _decode_payload(payload: bytes, col: dict) -> pa.Array:
+    """Decode + checksum-verify one column payload against its header meta."""
+    if "sha256_enc" in col["meta"]:
+        # pre-encoded columns checksum the ENCODED payload (the decoded
+        # bytes never existed in one place on the encode side)
+        import hashlib
+
+        got = hashlib.sha256(payload).hexdigest()
+        if got != col["meta"]["sha256_enc"]:
+            raise ValueError(
+                f"checksum mismatch on column {col['name']!r} (encoded): "
+                f"{got} != {col['meta']['sha256_enc']}"
+            )
+    arr = decode_column(payload, col["meta"])
+    if "sha256" in col["meta"]:
+        got = column_checksum(arr)
+        if got != col["meta"]["sha256"]:
+            raise ValueError(
+                f"checksum mismatch on column {col['name']!r}: "
+                f"{got} != {col['meta']['sha256']}"
+            )
+    return arr
+
+
+def _select_cols(header: dict, columns: list[str] | None) -> list[dict]:
+    if columns is None:
+        return header["columns"]
+    by_name = {c["name"]: c for c in header["columns"]}
+    missing = [n for n in columns if n not in by_name]
+    if missing:
+        raise KeyError(f"columns not in chunk: {missing}")
+    return [by_name[n] for n in columns]
+
+
+def decode_chunk(chunk: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a chunk, optionally PROJECTING to ``columns`` (in that order):
+    unselected columns are never decoded — the per-column offsets in the
+    header make projection free of both decode CPU and checksum work."""
     (hlen,) = struct.unpack_from("<I", chunk, 0)
     header = json.loads(chunk[4 : 4 + hlen])
     base = 4 + hlen
     arrays, names = [], []
-    for col in header["columns"]:
+    for col in _select_cols(header, columns):
         payload = chunk[base + col["off"] : base + col["off"] + col["len"]]
-        if "sha256_enc" in col["meta"]:
-            # pre-encoded columns checksum the ENCODED payload (the decoded
-            # bytes never existed in one place on the encode side)
-            import hashlib
-
-            got = hashlib.sha256(payload).hexdigest()
-            if got != col["meta"]["sha256_enc"]:
-                raise ValueError(
-                    f"checksum mismatch on column {col['name']!r} (encoded): "
-                    f"{got} != {col['meta']['sha256_enc']}"
-                )
-        arr = decode_column(payload, col["meta"])
-        if "sha256" in col["meta"]:
-            got = column_checksum(arr)
-            if got != col["meta"]["sha256"]:
-                raise ValueError(
-                    f"checksum mismatch on column {col['name']!r}: "
-                    f"{got} != {col['meta']['sha256']}"
-                )
-        arrays.append(arr)
+        arrays.append(_decode_payload(payload, col))
         names.append(col["name"])
     return pa.table(dict(zip(names, arrays)))
 
@@ -225,3 +243,45 @@ def iter_chunks(path: str) -> Iterator[bytes]:
 def read_chunk_file(path: str) -> pa.Table:
     tables = [decode_chunk(c) for c in iter_chunks(path)]
     return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def chunk_spans(path: str) -> list[tuple[int, int]]:
+    """(offset, length) of each chunk's bytes within a chunk file, by a
+    header-only scan (16 seeks for a 16-chunk file — no payload I/O).
+    Chunk order equals the manifest record's ``chunks`` list order."""
+    spans = []
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad magic")
+        (n,) = struct.unpack("<I", f.read(4))
+        off = 8
+        for _ in range(n):
+            f.seek(off)
+            (ln,) = struct.unpack("<Q", f.read(8))
+            spans.append((off + 8, ln))
+            off += 8 + ln
+    return spans
+
+
+def read_chunk_columns(
+    path: str, span: tuple[int, int], columns: list[str] | None = None
+) -> pa.Table:
+    """Selective read of one chunk: header first, then ONLY the selected
+    columns' byte ranges (seek + exact-length reads). For a text-heavy
+    transcript chunk, projecting to the fixed-width columns skips ~90% of
+    the file's bytes — this is the I/O half of projection pushdown
+    (``decode_chunk(columns=...)`` is the CPU half, used when the chunk
+    bytes are already in memory)."""
+    off, ln = span
+    with open(path, "rb") as f:
+        f.seek(off)
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen))
+        base = off + 4 + hlen
+        arrays, names = [], []
+        for col in _select_cols(header, columns):
+            f.seek(base + col["off"])
+            payload = f.read(col["len"])
+            arrays.append(_decode_payload(payload, col))
+            names.append(col["name"])
+    return pa.table(dict(zip(names, arrays)))

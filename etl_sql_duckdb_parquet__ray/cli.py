@@ -63,9 +63,26 @@ def cmd_decode(args) -> int:
 
     from .state.manifest import manifest_stats
 
-    ds = decode_dataset(args.input)
-    ds.write_parquet(args.out)
-    print(json.dumps({"rows": manifest_stats(args.input)["rows"]}))
+    ds = decode_dataset(
+        args.input,
+        columns=args.columns.split(",") if args.columns else None,
+        conv_id=args.conv_id,
+        turn_lo=args.turn_lo,
+        turn_hi=args.turn_hi,
+    )
+    pushdown = bool(args.columns or args.conv_id is not None
+                    or args.turn_lo is not None or args.turn_hi is not None)
+    if pushdown:
+        # selective decode: row count comes from the (pruned, small) result,
+        # not the manifest; materialize once so count+write share one pass
+        m = ds.materialize()
+        n = m.count()
+        if n:
+            m.write_parquet(args.out)
+        print(json.dumps({"rows": n}))
+    else:
+        ds.write_parquet(args.out)
+        print(json.dumps({"rows": manifest_stats(args.input)["rows"]}))
     return 0
 
 
@@ -133,6 +150,16 @@ def main(argv=None) -> int:
     dec = sub.add_parser("decode", help="decode chunks back to parquet")
     dec.add_argument("--input", required=True, help="encoded dir (chunks+manifest)")
     dec.add_argument("--out", required=True)
+    dec.add_argument(
+        "--columns", default=None,
+        help="comma-separated projection: decode only these columns",
+    )
+    dec.add_argument(
+        "--conv-id", default=None,
+        help="point lookup: manifest zone-map pruning + exact row filter",
+    )
+    dec.add_argument("--turn-lo", type=int, default=None)
+    dec.add_argument("--turn-hi", type=int, default=None)
     dec.set_defaults(fn=cmd_decode)
 
     ver = sub.add_parser("verify", help="bit-identity roundtrip check")

@@ -46,7 +46,9 @@ from ..state.manifest import (
     bucket_data_path,
     completed_buckets,
     load_manifest,
+    load_run_meta,
     write_bucket_record,
+    write_run_meta,
 )
 from ..state.memtune import tune_malloc
 
@@ -480,6 +482,21 @@ def encode_transcripts(
         hot_convs = detect_hot_convs(
             ds, est_total=est_total, hot_threshold=max(salt_block, chunk_rows)
         )
+    # run-level partitioning metadata: lets conv_id lookups compute their
+    # home bucket (deterministic hash) instead of zone-scanning every
+    # partition. hot_convs are UNIONED across (re)runs — a resumed run may
+    # sample a different hot set, and a conv salted by ANY past run must
+    # keep falling back to the zone-map scan.
+    prev_meta = load_run_meta(out_dir) or {}
+    write_run_meta(
+        out_dir,
+        {
+            "num_buckets": num_buckets,
+            "hash": "pd-siphash-default",
+            "hot_convs": {**prev_meta.get("hot_convs", {}), **(hot_convs or {})},
+            "salt_block": salt_block,
+        },
+    )
     # batch_size=None => whole blocks: the per-call fixed cost of the
     # vectorized kernels amortizes over ~read-fragment-sized batches instead
     # of Ray's 1024-row default
@@ -575,16 +592,143 @@ def _decode_file_batches(batch: pa.Table):
             yield decode_chunk(blob)
 
 
-def decode_dataset(out_dir: str):
-    """Bucket chunk files -> Dataset with the original transcript schema."""
-    import ray
+def plan_chunks(
+    out_dir: str,
+    conv_id: str | None = None,
+    turn_lo: int | None = None,
+    turn_hi: int | None = None,
+) -> list[dict]:
+    """Zone-map pruning over the lineage manifest: each chunk record carries
+    its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
+    or range lookup eliminates non-overlapping chunks WITHOUT touching the
+    data files — the manifest doubles as a coarse index. Returns
+    ``{"path", "idx": [chunk positions within the file]}`` per surviving
+    bucket file. Safe (never false-prunes): a value outside a chunk's
+    min/max provably has no rows there; salted hot conversations appear in
+    several chunks and every overlapping chunk is kept.
 
+    When the run-level meta records the partitioning (num_buckets + hash
+    scheme + salted hot set), a conv_id lookup first computes its HOME
+    bucket from the same deterministic hash — one partition instead of a
+    zone scan of all of them (hash buckets have near-full conv ranges, so
+    zone maps alone barely prune across buckets). Conversations in the
+    salted hot set, and outputs without meta, fall back to the zone scan."""
     records = load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no completed buckets under {out_dir}")
-    paths = ray.data.from_items([{"path": r["path"]} for r in records])
-    return paths.map_batches(
-        _decode_file_batches, batch_format="pyarrow", batch_size=1
+    meta = load_run_meta(out_dir)
+    if (
+        conv_id is not None
+        and meta
+        and meta.get("hash") == "pd-siphash-default"
+        and conv_id not in meta.get("hot_convs", {})
+    ):
+        home = int(
+            conv_bucket(pa.array([conv_id]), int(meta["num_buckets"]))[0]
+        )
+        records = [r for r in records if r["bucket"] == home]
+    plan = []
+    for r in records:
+        keep = []
+        for i, c in enumerate(r["chunks"]):
+            if conv_id is not None:
+                lo, hi = c["conv_range"]
+                if not (lo <= conv_id <= hi):
+                    continue
+            tlo, thi = c["turn_range"]
+            if turn_lo is not None and thi < turn_lo:
+                continue
+            if turn_hi is not None and tlo > turn_hi:
+                continue
+            keep.append(i)
+        if keep:
+            plan.append({"path": r["path"], "idx": keep})
+    return plan
+
+
+class _SelectiveDecode:
+    """Per-chunk selective decode: reads only the planned chunks' selected
+    column byte ranges (seek I/O), applies the exact row predicate, projects
+    to the requested columns."""
+
+    def __init__(self, columns, conv_id, turn_lo, turn_hi):
+        self.columns = columns
+        self.conv_id = conv_id
+        self.turn_lo = turn_lo
+        self.turn_hi = turn_hi
+        need = set(columns) if columns is not None else None
+        if need is not None:
+            if conv_id is not None:
+                need.add("conv_id")
+            if turn_lo is not None or turn_hi is not None:
+                need.add("turn_idx")
+        self.read_cols = sorted(need) if need is not None else None
+
+    def __call__(self, batch: pa.Table):
+        from ..chunk import chunk_spans, read_chunk_columns
+
+        for row in batch.to_pylist():
+            spans = chunk_spans(row["path"])
+            for i in row["idx"]:
+                t = read_chunk_columns(row["path"], spans[i], self.read_cols)
+                mask = None
+                if self.conv_id is not None:
+                    mask = pc.equal(t.column("conv_id"), self.conv_id)
+                if self.turn_lo is not None:
+                    m = pc.greater_equal(t.column("turn_idx"), self.turn_lo)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if self.turn_hi is not None:
+                    m = pc.less_equal(t.column("turn_idx"), self.turn_hi)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if mask is not None:
+                    t = t.filter(mask)
+                if self.columns is not None:
+                    t = t.select(self.columns)
+                if t.num_rows:
+                    yield t
+
+
+def decode_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    conv_id: str | None = None,
+    turn_lo: int | None = None,
+    turn_hi: int | None = None,
+):
+    """Bucket chunk files -> Dataset with the original transcript schema.
+
+    Pushdown (mirrors ``read_parquet(columns=..., filter=...)`` for the
+    engine's own format):
+
+    - ``columns``: decode only these columns — per-column header offsets
+      mean unselected payloads are neither read from disk nor decoded.
+    - ``conv_id`` / ``turn_lo`` / ``turn_hi``: prune whole chunks via the
+      manifest's per-chunk conv/turn zone maps (``plan_chunks``), then
+      apply the exact row filter to the survivors.
+
+    With no pushdown args the original streaming whole-file path is used
+    (sequential reads beat per-column seeks when every byte is needed).
+    """
+    import ray
+
+    if columns is None and conv_id is None and turn_lo is None and turn_hi is None:
+        records = load_manifest(out_dir)
+        if not records:
+            raise FileNotFoundError(f"no completed buckets under {out_dir}")
+        paths = ray.data.from_items([{"path": r["path"]} for r in records])
+        return paths.map_batches(
+            _decode_file_batches, batch_format="pyarrow", batch_size=1
+        )
+    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi)
+    if not plan:
+        # prune eliminated everything: empty dataset (schema-less is fine
+        # for a no-match lookup)
+        return ray.data.from_items([]).map_batches(lambda t: t)
+    items = ray.data.from_items(plan)
+    return items.map_batches(
+        _SelectiveDecode(columns, conv_id, turn_lo, turn_hi),
+        batch_format="pyarrow",
+        batch_size=1,
     )
 
 

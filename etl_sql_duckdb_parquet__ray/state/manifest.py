@@ -68,6 +68,33 @@ def load_manifest(out_dir: str) -> list[dict[str, Any]]:
     return records
 
 
+RUN_META = "_run.json"
+
+
+def write_run_meta(out_dir: str, meta: dict[str, Any]) -> str:
+    """Run-level partitioning metadata (num_buckets, salted hot convs, hash
+    scheme) written once at job start. It is what makes conv_id lookups
+    O(1 bucket): the bucket assignment is a deterministic hash, so a reader
+    holding this record can compute a conversation's home bucket instead of
+    zone-scanning every partition."""
+    path = os.path.join(out_dir, RUN_META)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def load_run_meta(out_dir: str) -> dict[str, Any] | None:
+    path = os.path.join(out_dir, RUN_META)
+    if not os.path.exists(path):
+        return None  # pre-meta output dirs stay readable (zone-map fallback)
+    with open(path) as f:
+        return json.load(f)
+
+
 def manifest_stats(out_dir: str) -> dict[str, Any]:
     """Aggregate pipeline statistics (analog of ``history.py:142-173``)."""
     recs = load_manifest(out_dir)

@@ -487,3 +487,158 @@ def test_detect_hot_convs_fires_with_total_scaling(tmp_path):
     assert "conv-hot" in hot and hot["conv-hot"] > 262144
     # without scaling the 40k-count conv stays under the default threshold
     assert detect_hot_convs(ds, sample_rows=50000) == {}
+
+
+def test_projection_and_predicate_pushdown(ray_session, tmp_path):
+    """Selective decode: column projection and conv/turn zone-map pruning
+    must return exactly what a full decode + filter returns, while the
+    chunk plan provably prunes (fewer chunks touched than exist)."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+        plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(20000, seed=77)
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "pushdown")
+    encode_transcripts(ds, out, num_buckets=8, chunk_rows=2048, resume=False)
+
+    full = (
+        decode_dataset(out)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+
+    # projection: same rows, only the requested columns, no text decode
+    proj = (
+        decode_dataset(out, columns=["conv_id", "turn_idx", "role"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert list(proj.columns) == ["conv_id", "turn_idx", "role"]
+    assert proj.equals(full[["conv_id", "turn_idx", "role"]])
+
+    # point lookup: one conversation, exact rows, pruned chunk plan
+    conv = full["conv_id"].iloc[len(full) // 2]
+    expected = full[full["conv_id"] == conv].reset_index(drop=True)
+    got = (
+        decode_dataset(out, conv_id=conv)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert got.equals(expected[got.columns.tolist()])
+    total_chunks = sum(len(p["idx"]) for p in plan_chunks(out))
+    pruned_chunks = sum(len(p["idx"]) for p in plan_chunks(out, conv_id=conv))
+    assert 0 < pruned_chunks < total_chunks
+
+    # conv + turn range + projection combined
+    hi = int(expected["turn_idx"].max())
+    got2 = (
+        decode_dataset(out, columns=["text"], conv_id=conv, turn_lo=1, turn_hi=hi)
+        .to_pandas()
+    )
+    exp2 = expected[(expected["turn_idx"] >= 1) & (expected["turn_idx"] <= hi)]
+    assert sorted(got2["text"]) == sorted(exp2["text"])
+
+    # no-match lookup -> empty
+    assert decode_dataset(out, conv_id="no-such-conv").count() == 0
+
+    # unknown column -> KeyError surfaces from the task
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_dataset(out, columns=["nope"]).materialize()
+
+
+def test_selective_read_matches_in_memory_decode(tmp_path):
+    """chunk_spans + read_chunk_columns (seek path) must agree with
+    decode_chunk on the same bytes, column for column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_sql_duckdb_parquet__ray.chunk import (
+        chunk_spans,
+        decode_chunk,
+        encode_chunk,
+        iter_chunks,
+        read_chunk_columns,
+        write_chunk_file,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(5000, seed=5)
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    blobs = [encode_chunk(t.slice(lo, 1024))[0] for lo in range(0, t.num_rows, 1024)]
+    path = str(tmp_path / "f.bin")
+    write_chunk_file(path, blobs)
+
+    spans = chunk_spans(path)
+    assert len(spans) == len(blobs)
+    mem = [decode_chunk(b) for b in iter_chunks(path)]
+    for span, m in zip(spans, mem):
+        sel = read_chunk_columns(path, span, ["ts", "conv_id"])
+        assert sel.column("ts").equals(m.column("ts"))
+        assert sel.column("conv_id").equals(m.column("conv_id"))
+        allc = read_chunk_columns(path, span, None)
+        assert allc.equals(m)
+
+
+def test_conv_lookup_uses_home_bucket_and_hot_fallback(ray_session, tmp_path):
+    """With run meta present, a normal conversation's lookup plan touches
+    exactly one bucket (the deterministic hash home); a SALTED hot
+    conversation falls back to the zone scan and still returns every row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        conv_bucket,
+        decode_dataset,
+        encode_transcripts,
+        plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_run_meta
+
+    base = generate_transcripts(8000, seed=13)
+    n_hot = 6000
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * n_hot),
+            "turn_idx": pa.array(range(n_hot), type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n_hot // 2)),
+            "text": pa.array([f"hot turn {i}" for i in range(n_hot)]),
+            "tool": pa.array([None] * n_hot, type=pa.string()),
+            "ts": pa.array(range(n_hot), type=pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([base, hot]))
+    out = str(tmp_path / "homebucket")
+    encode_transcripts(
+        ds, out, num_buckets=8, chunk_rows=1024, resume=False,
+        hot_convs={"conv-hot": n_hot}, salt_block=1024,
+    )
+    meta = load_run_meta(out)
+    assert meta["num_buckets"] == 8 and "conv-hot" in meta["hot_convs"]
+
+    # normal conv: plan restricted to the hash home bucket
+    conv = base.column("conv_id")[0].as_py()
+    home = int(conv_bucket(pa.array([conv]), 8)[0])
+    plan = plan_chunks(out, conv_id=conv)
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    by_path = {r["path"]: r["bucket"] for r in load_manifest(out)}
+    assert {by_path[p["path"]] for p in plan} == {home}
+    got = decode_dataset(out, conv_id=conv).to_pandas()
+    exp = base.to_pandas()
+    exp = exp[exp["conv_id"] == conv]
+    assert len(got) == len(exp)
+
+    # salted hot conv: zone-scan fallback must recover ALL rows across buckets
+    got_hot = decode_dataset(out, conv_id="conv-hot", columns=["turn_idx"]).to_pandas()
+    assert sorted(got_hot["turn_idx"]) == list(range(n_hot))
