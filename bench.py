@@ -178,12 +178,30 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             n_rows = decode_dataset(out).count()
             t_dec = min(t_dec, time.perf_counter() - t0)
         assert n_rows == stats["rows"], (n_rows, stats["rows"])
+
+        # pushdown reads: 2-column projection (seek past text payloads) and
+        # a single-conversation point lookup (home-bucket via run meta);
+        # best-of-2 like every other timing on this noisy host
+        t_proj = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_dataset(out, columns=["conv_id", "turn_idx"]).count()
+            t_proj = min(t_proj, time.perf_counter() - t0)
+        conv = decode_dataset(out, columns=["conv_id"]).limit(1).take(1)[0]["conv_id"]
+        t_lookup = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_conv = decode_dataset(out, conv_id=conv).count()
+            t_lookup = min(t_lookup, time.perf_counter() - t0)
+        assert n_conv > 0
         return {
             "rows": stats["rows"],
             "encode_sec": round(t_enc, 3),
             "decode_sec": round(t_dec, 3),
             "encode_turns_per_sec": round(stats["rows"] / t_enc, 1),
             "decode_turns_per_sec": round(stats["rows"] / t_dec, 1),
+            "decode_proj2_sec": round(t_proj, 3),
+            "decode_conv_lookup_sec": round(t_lookup, 3),
             "bytes_out": stats["bytes_out"],
             "bytes_in_arrow": stats["bytes_in"],
             "bytes_per_turn": round(stats["bytes_out"] / stats["rows"], 2),
