@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_segment": _q(A.top3_orders_per_segment),
         "event_type_share": _q(A.event_type_share),
         "latest_event_per_user": _q(A.latest_event_per_user),
+        "last_purchase_before_event": _q(A.last_purchase_before_event),
         "orphan_orders": _q(A.orphan_orders),
         "table_counts_union": _q(A.table_counts_union),
         "null_rates_events": _q(A.null_rates_events),
@@ -239,6 +240,19 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) t
             WHERE rn = 1
+        """,
+        "last_purchase_before_event": """
+            WITH p AS (
+                SELECT user_id, event_id AS p_event_id, ts AS p_ts, value AS p_value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   p.p_event_id, p.p_ts, p.p_value
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, p_event_id, p_ts, p_value FROM p WHERE rn = 1
+            ) p ON e.user_id = p.user_id AND e.ts >= p.p_ts
         """,
         "orphan_orders": """
             SELECT COUNT(*) AS n_orphans

@@ -253,6 +253,39 @@ def event_type_share(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+def last_purchase_before_event(sf_dir: str):
+    """AS-OF join (backward): attach to every event the same user's most
+    recent purchase at-or-before its timestamp — the temporal-join operator
+    Ray Data lacks natively (`stages/relational.py:asof_join`: one
+    union+hash exchange, per-key vectorized searchsorted). The right side
+    is pre-deduped per (user, ts) keeping the max event_id, so ties are
+    deterministic and the DuckDB ``ASOF LEFT JOIN`` oracle matches row for
+    row."""
+    from ..stages.relational import asof_join, dedup_keep_last
+
+    left = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    right = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "p_event_id": t.column("event_id"),
+                "p_ts": t.column("ts"),
+                "p_value": t.column("value"),
+            }
+        )
+
+    right = right.map_batches(purchases, batch_format="pyarrow")
+    right = dedup_keep_last(right, ["user_id", "p_ts"], "p_event_id")
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="p_ts",
+        right_payload=["p_event_id", "p_ts", "p_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup / anti-join / unions (reference D1, D3, J5)
 # ---------------------------------------------------------------------------
 

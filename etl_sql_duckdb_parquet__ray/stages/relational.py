@@ -132,6 +132,98 @@ def dedup_keep_last(ds, keys: Sequence[str], order_col: str):
     return ds.groupby(keys).map_groups(fn, batch_format="pandas")
 
 
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+):
+    """Distributed AS-OF (backward) join — for every left row, the right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (ANSI ``ASOF LEFT JOIN``; an operator Ray Data lacks natively).
+
+    Shape: ONE exchange. Both sides are mapped to a shared schema (typed
+    null padding for the other side's columns), unioned, and hash-shuffled
+    once by the key; each group then splits by side, sorts by time, and
+    matches left rows to right rows with a vectorized ``np.searchsorted``
+    (no pandas dtype coercion — int64 keys survive > 2^53). Exact-equal
+    timestamps match (``allow_exact_matches`` semantics, same as DuckDB).
+
+    Partitioning assumption (documented per the custom-operator contract):
+    one key's rows must fit in a worker — at web scale, pre-split hot keys
+    by coarse time range (the same salting trick the encode shuffle uses)
+    and merge boundaries. Ties on (key, right_ts) are arbitrary — pre-dedup
+    the right side (e.g. ``dedup_keep_last``) for deterministic output.
+    """
+    import ray  # noqa: F401  (Dataset.union ships with ray.data)
+
+    right_payload = list(right_payload)
+    lschema = left.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rschema = right.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    left_cols = [c for c in lschema.names]  # includes `on` and left_ts
+    out_order = left_cols + right_payload
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        arrays = [t.column(c) for c in left_cols]
+        names = list(left_cols)
+        for c in right_payload:
+            arrays.append(pa.nulls(t.num_rows, type=rtypes[c]))
+            names.append(c)
+        arrays.append(pa.nulls(t.num_rows, type=pa.int64()))  # __rts
+        names.append("__rts")
+        arrays.append(pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        names.append("__side")
+        return pa.table(dict(zip(names, arrays)))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in left_cols:
+            if c == on:
+                arrays.append(t.column(on))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=ltypes[c]))
+            names.append(c)
+        for c in right_payload:
+            arrays.append(t.column(c))
+            names.append(c)
+        arrays.append(t.column(right_ts).cast(pa.int64()))
+        names.append("__rts")
+        arrays.append(pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        names.append("__side")
+        return pa.table(dict(zip(names, arrays)))
+
+    lu = left.map_batches(pad_left, batch_format="pyarrow")
+    ru = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lu.union(ru)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        l = g.filter(pa.array(side == 0))
+        r = g.filter(pa.array(side == 1))
+        l = l.take(pc.sort_indices(l, sort_keys=[(left_ts, "ascending")]))
+        out_cols = {c: l.column(c) for c in left_cols}
+        if r.num_rows == 0:
+            for c in right_payload:
+                out_cols[c] = pa.nulls(l.num_rows, type=rtypes[c])
+            return pa.table({c: out_cols[c] for c in out_order})
+        r = r.take(pc.sort_indices(r, sort_keys=[("__rts", "ascending")]))
+        lt = np.asarray(l.column(left_ts).cast(pa.int64()))
+        rt = np.asarray(r.column("__rts"))
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        ind = pa.array(
+            np.where(idx >= 0, idx, 0).astype(np.int64), mask=idx < 0
+        )
+        for c in right_payload:
+            out_cols[c] = r.column(c).take(ind)
+        return pa.table({c: out_cols[c] for c in out_order})
+
+    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
+
+
 def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col: str) -> pa.Table:
     """Nested CASE WHEN over one column: cases = [(op, threshold, label)]
     evaluated in order (reference Q3 qc_status, ``sql/queries.sql:33-38``)."""

@@ -58,3 +58,42 @@ def test_entry_smoke(ray_session):
     df = _to_df(res)
     assert len(df) >= 0
     assert list(df.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_asof_join_edge_semantics(ray_session):
+    """Pinned AS-OF semantics: exact-equal ts matches; earlier left rows get
+    null; keys absent from the right side get all-null payload; int64 keys
+    above 2^53 survive (no pandas float coercion inside the operator)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import asof_join
+
+    big = 2**60 + 7  # would corrupt silently if coerced through float64
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, big], type=pa.int64()),
+            "t": pa.array([5, 10, 20, 7, 9], type=pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, big], type=pa.int64()),
+            "rt": pa.array([10, 15, 9], type=pa.int64()),
+            "rv": pa.array([100, 150, 900], type=pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_ts="t", right_ts="rt", right_payload=["rv"],
+    ).to_pandas().sort_values(["k", "t"], ignore_index=True)
+    # k=1: t=5 -> null, t=10 -> exact match 100, t=20 -> 150
+    k1 = out[out["k"] == 1]["rv"].tolist()
+    assert np.isnan(k1[0]) and k1[1] == 100 and k1[2] == 150
+    # k=2: no right rows at all -> null
+    assert np.isnan(out[out["k"] == 2]["rv"].iloc[0])
+    # huge key matches exactly (exact-equal ts)
+    assert out[out["k"] == big]["rv"].iloc[0] == 900
+    assert out[out["k"] == big]["k"].iloc[0] == big
