@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": _q(A.event_type_share),
         "latest_event_per_user": _q(A.latest_event_per_user),
         "last_purchase_before_event": _q(A.last_purchase_before_event),
+        "purchases_last_hour": _q(A.purchases_last_hour),
         "orphan_orders": _q(A.orphan_orders),
         "table_counts_union": _q(A.table_counts_union),
         "null_rates_events": _q(A.null_rates_events),
@@ -253,6 +254,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN (
                 SELECT user_id, p_event_id, p_ts, p_value FROM p WHERE rn = 1
             ) p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        """,
+        "purchases_last_hour": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   CAST(COUNT(p.event_id) AS BIGINT) AS purchases_1h
+            FROM events e LEFT JOIN events p
+              ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts > e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+            GROUP BY e.event_id, e.user_id, e.ts
         """,
         "orphan_orders": """
             SELECT COUNT(*) AS n_orphans

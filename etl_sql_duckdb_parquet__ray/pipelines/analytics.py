@@ -285,6 +285,29 @@ def last_purchase_before_event(sf_dir: str):
     )
 
 
+def purchases_last_hour(sf_dir: str):
+    """Sliding-window aggregate: per event, how many of the same user's
+    purchases happened in the preceding hour (inclusive of the event's own
+    instant). `stages/relational.py:rolling_window_count` — one hash
+    exchange, two searchsorted calls per group; the oracle expresses the
+    same thing as a self-range-join + GROUP BY."""
+    from ..stages.relational import rolling_window_count
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_purchase", pc.equal(t.column("event_type"), "purchase")
+        )
+
+    out = rolling_window_count(
+        ds.map_batches(mark, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", window_us=3_600_000_000,
+        mark_col="is_purchase", out_col="purchases_1h",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "purchases_1h"])
+
+
 # ---------------------------------------------------------------------------
 # dedup / anti-join / unions (reference D1, D3, J5)
 # ---------------------------------------------------------------------------

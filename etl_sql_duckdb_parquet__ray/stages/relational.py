@@ -224,6 +224,42 @@ def asof_join(
     return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
 
 
+def rolling_window_count(
+    ds,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    mark_col: str,
+    out_col: str,
+):
+    """Sliding-window aggregate (an operator Ray Data lacks natively): for
+    every row, the count of rows in the same ``key`` group with
+    ``mark_col`` true and timestamp in ``(row.ts - window_us, row.ts]`` —
+    the SQL ``COUNT(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW)`` shape, or equivalently a
+    self-range-join + group-count.
+
+    ONE hash exchange on the key; within a group everything is two
+    ``np.searchsorted`` calls over the sorted marked timestamps — O(n log n)
+    per group, no per-row Python, no row explosion (a naive range join
+    replicates each row per match; this never materializes matches).
+
+    Partitioning assumption: one key's rows fit a worker (salt hot keys by
+    coarse time range and merge boundary windows if not)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(ts_col, "ascending")]))
+        ts = np.asarray(g.column(ts_col).cast(pa.int64()))
+        marked = np.asarray(g.column(mark_col)).astype(bool)
+        mts = ts[marked]
+        cnt = np.searchsorted(mts, ts, side="right") - np.searchsorted(
+            mts, ts - window_us, side="right"
+        )
+        return g.append_column(out_col, pa.array(cnt.astype(np.int64)))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col: str) -> pa.Table:
     """Nested CASE WHEN over one column: cases = [(op, threshold, label)]
     evaluated in order (reference Q3 qc_status, ``sql/queries.sql:33-38``)."""
