@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.ivf_topk(ds, qvec, k=10)
 
+    def ann_pq_topk(sf_dir: str):
+        q = read_arrow(sf_dir, "embeddings")
+        qvec = q.column("embedding")[0].as_py()
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.pq_topk(ds, qvec, k=10)
+
     def transcript_roundtrip(sf_dir: str):
         out = tempfile.mkdtemp(prefix="rt-", dir="/tmp")
         return flagship_roundtrip(sf_dir, out, num_buckets=8)
@@ -163,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "multimodal_features": multimodal_features,
     }
 

@@ -181,3 +181,102 @@ def brute_force_topk_many(ds_emb, queries: np.ndarray, k: int = 10):
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
 
     return partial.groupby("query_idx").map_groups(final_topk, batch_format="pandas")
+
+
+def train_pq_codebooks(
+    ds_emb, m: int = 16, ks: int = 32, sample_rows: int = 2048,
+    iters: int = 10, seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al., TPAMI'11): split the
+    (normalized) vector into ``m`` subvectors and k-means each subspace
+    independently on a block-spread sample. Returns ``[m, ks, d/m]``.
+    Train on a sample, never a full scan (SURVEY.md §7.4)."""
+    per_block = max(64, sample_rows // 32)
+    sample = ds_emb.map_batches(
+        lambda df: df.head(per_block), batch_format="pandas"
+    ).limit(sample_rows).to_pandas()
+    _, V = _stack(sample)
+    V = _normalize(V)
+    n, d = V.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    sub = V.reshape(n, m, dsub)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        X = sub[:, j, :]
+        k_eff = min(ks, n)
+        C = X[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # L2 assign: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[j, :k_eff] = C
+        if k_eff < ks:
+            books[j, k_eff:] = C[0]  # degenerate corpus: pad with a real cell
+    return books
+
+
+class PqEncode:
+    """Actor-pool stage: PQ-encode vectors to ``m`` uint8 codes (codebooks
+    arrive once per actor via a ray.put handle). The downstream exchange
+    then moves m bytes per vector instead of 8*d — the memory/shuffle
+    footprint that makes billion-vector ANN feasible."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = ray.get(books_ref)
+        self.c2 = (self.books * self.books).sum(axis=2)  # [m, ks]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, V = _stack(batch)
+        Vn = _normalize(V)
+        n, d = Vn.shape
+        m, ks, dsub = self.books.shape
+        sub = Vn.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            d2 = self.c2[j][None, :] - 2.0 * (sub[:, j, :] @ self.books[j].T)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"vec_id": ids, "codes": list(codes)})
+
+
+def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32):
+    """PQ approximate top-k by asymmetric distance computation: the query
+    stays exact; every database vector is m uint8 codes, and its
+    approximate inner product is a sum of m table lookups
+    (cos(q, v) ~ sum_j LUT[j, codes[j]] with LUT[j, c] = q_j . books[j, c]).
+    Per-batch partial top-k + global sort-limit, exactly like the
+    brute-force path — only the per-vector arithmetic shrinks from d
+    multiplies to m byte-indexed adds."""
+    import ray
+
+    books = train_pq_codebooks(ds_emb, m=m, ks=ks)
+    bref = ray.put(books)
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    mm, _, dsub = books.shape
+    lut = np.einsum("jd,jkd->jk", q.reshape(mm, dsub), books)  # [m, ks]
+    lref = ray.put(lut)
+
+    encoded = ds_emb.map_batches(
+        PqEncode, fn_constructor_kwargs={"books_ref": bref},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lt = ray.get(lref)
+        ids = batch["vec_id"].to_numpy()
+        codes = np.stack(batch["codes"].to_numpy())  # [n, m]
+        approx = lt[np.arange(lt.shape[0])[None, :], codes].sum(axis=1)
+        top = np.argsort(-approx, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
+
+    return encoded.map_batches(score, batch_format="pandas").sort(
+        ["cosine_pq", "vec_id"], descending=[True, False]
+    ).limit(k)

@@ -143,6 +143,29 @@ def test_ivf_topk_recall(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_pq_topk_recall(ray_session):
+    """PQ/ADC top-k: m byte-lookups approximate the d-dim inner product.
+    On clustered data (the realistic case) the true neighbors must surface;
+    recall quantified against exact brute force."""
+    import ray
+
+    rng = np.random.default_rng(9)
+    # 10 clusters of 30 vectors: centers + small noise (embeddings in the
+    # wild are clustered; isotropic noise is PQ's pathological worst case)
+    centers = rng.standard_normal((10, 32)) * 3
+    V = np.vstack([c + rng.standard_normal((30, 32)) * 0.3 for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    q = V[42]
+    got = similarity.pq_topk(ds, q, k=10, m=8, ks=32).to_pandas()
+    assert got["vec_id"].is_unique
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.6, recall
+    # the top hit comes from the query's own cluster (vec 42 -> cluster 1)
+    assert got["vec_id"].iloc[0] in set(range(30, 60))
+
+
 # -- text stages end-to-end --------------------------------------------------
 
 def test_text_stages(ray_session):
