@@ -86,6 +86,16 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ray()
+    from .state.manifest import manifest_stats
+    from .state.scheduler import compact
+
+    compact(args.inputs.split(","), args.out, num_buckets=args.buckets)
+    print(json.dumps(manifest_stats(args.out)))
+    return 0
+
+
 def cmd_verify(args) -> int:
     ray = _ray()
     from .pipelines.encode import roundtrip_ok
@@ -161,6 +171,14 @@ def main(argv=None) -> int:
     dec.add_argument("--turn-lo", type=int, default=None)
     dec.add_argument("--turn-hi", type=int, default=None)
     dec.set_defaults(fn=cmd_decode)
+
+    cp = sub.add_parser(
+        "compact", help="merge encoded dirs into one freshly-bucketed dir"
+    )
+    cp.add_argument("--inputs", required=True, help="comma-separated encoded dirs")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--buckets", type=int, default=32)
+    cp.set_defaults(fn=cmd_compact)
 
     ver = sub.add_parser("verify", help="bit-identity roundtrip check")
     ver.add_argument("--input", required=True, help="original parquet dir")

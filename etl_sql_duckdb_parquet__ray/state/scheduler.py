@@ -205,3 +205,20 @@ def decode_all(out_root: str):
     for r in runs[1:]:
         ds = ds.union(decode_dataset(r))
     return ds
+
+
+def compact(encoded_dirs: list[str], out_dir: str, num_buckets: int = 32, **kw):
+    """Maintenance op: merge many encoded directories (e.g. the per-tick
+    run dirs the incremental watcher accumulates) into ONE freshly-bucketed
+    directory. Incremental ticks fragment a conversation's turns across
+    run dirs; compaction re-shuffles by conv_id so each conversation is
+    contiguous again — point lookups go back to touching one chunk, and
+    per-chunk FSST/dict tables retrain on the full corpus (better ratio
+    than many small tick-sized tables). Stream-decode -> re-encode; the
+    usual resume semantics apply to the output dir."""
+    from ..pipelines.encode import decode_dataset, encode_transcripts
+
+    ds = decode_dataset(encoded_dirs[0])
+    for d in encoded_dirs[1:]:
+        ds = ds.union(decode_dataset(d))
+    return encode_transcripts(ds, out_dir, num_buckets=num_buckets, **kw)

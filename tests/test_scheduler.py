@@ -90,3 +90,49 @@ def test_incremental_encode_ledger(ray_session, tmp_path):
     )
     orig = t.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
     assert dec.equals(orig)
+
+
+def test_compact_merges_runs_and_restores_locality(ray_session, tmp_path):
+    """Compacting two tick-fragmented encode dirs must (a) decode to the
+    exact union of their contents, and (b) restore conversation locality:
+    a conversation split across ticks is whole again, so its lookup plan
+    touches one chunk."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+        plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+    from etl_sql_duckdb_parquet__ray.state.scheduler import compact
+
+    t = generate_transcripts(10000, seed=31)
+    # split one conversation's turns across the two "ticks"
+    conv = t.column("conv_id")[0].as_py()
+    import pyarrow.compute as pc
+
+    mine = pc.equal(t.column("conv_id"), conv)
+    half_a = t.filter(pc.and_(mine, pc.equal(pc.bit_wise_and(t.column("turn_idx"), 1), 0)))
+    half_b = t.filter(pc.and_(mine, pc.equal(pc.bit_wise_and(t.column("turn_idx"), 1), 1)))
+    rest = t.filter(pc.invert(mine))
+    tick1 = pa.concat_tables([rest.slice(0, rest.num_rows // 2), half_a])
+    tick2 = pa.concat_tables([rest.slice(rest.num_rows // 2), half_b])
+
+    d1, d2, dout = str(tmp_path / "r1"), str(tmp_path / "r2"), str(tmp_path / "c")
+    encode_transcripts(ray.data.from_arrow(tick1), d1, num_buckets=4, chunk_rows=100000)
+    encode_transcripts(ray.data.from_arrow(tick2), d2, num_buckets=4, chunk_rows=100000)
+    compact([d1, d2], dout, num_buckets=4, chunk_rows=100000, resume=False)
+
+    merged = (
+        decode_dataset(dout).to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    orig = t.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert merged.equals(orig)
+
+    # before compaction the conversation needs both dirs; after, one chunk
+    pre = sum(len(p["idx"]) for d in (d1, d2) for p in plan_chunks(d, conv_id=conv))
+    post = sum(len(p["idx"]) for p in plan_chunks(dout, conv_id=conv))
+    assert pre >= 2 and post == 1
