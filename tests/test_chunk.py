@@ -90,3 +90,35 @@ def test_codec_override_and_size_budget(sorted_transcripts):
     pq.write_table(sorted_transcripts, buf, compression="zstd")
     # north-rule size budget: encoded bytes <= Parquet+zstd of the same data
     assert summary["bytes_out"] <= buf.tell()
+
+
+def test_selective_read_detects_corruption(tmp_path):
+    """A byte flip inside a column payload must raise a checksum ValueError
+    through the seek-read path too (same guarantee as whole-chunk decode)."""
+    import pyarrow.compute as pc
+    import pytest
+
+    from etl_sql_duckdb_parquet__ray.chunk import (
+        chunk_spans,
+        read_chunk_columns,
+        write_chunk_file,
+        encode_chunk,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(2000, seed=8)
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    blob, _ = encode_chunk(t)
+    path = str(tmp_path / "c.bin")
+    write_chunk_file(path, [blob])
+    (off, ln) = chunk_spans(path)[0]
+    # flip a byte deep inside the payload region (past the header)
+    with open(path, "r+b") as f:
+        f.seek(off + ln - 100)
+        b = f.read(1)
+        f.seek(off + ln - 100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    spans = chunk_spans(path)
+    with pytest.raises(ValueError, match="checksum"):
+        for col in ["conv_id", "turn_idx", "role", "text", "tool", "ts"]:
+            read_chunk_columns(path, spans[0], [col])
