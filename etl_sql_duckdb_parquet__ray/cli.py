@@ -73,12 +73,25 @@ def cmd_decode(args) -> int:
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None)
     if pushdown:
-        # selective decode: row count comes from the (pruned, small) result,
-        # not the manifest; materialize once so count+write share one pass
-        m = ds.materialize()
-        n = m.count()
-        if n:
-            m.write_parquet(args.out)
+        # selective decode: STREAM the write (a projection over the full
+        # dataset must not pin everything in the object store), then count
+        # rows from the written files' parquet metadata — no second
+        # execution. A no-match lookup still produces the output dir (empty)
+        # so downstream readers see an empty dataset, not FileNotFound.
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        try:
+            ds.write_parquet(args.out)
+        except ValueError:
+            pass  # schema-less empty dataset (prune removed every chunk)
+        n = sum(
+            pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+            for f in os.listdir(args.out)
+            if f.endswith(".parquet")
+        )
         print(json.dumps({"rows": n}))
     else:
         ds.write_parquet(args.out)

@@ -44,6 +44,19 @@ def brute_force_topk(ds_emb, query: np.ndarray, k: int = 10):
     return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
+def _sample_normalized(ds_emb, sample_rows: int) -> np.ndarray:
+    """Block-spread normalized training sample (head of every block, then
+    limit) — shared by all ANN trainers so a sorted/partitioned corpus
+    never biases training to its first shard (SURVEY.md §7.4: train on a
+    sample, never a full scan)."""
+    per_block = max(64, sample_rows // 32)
+    sample = ds_emb.map_batches(
+        lambda df: df.head(per_block), batch_format="pandas"
+    ).limit(sample_rows).to_pandas()
+    _, V = _stack(sample)
+    return _normalize(V)
+
+
 def train_ivf_centroids(
     ds_emb, n_lists: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 5
 ) -> np.ndarray:
@@ -52,12 +65,7 @@ def train_ivf_centroids(
     spread across blocks (head of every block, then limit) rather than the
     head of the dataset, so a sorted/partitioned corpus doesn't bias the
     centroids to its first shard."""
-    per_block = max(64, sample_rows // 32)
-    sample = ds_emb.map_batches(
-        lambda df: df.head(per_block), batch_format="pandas"
-    ).limit(sample_rows).to_pandas()
-    _, V = _stack(sample)
-    V = _normalize(V)
+    V = _sample_normalized(ds_emb, sample_rows)
     rng = np.random.default_rng(seed)
     C = V[rng.choice(len(V), size=min(n_lists, len(V)), replace=False)]
     for _ in range(iters):
@@ -191,12 +199,7 @@ def train_pq_codebooks(
     (normalized) vector into ``m`` subvectors and k-means each subspace
     independently on a block-spread sample. Returns ``[m, ks, d/m]``.
     Train on a sample, never a full scan (SURVEY.md §7.4)."""
-    per_block = max(64, sample_rows // 32)
-    sample = ds_emb.map_batches(
-        lambda df: df.head(per_block), batch_format="pandas"
-    ).limit(sample_rows).to_pandas()
-    _, V = _stack(sample)
-    V = _normalize(V)
+    V = _sample_normalized(ds_emb, sample_rows)
     n, d = V.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

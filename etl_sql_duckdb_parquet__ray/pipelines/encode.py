@@ -488,11 +488,18 @@ def encode_transcripts(
     # sample a different hot set, and a conv salted by ANY past run must
     # keep falling back to the zone-map scan.
     prev_meta = load_run_meta(out_dir) or {}
+    # a dir encoded under a DIFFERENT bucket count has a mixed layout: the
+    # home-bucket shortcut would silently drop rows, so poison the hash tag
+    # and let plan_chunks fall back to the (always-correct) zone scan
+    mixed = (
+        "num_buckets" in prev_meta
+        and prev_meta["num_buckets"] != num_buckets
+    ) or prev_meta.get("hash") == "mixed-layout"
     write_run_meta(
         out_dir,
         {
             "num_buckets": num_buckets,
-            "hash": "pd-siphash-default",
+            "hash": "mixed-layout" if mixed else "pd-siphash-default",
             "hot_convs": {**prev_meta.get("hot_convs", {}), **(hot_convs or {})},
             "salt_block": salt_block,
         },

@@ -317,12 +317,14 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
     # int64 sum overflows around 1e5 rows per block and again at the
     # cross-block combine (DuckDB's SUM(BIGINT) silently widens to HUGEINT;
     # int64 does not). Each partial is computed as an exact Python int
-    # (chunked int64 reductions, 32768 rows per chunk keeps each below
-    # 2^62), then shipped as TWO int64 limbs (hi = v >> 31, lo = v & mask)
-    # so the distributed Dataset.sum can never overflow — lo sums stay
-    # < 2^31 * nblocks and hi sums < 2^31 * nblocks — and the driver
-    # recombines the exact 128-bit total.
+    # (bound-adaptive chunked int64 reductions, object-int fallback for
+    # per-element overflow), then shipped as FIVE base-2^31 int64 limbs —
+    # the top limb carries the sign (arithmetic shift), each limb column
+    # sums without overflow for < 2^31 blocks, and the driver recombines
+    # the exact ~155-bit total. Five limbs cover |total| < 2^155 ~ 4.5e46:
+    # second moments of |values| up to ~2e19 over 10^12 rows.
     _MASK = (1 << 31) - 1
+    _LIMBS = 5
 
     def partial(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -345,7 +347,8 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
             # int64, fall back to exact Python ints (rare: needs |values|
             # > ~3e7 after the x100 scaling).
             if bound >= (1 << 62):
-                return int(np.multiply(a.astype(object), b.astype(object)).sum())
+                ao = a.astype(object)
+                return int((ao if b is None else ao * b.astype(object)).sum())
             prod = a if b is None else a * b
             step = max(1, (1 << 62) // (bound + 1))
             return sum(
@@ -363,15 +366,20 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
         }
         out = {"n": pa.array([int(mask.sum())], type=pa.int64())}
         for k, v in exact.items():
-            out[f"{k}_hi"] = pa.array([v >> 31], type=pa.int64())
-            out[f"{k}_lo"] = pa.array([v & _MASK], type=pa.int64())
+            for j in range(_LIMBS):
+                limb = v >> (31 * j)
+                if j < _LIMBS - 1:
+                    limb &= _MASK
+                out[f"{k}_l{j}"] = pa.array([limb], type=pa.int64())
         return pa.table(out)
 
-    keys = ["n"] + [f"{m}_{part}" for m in moments for part in ("hi", "lo")]
+    keys = ["n"] + [f"{m}_l{j}" for m in moments for j in range(_LIMBS)]
     agg = ds.map_batches(partial, batch_format="pyarrow").sum(keys)
     n = float(int(agg["sum(n)"]))
     tot = {
-        m: (int(agg[f"sum({m}_hi)"]) << 31) + int(agg[f"sum({m}_lo)"])
+        m: sum(
+            int(agg[f"sum({m}_l{j})"]) << (31 * j) for j in range(_LIMBS)
+        )
         for m in moments
     }
     # Downstream arithmetic mirrors ANSI-SQL integer division (DuckDB casts

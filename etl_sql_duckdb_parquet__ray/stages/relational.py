@@ -180,6 +180,13 @@ def asof_join(
         return pa.table(dict(zip(names, arrays)))
 
     def pad_right(t: pa.Table) -> pa.Table:
+        # SQL equality/inequality never matches on NULL: right rows with a
+        # null key or null timestamp can never join — drop them here so the
+        # null-key group (if any) sees an empty right side downstream
+        valid = pc.and_(
+            t.column(on).is_valid(), t.column(right_ts).is_valid()
+        )
+        t = t.filter(valid)
         arrays, names = [], []
         for c in left_cols:
             if c == on:
@@ -211,11 +218,24 @@ def asof_join(
                 out_cols[c] = pa.nulls(l.num_rows, type=rtypes[c])
             return pa.table({c: out_cols[c] for c in out_order})
         r = r.take(pc.sort_indices(r, sort_keys=[("__rts", "ascending")]))
-        lt = np.asarray(l.column(left_ts).cast(pa.int64()))
+        # A null left timestamp compares false to everything in SQL -> null
+        # payload. It must ALSO never reach np.asarray: an int64 column with
+        # nulls converts to float64, which both matches NaN rows to the last
+        # right row and rounds keys above 2^53.
+        lt_arr = l.column(left_ts).cast(pa.int64()).combine_chunks()
+        null_lt = (
+            np.asarray(lt_arr.is_null()) if lt_arr.null_count else None
+        )
+        lt = np.asarray(
+            lt_arr.fill_null(0) if lt_arr.null_count else lt_arr
+        )
         rt = np.asarray(r.column("__rts"))
         idx = np.searchsorted(rt, lt, side="right") - 1
+        no_match = idx < 0
+        if null_lt is not None:
+            no_match = no_match | null_lt
         ind = pa.array(
-            np.where(idx >= 0, idx, 0).astype(np.int64), mask=idx < 0
+            np.where(~no_match, idx, 0).astype(np.int64), mask=no_match
         )
         for c in right_payload:
             out_cols[c] = r.column(c).take(ind)
@@ -248,13 +268,28 @@ def rolling_window_count(
     coarse time range and merge boundary windows if not)."""
 
     def per_key(g: pa.Table) -> pa.Table:
+        # SQL semantics on NULLs: a null key never equi-joins (the whole
+        # null-key group counts 0) and a null timestamp compares false on
+        # both window bounds (that row counts 0 and is never counted).
+        if g.column(key).null_count:
+            return g.append_column(
+                out_col, pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            )
         g = g.take(pc.sort_indices(g, sort_keys=[(ts_col, "ascending")]))
-        ts = np.asarray(g.column(ts_col).cast(pa.int64()))
-        marked = np.asarray(g.column(mark_col)).astype(bool)
-        mts = ts[marked]
+        ts_arr = g.column(ts_col).cast(pa.int64()).combine_chunks()
+        null_ts = np.asarray(ts_arr.is_null()) if ts_arr.null_count else None
+        ts = np.asarray(ts_arr.fill_null(0) if ts_arr.null_count else ts_arr)
+        marked = np.asarray(
+            pc.fill_null(g.column(mark_col), False)
+        ).astype(bool)
+        if null_ts is not None:
+            marked = marked & ~null_ts
+        mts = np.sort(ts[marked])
         cnt = np.searchsorted(mts, ts, side="right") - np.searchsorted(
             mts, ts - window_us, side="right"
         )
+        if null_ts is not None:
+            cnt = np.where(null_ts, 0, cnt)
         return g.append_column(out_col, pa.array(cnt.astype(np.int64)))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

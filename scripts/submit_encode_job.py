@@ -66,7 +66,14 @@ def submit_via_jobs_api(address: str, cli_args: list[str]) -> int:
 
 def submit_via_driver(address: str, cli_args: list[str]) -> int:
     """Fallback: run the CLI as a driver process connected to the cluster."""
-    env = {**os.environ, "RAY_ADDRESS": address, "PYTHONPATH": REPO_ROOT}
+    pp = os.environ.get("PYTHONPATH")
+    env = {
+        **os.environ,
+        "RAY_ADDRESS": address,
+        # prepend, never replace: the user's own PYTHONPATH entries (custom
+        # codecs, readers) must stay importable in the driver subprocess
+        "PYTHONPATH": REPO_ROOT + ((os.pathsep + pp) if pp else ""),
+    }
     proc = subprocess.run(
         [sys.executable, "-m", "etl_sql_duckdb_parquet__ray.cli", *cli_args],
         env=env,

@@ -97,3 +97,78 @@ def test_asof_join_edge_semantics(ray_session):
     # huge key matches exactly (exact-equal ts)
     assert out[out["k"] == big]["rv"].iloc[0] == 900
     assert out[out["k"] == big]["k"].iloc[0] == big
+
+
+def test_asof_join_null_semantics(ray_session):
+    """NULL keys and NULL timestamps never match (SQL semantics), and a
+    null left timestamp must not float-coerce the group's int64 math."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import asof_join
+
+    big = 2**60 + 7
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, None, big], type=pa.int64()),
+            "t": pa.array([5, None, 9, 9], type=pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None, big, big], type=pa.int64()),
+            "rt": pa.array([4, 9, None, 9], type=pa.int64()),
+            "rv": pa.array([40, 90, 900, 909], type=pa.int64()),
+        }
+    )
+    res = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_ts="t", right_ts="rt", right_payload=["rv"],
+    )
+    import pyarrow as _pa
+
+    out = _pa.concat_tables(
+        [_pa.table(b) for b in res.iter_batches(batch_format="pyarrow")]
+    )
+    assert out.num_rows == 4  # LEFT join keeps every left row, null keys too
+    # inspect as Arrow: pandas would coerce the nullable int64 key/payload
+    # to float64 and corrupt the 2^60 key
+    by = {
+        (out.column("k")[i].as_py(), out.column("lv")[i].as_py()):
+        out.column("rv")[i].as_py()
+        for i in range(out.num_rows)
+    }
+    assert by[(1, "a")] == 40        # normal match
+    assert by[(1, "b")] is None      # null left ts -> no match
+    assert by[(None, "c")] is None   # null key never matches (right k=None dropped)
+    assert by[(big, "d")] == 909     # null rt dropped; exact-ts row matches; key exact int64
+
+
+def test_rolling_window_count_null_semantics(ray_session):
+    """Null keys count 0 everywhere; null timestamps neither count nor get
+    counted."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import rolling_window_count
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, None, None], type=pa.int64()),
+            "t": pa.array([10, 15, None, 10, 12], type=pa.int64()),
+            "m": pa.array([True, False, True, True, False]),
+        }
+    )
+    out = rolling_window_count(
+        ray.data.from_arrow(t), key="k", ts_col="t", window_us=10,
+        mark_col="m", out_col="c",
+    ).to_pandas()
+    assert len(out) == 5
+    k1 = out[out["k"] == 1].sort_values("t")
+    # t=10: marked self in (0,10] -> 1; t=15: marked t=10 in (5,15] -> 1;
+    # the null-ts marked row never counts anywhere and itself counts 0
+    assert list(k1["c"])[:2] == [1, 1]
+    assert k1[k1["t"].isna()]["c"].iloc[0] == 0
+    assert (out[out["k"].isna()]["c"] == 0).all()

@@ -642,3 +642,35 @@ def test_conv_lookup_uses_home_bucket_and_hot_fallback(ray_session, tmp_path):
     # salted hot conv: zone-scan fallback must recover ALL rows across buckets
     got_hot = decode_dataset(out, conv_id="conv-hot", columns=["turn_idx"]).to_pandas()
     assert sorted(got_hot["turn_idx"]) == list(range(n_hot))
+
+
+def test_mixed_bucket_layout_falls_back_to_zone_scan(ray_session, tmp_path):
+    """Re-encoding into the same dir with a DIFFERENT bucket count poisons
+    the home-bucket shortcut (mixed layout) — conv lookups must zone-scan
+    and still find every row."""
+    import pyarrow.compute as pc
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_run_meta
+
+    t = generate_transcripts(6000, seed=17)
+    mid = t.num_rows // 2
+    a, b = t.slice(0, mid), t.slice(mid)
+    out = str(tmp_path / "mixed")
+    encode_transcripts(ray.data.from_arrow(a), out, num_buckets=4, resume=False)
+    # second batch of data, different bucket count, resume into the same dir
+    encode_transcripts(ray.data.from_arrow(b), out, num_buckets=8, resume=False)
+    assert load_run_meta(out)["hash"] == "mixed-layout"
+    # the poison forces a zone scan, so a conv lookup sees EXACTLY what a
+    # full decode sees (home-bucket math under either bucket count would
+    # silently miss chunks written under the other layout)
+    full = decode_dataset(out).to_pandas()
+    for conv in full["conv_id"].unique()[:5]:
+        expected = int((full["conv_id"] == conv).sum())
+        got = decode_dataset(out, conv_id=conv).count()
+        assert got == expected, (conv, got, expected)

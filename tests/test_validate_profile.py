@@ -300,3 +300,37 @@ def test_cli_encode_decode_verify_stats(ray_session, tmp_path, capsys):
     assert main(["stats", "--encoded", enc, "--per-bucket"]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(st["buckets_detail"]) == 4
+
+
+def test_correlation_first_moment_beyond_2_62(ray_session):
+    """Column magnitudes whose cents exceed 2^62 exercise the object-dtype
+    fallback in the FIRST-moment path (b=None) — regression for a crash
+    where the fallback assumed two arrays."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import numeric_correlation
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(4.7e16, 9.0e16, 500)  # cents ~ [2^62, 2^63)
+    y = 2.0 * x + rng.uniform(0, 1e14, 500)
+    corr = numeric_correlation(
+        ray.data.from_arrow(pa.table({"x": x, "y": y})), ["x", "y"]
+    )[("x", "y")]
+    # the contract is bit-agreement with the SQL double-division formula
+    # over the EXACT integer moments (at this magnitude the formula itself
+    # cancels catastrophically in doubles — the oracle would too — so we
+    # assert agreement, not correlation quality)
+    import math
+
+    cx = [int(v) for v in np.round(x * 100).astype(np.int64)]
+    cy = [int(v) for v in np.round(y * 100).astype(np.int64)]
+    n = float(len(cx))
+    sx, sy = float(sum(cx)) / n, float(sum(cy)) / n
+    cov = float(sum(a * b for a, b in zip(cx, cy))) / n - sx * sy
+    vx = float(sum(a * a for a in cx)) / n - sx * sx
+    vy = float(sum(b * b for b in cy)) / n - sy * sy
+    p = vx * vy
+    exp = cov / math.sqrt(p) if p > 0 else float("nan")
+    assert (math.isnan(corr) and math.isnan(exp)) or corr.hex() == exp.hex()
