@@ -172,3 +172,73 @@ def test_rolling_window_count_null_semantics(ray_session):
     assert list(k1["c"])[:2] == [1, 1]
     assert k1[k1["t"].isna()]["c"].iloc[0] == 0
     assert (out[out["k"].isna()]["c"] == 0).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_bruteforce(ray_session, seed):
+    """Randomized as-of join vs an O(n^2) reference: duplicate timestamps,
+    several keys, exact-match edges — the full backward-join contract."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import asof_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = 120, 60
+    lk = rng.integers(0, 6, nl)
+    lt = rng.integers(0, 40, nl)
+    rk = rng.integers(0, 6, nr)
+    rt = rng.integers(0, 40, nr)
+    rv = np.arange(nr) * 10
+    # deterministic ties: keep ONE right row per (key, ts) — the max rv
+    best = {}
+    for i in range(nr):
+        kk = (int(rk[i]), int(rt[i]))
+        if kk not in best or rv[i] > best[kk]:
+            best[kk] = rv[i]
+    rk2 = np.array([k for k, _ in best], dtype=np.int64)
+    rt2 = np.array([t for _, t in best], dtype=np.int64)
+    rv2 = np.array(list(best.values()), dtype=np.int64)
+
+    left = pa.table({"k": lk.astype(np.int64), "t": lt.astype(np.int64),
+                     "lid": np.arange(nl, dtype=np.int64)})
+    right = pa.table({"k": rk2, "rt": rt2, "rv": rv2})
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_ts="t", right_ts="rt", right_payload=["rv"],
+    ).to_pandas().set_index("lid")
+
+    for i in range(nl):
+        cand = [(int(rt2[j]), int(rv2[j])) for j in range(len(rk2))
+                if rk2[j] == lk[i] and rt2[j] <= lt[i]]
+        exp = max(cand)[1] if cand else None
+        got = out.loc[i, "rv"]
+        if exp is None:
+            assert np.isnan(got), (i, got)
+        else:
+            assert got == exp, (i, got, exp)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_rolling_window_count_matches_bruteforce(ray_session, seed):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import rolling_window_count
+
+    rng = np.random.default_rng(seed)
+    n, w = 200, 7
+    k = rng.integers(0, 5, n).astype(np.int64)
+    t = rng.integers(0, 50, n).astype(np.int64)
+    m = rng.random(n) < 0.4
+    ds = ray.data.from_arrow(
+        pa.table({"k": k, "t": t, "m": m, "rid": np.arange(n, dtype=np.int64)})
+    )
+    out = rolling_window_count(
+        ds, key="k", ts_col="t", window_us=w, mark_col="m", out_col="c"
+    ).to_pandas().set_index("rid")
+    for i in range(n):
+        exp = int(((k == k[i]) & m & (t > t[i] - w) & (t <= t[i])).sum())
+        assert out.loc[i, "c"] == exp, (i, out.loc[i, "c"], exp)
