@@ -52,8 +52,12 @@ QUERY_NAMES = [
     "top_orders",
     "top3_orders_per_segment",
     "latest_event_per_user",
+    "last_purchase_before_event",
+    "purchases_last_hour",
+    "dedup_exact_docs",
     "doc_token_stats",
     "knn_topk",
+    "ann_pq_topk",
 ]
 
 

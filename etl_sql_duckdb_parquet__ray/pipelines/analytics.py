@@ -257,11 +257,11 @@ def last_purchase_before_event(sf_dir: str):
     """AS-OF join (backward): attach to every event the same user's most
     recent purchase at-or-before its timestamp — the temporal-join operator
     Ray Data lacks natively (`stages/relational.py:asof_join`: one
-    union+hash exchange, per-key vectorized searchsorted). The right side
-    is pre-deduped per (user, ts) keeping the max event_id, so ties are
-    deterministic and the DuckDB ``ASOF LEFT JOIN`` oracle matches row for
-    row."""
-    from ..stages.relational import asof_join, dedup_keep_last
+    union+hash exchange, per-key vectorized searchsorted). Ties per
+    (user, ts) resolve to the max event_id via the operator's
+    ``right_tiebreak`` sort (no pre-dedup pass), matching the DuckDB
+    ``ASOF LEFT JOIN`` oracle's deduped right side row for row."""
+    from ..stages.relational import asof_join
 
     left = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     right = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
@@ -278,10 +278,10 @@ def last_purchase_before_event(sf_dir: str):
         )
 
     right = right.map_batches(purchases, batch_format="pyarrow")
-    right = dedup_keep_last(right, ["user_id", "p_ts"], "p_event_id")
     return asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="p_ts",
         right_payload=["p_event_id", "p_ts", "p_value"],
+        right_tiebreak="p_event_id",
     )
 
 

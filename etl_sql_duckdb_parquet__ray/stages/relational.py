@@ -139,6 +139,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    right_tiebreak: str | None = None,
 ):
     """Distributed AS-OF (backward) join — for every left row, the right row
     with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
@@ -154,8 +155,10 @@ def asof_join(
     Partitioning assumption (documented per the custom-operator contract):
     one key's rows must fit in a worker — at web scale, pre-split hot keys
     by coarse time range (the same salting trick the encode shuffle uses)
-    and merge boundaries. Ties on (key, right_ts) are arbitrary — pre-dedup
-    the right side (e.g. ``dedup_keep_last``) for deterministic output.
+    and merge boundaries. Ties on (key, right_ts) pick the row with the
+    greatest ``right_tiebreak`` when given (the backward search lands on the
+    LAST row in sort order — no pre-dedup pass needed); with no tiebreak
+    they are arbitrary.
     """
     import ray  # noqa: F401  (Dataset.union ships with ray.data)
 
@@ -217,7 +220,10 @@ def asof_join(
             for c in right_payload:
                 out_cols[c] = pa.nulls(l.num_rows, type=rtypes[c])
             return pa.table({c: out_cols[c] for c in out_order})
-        r = r.take(pc.sort_indices(r, sort_keys=[("__rts", "ascending")]))
+        r_keys = [("__rts", "ascending")]
+        if right_tiebreak is not None:
+            r_keys.append((right_tiebreak, "ascending"))
+        r = r.take(pc.sort_indices(r, sort_keys=r_keys))
         # A null left timestamp compares false to everything in SQL -> null
         # payload. It must ALSO never reach np.asarray: an int64 column with
         # nulls converts to float64, which both matches NaN rows to the last
