@@ -620,9 +620,6 @@ def plan_chunks(
     zone scan of all of them (hash buckets have near-full conv ranges, so
     zone maps alone barely prune across buckets). Conversations in the
     salted hot set, and outputs without meta, fall back to the zone scan."""
-    records = load_manifest(out_dir)
-    if not records:
-        raise FileNotFoundError(f"no completed buckets under {out_dir}")
     meta = load_run_meta(out_dir)
     if (
         conv_id is not None
@@ -630,10 +627,27 @@ def plan_chunks(
         and meta.get("hash") == "pd-siphash-default"
         and conv_id not in meta.get("hot_convs", {})
     ):
+        # home-bucket shortcut: read ONE bucket record instead of the whole
+        # manifest (at 10^5 buckets a point lookup must not pay 10^5 JSON
+        # reads just to plan)
+        import json
+
+        from ..state.manifest import bucket_data_path, bucket_manifest_path
+
         home = int(
             conv_bucket(pa.array([conv_id]), int(meta["num_buckets"]))[0]
         )
-        records = [r for r in records if r["bucket"] == home]
+        mpath = bucket_manifest_path(out_dir, home)
+        if not os.path.exists(mpath):
+            return []  # bucket never completed -> no rows for this conv
+        with open(mpath) as f:
+            rec = json.load(f)
+        rec["path"] = bucket_data_path(out_dir, home)  # re-root (moved dirs)
+        records = [rec]
+    else:
+        records = load_manifest(out_dir)
+        if not records:
+            raise FileNotFoundError(f"no completed buckets under {out_dir}")
     plan = []
     for r in records:
         keep = []
