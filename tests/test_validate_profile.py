@@ -193,6 +193,8 @@ def test_nunique_exact_and_hll_vs_duckdb(ray_session, sf_dir):
         f"FROM read_parquet('{sf_dir}/events.parquet')"
     ).fetchone()
     assert exact_nunique(ds, "user_id") == exp_user
+    # hash-reduce variant (wide-column scale path): same exact answer
+    assert exact_nunique(ds, "event_type", hash_wide=True) == exp_type
     est = approx_nunique(ds, ["user_id", "event_type"])
     # p=12 HLL: ~1.6% stddev; allow 5%
     assert abs(est["user_id"] - exp_user) <= max(0.05 * exp_user, 2)
