@@ -78,6 +78,24 @@ def train_ivf_centroids(
     return C
 
 
+# Per-worker-process cache for task-based ANN stages: short jobs (one query
+# over a bench-scale corpus) pay ~5-10 s to start a fresh actor pool per
+# call, so tasks + a per-worker state cache is the default (the same
+# "setup once per worker without the actor-fleet tax" rationale as the
+# encoder's _WORKER_ENCODERS); pass use_actors=True on long-lived corpora.
+_ANN_STATE: dict = {}
+
+
+def _cached_stage(cls, ref, **kw):
+    key = (cls.__name__, ref.hex(), tuple(sorted(kw.items())))
+    st = _ANN_STATE.get(key)
+    if st is None:
+        _ANN_STATE.clear()  # one live entry per worker: jobs don't interleave
+        st = cls(ref, **kw)
+        _ANN_STATE[key] = st
+    return st
+
+
 class IvfAssign:
     """Actor-pool stage: top-``n_assign`` nearest-centroid list ids per
     vector (redundant assignment — the cluster-spilling trick from
@@ -105,7 +123,7 @@ class IvfAssign:
 
 
 def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16,
-             n_probe: int = 4, n_assign: int = 2):
+             n_probe: int = 4, n_assign: int = 2, use_actors: bool = False):
     """IVF approximate top-k: assign every vector to its ``n_assign``
     nearest lists, then search only the ``n_probe`` lists nearest the
     query; duplicate candidates (a vector probed via two lists) collapse
@@ -117,11 +135,17 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16,
     q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
     probes = set(np.argsort(-(C @ q))[:n_probe].tolist())
 
-    assigned = ds_emb.map_batches(
-        IvfAssign,
-        fn_constructor_kwargs={"centroids_ref": cref, "n_assign": n_assign},
-        batch_format="pandas", concurrency=(1, 4),
-    )
+    if use_actors:
+        assigned = ds_emb.map_batches(
+            IvfAssign,
+            fn_constructor_kwargs={"centroids_ref": cref, "n_assign": n_assign},
+            batch_format="pandas", concurrency=(1, 4),
+        )
+    else:
+        assigned = ds_emb.map_batches(
+            lambda b: _cached_stage(IvfAssign, cref, n_assign=n_assign)(b),
+            batch_format="pandas",
+        )
     probe_ids = np.array(sorted(probes), dtype=np.int32)
     probed = assigned.map_batches(
         lambda df: df[df["list_id"].isin(probe_ids)], batch_format="pandas"
@@ -250,7 +274,8 @@ class PqEncode:
         return pd.DataFrame({"vec_id": ids, "codes": list(codes)})
 
 
-def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32):
+def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
+            use_actors: bool = False):
     """PQ approximate top-k by asymmetric distance computation: the query
     stays exact; every database vector is m uint8 codes, and its
     approximate inner product is a sum of m table lookups
@@ -267,10 +292,15 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32):
     lut = np.einsum("jd,jkd->jk", q.reshape(mm, dsub), books)  # [m, ks]
     lref = ray.put(lut)
 
-    encoded = ds_emb.map_batches(
-        PqEncode, fn_constructor_kwargs={"books_ref": bref},
-        batch_format="pandas", concurrency=(1, 4),
-    )
+    if use_actors:
+        encoded = ds_emb.map_batches(
+            PqEncode, fn_constructor_kwargs={"books_ref": bref},
+            batch_format="pandas", concurrency=(1, 4),
+        )
+    else:
+        encoded = ds_emb.map_batches(
+            lambda b: _cached_stage(PqEncode, bref)(b), batch_format="pandas"
+        )
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         lt = ray.get(lref)
