@@ -42,28 +42,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from etl_sql_duckdb_parquet__ray.pipelines import analytics as A
     from etl_sql_duckdb_parquet__ray.pipelines.flagship import flagship_roundtrip
-    from etl_sql_duckdb_parquet__ray.stages.relational import read_arrow, read_table
+    from etl_sql_duckdb_parquet__ray.stages.relational import read_table
+
+    def _query_vec(sf_dir: str, vec_id: int = 0):
+        # predicate-pushdown point read for the ONE query vector: never pull
+        # the whole embeddings table into the driver (at 100 TB that's a
+        # driver OOM just to fetch 4 KB)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", vec_id)],
+        )
+        return t.column("embedding")[0].as_py()
 
     def knn_topk(sf_dir: str):
-        q = read_arrow(sf_dir, "embeddings")
-        qvec = None
-        for i, v in enumerate(q.column("vec_id")):
-            if v.as_py() == 0:
-                qvec = q.column("embedding")[i].as_py()
-                break
+        qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         top = similarity.brute_force_topk(ds, qvec, k=10)
         return top.select_columns(["vec_id"])
 
     def ann_ivf_topk(sf_dir: str):
-        q = read_arrow(sf_dir, "embeddings")
-        qvec = q.column("embedding")[0].as_py()
+        qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.ivf_topk(ds, qvec, k=10)
 
     def ann_pq_topk(sf_dir: str):
-        q = read_arrow(sf_dir, "embeddings")
-        qvec = q.column("embedding")[0].as_py()
+        qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.pq_topk(ds, qvec, k=10)
 
@@ -430,6 +436,28 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(embedding,
                            (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
                 FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10) t
+        """,
+        # mirrors pipelines/flagship.py events_to_transcripts exactly: conv
+        # per user, turn order = ROW_NUMBER over (ts, event_id), role cycled
+        # user/assistant/system/tool, text = COALESCE(props, ''), tool =
+        # event_type on every 4th turn — so the engine's encode→decode
+        # roundtrip output is hash-checked against SQL, not rows-only.
+        "transcript_roundtrip": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   CAST(rn - 1 AS INTEGER) AS turn_idx,
+                   CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                     WHEN 1 THEN 'assistant'
+                                     WHEN 2 THEN 'system'
+                                     ELSE 'tool' END AS role,
+                   COALESCE(props, '') AS text,
+                   CASE WHEN (rn - 1) % 4 = 3 THEN event_type END AS tool,
+                   ts
+            FROM (
+                SELECT user_id, event_id, ts, event_type, props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events) t
         """,
         # see queries()['embedding_dup_pairs']: copies of vec_id<10 are
         # planted at vec_id+1000000; every >=0.95-cosine pair must involve

@@ -83,10 +83,21 @@ def cmd_decode(args) -> int:
         import pyarrow.parquet as pq
 
         os.makedirs(args.out, exist_ok=True)
-        try:
-            ds.write_parquet(args.out)
-        except ValueError:
-            pass  # schema-less empty dataset (prune removed every chunk)
+        leftover = [f for f in os.listdir(args.out) if f.endswith(".parquet")]
+        if leftover:
+            # refuse: counting rows from dir metadata would silently include
+            # an earlier run's files and report a wrong total as success
+            print(
+                json.dumps(
+                    {
+                        "error": "output dir already contains parquet files",
+                        "out": args.out,
+                        "existing_files": len(leftover),
+                    }
+                )
+            )
+            return 2
+        ds.write_parquet(args.out)
         n = sum(
             pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
             for f in os.listdir(args.out)

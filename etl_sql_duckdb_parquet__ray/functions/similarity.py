@@ -9,6 +9,8 @@ batch-wise assignment, search restricted to the ``n_probe`` nearest lists.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -87,13 +89,16 @@ _ANN_STATE: dict = {}
 
 
 def _cached_stage(cls, ref, **kw):
-    key = (cls.__name__, ref.hex(), tuple(sorted(kw.items())))
-    st = _ANN_STATE.get(key)
-    if st is None:
-        _ANN_STATE.clear()  # one live entry per worker: jobs don't interleave
+    # one live entry PER STAGE CLASS (not one global): a pipeline whose
+    # batches interleave two cached stages on the same worker (e.g. IvfAssign
+    # and PqEncode over shared workers) must not evict each other per batch
+    key = (ref.hex(), tuple(sorted(kw.items())))
+    slot = _ANN_STATE.get(cls.__name__)
+    if slot is None or slot[0] != key:
         st = cls(ref, **kw)
-        _ANN_STATE[key] = st
-    return st
+        _ANN_STATE[cls.__name__] = (key, st)
+        return st
+    return slot[1]
 
 
 class IvfAssign:
@@ -311,5 +316,180 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
         return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
 
     return encoded.map_batches(score, batch_format="pandas").sort(
+        ["cosine_pq", "vec_id"], descending=[True, False]
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN indexes: build ONCE, query MANY (the per-query re-index in
+# ivf_topk/pq_topk is fine for one-shot jobs but a user running a second
+# query must not re-assign/re-encode the whole corpus). The index lives as
+# plain files: tiny npy/json driver-side artifacts (centroids, codebooks,
+# meta) next to Ray-written parquet of the per-vector data, so a query is a
+# Dataset read of ONLY what it needs — the probed lists' directories for
+# IVF (hive layout, path-level pruning: unprobed lists are never opened),
+# or the m-bytes-per-vector codes table for PQ.
+# ---------------------------------------------------------------------------
+
+def _pack_f32(rows: np.ndarray) -> list[bytes]:
+    return [r.astype(np.float32).tobytes() for r in rows]
+
+
+def _unpack_f32(col: pd.Series, dim: int) -> np.ndarray:
+    return np.frombuffer(b"".join(col.to_numpy()), dtype=np.float32).reshape(
+        -1, dim
+    ).astype(np.float64)
+
+
+def build_ivf_index(
+    ds_emb, index_dir: str, n_lists: int = 16, n_assign: int = 2,
+    sample_rows: int = 2048,
+):
+    """Build a persisted IVF index: centroids trained on a block-spread
+    sample (driver-side npy — KBs), then ONE distributed pass assigning
+    every vector to its ``n_assign`` nearest lists, written as parquet
+    hive-partitioned by ``list_id`` (one directory per list). Vectors are
+    stored normalized, packed binary float32 — half the bytes of the
+    float64 list column, zero-copy unpack at query time."""
+    import json
+
+    import ray  # noqa: F401
+
+    os.makedirs(index_dir, exist_ok=True)
+    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_rows=sample_rows)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        st = _cached_stage(IvfAssign, cref, n_assign=n_assign)
+        out = st(batch)
+        return pd.DataFrame(
+            {
+                "vec_id": out["vec_id"],
+                "list_id": out["list_id"],
+                "vn": _pack_f32(np.stack(out["vn"].to_numpy())),
+            }
+        )
+
+    ds_emb.map_batches(assign, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["list_id"]
+    )
+    meta = {"kind": "ivf", "n_lists": int(len(C)), "n_assign": int(n_assign),
+            "dim": int(C.shape[1])}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
+                    n_probe: int = 4):
+    """Query a persisted IVF index: reads ONLY the ``n_probe`` probed lists'
+    parquet directories (path-level pruning — unprobed lists are never
+    opened) and never touches the raw corpus."""
+    import json
+
+    import ray
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    dim = meta["dim"]
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    probes = np.argsort(-(C @ q))[:n_probe].tolist()
+    # expand probed list dirs to their parquet files driver-side (Ray's
+    # read_parquet takes a list of FILES, not of directories) — still
+    # path-level pruning: unprobed lists are never opened
+    paths = []
+    for c in probes:
+        d = os.path.join(index_dir, "lists", f"list_id={int(c)}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return ray.data.from_items([])
+    qref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(qref)
+        batch = batch.drop_duplicates("vec_id")
+        ids = batch["vec_id"].to_numpy()
+        V = _unpack_f32(batch["vn"], dim)
+        cos = V @ qq
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+
+    partial = ray.data.read_parquet(paths, columns=["vec_id", "vn"]).map_batches(
+        score, batch_format="pandas"
+    )
+    # cross-list dedupe (redundant assignment), then the global top-k
+    best = partial.groupby("vec_id").max("cosine")
+    best = best.map_batches(
+        lambda t: t.rename_columns(
+            ["vec_id" if c == "vec_id" else "cosine" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return best.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+def build_pq_index(ds_emb, index_dir: str, m: int = 16, ks: int = 32,
+                   sample_rows: int = 2048):
+    """Build a persisted PQ index: codebooks trained on a sample (npy), then
+    ONE distributed encode pass writing ``m`` uint8 codes per vector to
+    parquet — the asymmetric-scoring query never touches raw vectors."""
+    import json
+
+    import ray  # noqa: F401
+
+    os.makedirs(index_dir, exist_ok=True)
+    books = train_pq_codebooks(ds_emb, m=m, ks=ks, sample_rows=sample_rows)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    bref = ray.put(books)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _cached_stage(PqEncode, bref)(batch)
+        return pd.DataFrame(
+            {
+                "vec_id": out["vec_id"],
+                "codes": [c.tobytes() for c in out["codes"]],
+            }
+        )
+
+    ds_emb.map_batches(encode, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta = {"kind": "pq", "m": int(books.shape[0]), "ks": int(books.shape[1]),
+            "dim": int(books.shape[0] * books.shape[2])}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_query_index(index_dir: str, query: np.ndarray, k: int = 10):
+    """Query a persisted PQ index: LUT from the stored codebooks, stream the
+    m-bytes-per-vector codes table, per-batch partial top-k."""
+    import ray
+
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    mm, _, dsub = books.shape
+    q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    lut = np.einsum("jd,jkd->jk", q.reshape(mm, dsub), books)
+    lref = ray.put(lut)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lt = ray.get(lref)
+        ids = batch["vec_id"].to_numpy()
+        codes = np.frombuffer(
+            b"".join(batch["codes"].to_numpy()), dtype=np.uint8
+        ).reshape(-1, lt.shape[0])
+        approx = lt[np.arange(lt.shape[0])[None, :], codes].sum(axis=1)
+        top = np.argsort(-approx, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
+
+    return ray.data.read_parquet(
+        os.path.join(index_dir, "codes")
+    ).map_batches(score, batch_format="pandas").sort(
         ["cosine_pq", "vec_id"], descending=[True, False]
     ).limit(k)

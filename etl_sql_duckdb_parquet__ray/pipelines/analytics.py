@@ -278,10 +278,29 @@ def last_purchase_before_event(sf_dir: str):
         )
 
     right = right.map_batches(purchases, batch_format="pyarrow")
+    # schemas passed explicitly (from parquet METADATA, driver-side, free):
+    # asof_join builds typed null padding at plan time, and deriving the
+    # right side's schema from the Dataset would execute the upstream
+    # map_batches pipeline just to fetch one block
+    import pyarrow.parquet as pq
+
+    ev = pq.read_schema(f"{sf_dir}/events.parquet")
+    left_schema = pa.schema(
+        [(c, ev.field(c).type) for c in ["event_id", "user_id", "ts", "event_type"]]
+    )
+    right_schema = pa.schema(
+        [
+            ("user_id", ev.field("user_id").type),
+            ("p_event_id", ev.field("event_id").type),
+            ("p_ts", ev.field("ts").type),
+            ("p_value", ev.field("value").type),
+        ]
+    )
     return asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="p_ts",
         right_payload=["p_event_id", "p_ts", "p_value"],
         right_tiebreak="p_event_id",
+        left_schema=left_schema, right_schema=right_schema,
     )
 
 

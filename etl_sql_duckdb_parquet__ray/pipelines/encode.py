@@ -214,7 +214,11 @@ def pre_encode_text(batch: pa.Table, state_ref) -> pa.Table:
         tune_malloc()
         state = ray.get(state_ref) if is_ref else state_ref
         cached = (state.fsst_table, _TableIndex(state.fsst_table or []))
-        _PRE_INDEX.clear()  # one live entry per worker: jobs don't interleave
+        # small capped cache (FIFO evict): two encode jobs interleaving
+        # batches on a shared worker must not thrash each other's symbol
+        # tables every batch; entries are tiny (a few KB of FSST symbols)
+        while len(_PRE_INDEX) >= 4:
+            _PRE_INDEX.pop(next(iter(_PRE_INDEX)))
         _PRE_INDEX[key] = cached
     _, idx = cached
 
@@ -350,10 +354,17 @@ class BucketEncoder:
             part = body.slice(lo, self.chunk_rows)
             conv = part.column("conv_id")
             turn = part.column("turn_idx")
+            # conv_range: first/last IS min/max (conv_id is the primary sort
+            # key). turn_range must be the TRUE min/max — turn_idx restarts
+            # per conversation inside a (conv_id, turn_idx)-sorted chunk, so
+            # first/last would under-report the extent and plan_chunks would
+            # false-prune (e.g. a chunk holding turns 0..999 across two convs
+            # can start at turn 0 and END at turn 4).
+            tmm = pc.min_max(turn)
             extra = {
                 "bucket": bucket,
                 "conv_range": [str(conv[0]), str(conv[-1])],
-                "turn_range": [int(turn[0].as_py()), int(turn[-1].as_py())],
+                "turn_range": [int(tmm["min"].as_py()), int(tmm["max"].as_py())],
             }
             preencoded = None
             order = None
@@ -381,6 +392,11 @@ class BucketEncoder:
             "rows": body.num_rows,
             "bytes_in": bytes_in,
             "bytes_out": nbytes,
+            # zone-map semantics version: 2 = turn_range is true min/max.
+            # Records without this tag (v1) recorded [first, last] of the
+            # sorted chunk, which is NOT a valid zone map for turn_idx —
+            # plan_chunks must skip turn pruning for those.
+            "zone_v": 2,
             "chunks": chunk_meta,
         }
         write_bucket_record(self.out_dir, bucket, record)
@@ -411,9 +427,12 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
     key = (out_dir, chunk_rows, mode, skey)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
-        # one-live-entry policy (same as _PRE_INDEX): a long-lived worker
-        # serving many encode jobs must not pin one FSST table per past job
-        _WORKER_ENCODERS.clear()
+        # small capped cache (FIFO evict, same policy as _PRE_INDEX): bounded
+        # so a long-lived worker serving many jobs doesn't pin every past
+        # job's symbol table, but ≥2 live entries so concurrent interleaved
+        # jobs don't evict each other per group
+        while len(_WORKER_ENCODERS) >= 4:
+            _WORKER_ENCODERS.pop(next(iter(_WORKER_ENCODERS)))
         enc = BucketEncoder(
             out_dir=out_dir, chunk_rows=chunk_rows, mode=mode, state_ref=state_ref
         )
@@ -454,7 +473,8 @@ def encode_transcripts(
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_buckets(out_dir) if resume else set()
+    existing = completed_buckets(out_dir)
+    done = existing if resume else set()
     if resume and len(done) >= num_buckets:
         return load_manifest(out_dir)
 
@@ -490,11 +510,18 @@ def encode_transcripts(
     prev_meta = load_run_meta(out_dir) or {}
     # a dir encoded under a DIFFERENT bucket count has a mixed layout: the
     # home-bucket shortcut would silently drop rows, so poison the hash tag
-    # and let plan_chunks fall back to the (always-correct) zone scan
+    # and let plan_chunks fall back to the (always-correct) zone scan.
+    # A dir with completed bucket records but NO run meta (written before
+    # _run.json existed, or meta lost) is equally unknowable — its buckets
+    # may have been laid out under a different num_buckets — so poison too.
     mixed = (
-        "num_buckets" in prev_meta
-        and prev_meta["num_buckets"] != num_buckets
-    ) or prev_meta.get("hash") == "mixed-layout"
+        (
+            "num_buckets" in prev_meta
+            and prev_meta["num_buckets"] != num_buckets
+        )
+        or prev_meta.get("hash") == "mixed-layout"
+        or (not prev_meta and bool(existing))
+    )
     write_run_meta(
         out_dir,
         {
@@ -543,7 +570,12 @@ def encode_transcripts(
     # aggregators at cpus/4.
     if exchange is None:
         exchange = os.environ.get("GRAFT_EXCHANGE", "sort")
-    ctx = ray.data.DataContext.get_current()
+    # scope the shuffle-strategy override to THIS dataset chain's captured
+    # DataContext (GroupedData consults `dataset.context`, a copy snapshotted
+    # at source-dataset creation) — never the process-global context, which
+    # would silently flip any other dataset executing concurrently in the
+    # same driver onto hash shuffle with capped aggregators.
+    ctx = bucketed.context
     prev_strategy = ctx.shuffle_strategy
     prev_aggs = ctx.max_hash_shuffle_aggregators
     group_kwargs: dict[str, Any] = {}
@@ -650,17 +682,24 @@ def plan_chunks(
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
     plan = []
     for r in records:
+        # manifests written before zone_v=2 recorded turn_range as
+        # [first_row_turn, last_row_turn] of the sorted chunk — not a valid
+        # min/max zone map (turn_idx restarts per conversation), so turn
+        # pruning on them would silently drop rows. Keep every chunk for
+        # those and let the exact row filter do the work.
+        turn_prunable = r.get("zone_v", 1) >= 2
         keep = []
         for i, c in enumerate(r["chunks"]):
             if conv_id is not None:
                 lo, hi = c["conv_range"]
                 if not (lo <= conv_id <= hi):
                     continue
-            tlo, thi = c["turn_range"]
-            if turn_lo is not None and thi < turn_lo:
-                continue
-            if turn_hi is not None and tlo > turn_hi:
-                continue
+            if turn_prunable:
+                tlo, thi = c["turn_range"]
+                if turn_lo is not None and thi < turn_lo:
+                    continue
+                if turn_hi is not None and tlo > turn_hi:
+                    continue
             keep.append(i)
         if keep:
             plan.append({"path": r["path"], "idx": keep})

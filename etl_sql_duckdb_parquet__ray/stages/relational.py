@@ -132,6 +132,23 @@ def dedup_keep_last(ds, keys: Sequence[str], order_col: str):
     return ds.groupby(keys).map_groups(fn, batch_format="pandas")
 
 
+def _plan_schema(ds, given=None):
+    """Schema for plan-building WITHOUT executing the upstream pipeline when
+    avoidable: an explicit schema wins; else Ray's cached/metadata schema
+    (``fetch_if_missing=False`` — free for pure parquet reads); else the
+    executing ``ds.schema()`` as a last resort (callers of derived datasets
+    should pass schemas explicitly)."""
+    if given is not None:
+        return given
+    try:
+        s = ds.schema(fetch_if_missing=False)
+        if s is not None:
+            return s
+    except TypeError:
+        pass
+    return ds.schema()
+
+
 def asof_join(
     left,
     right,
@@ -140,6 +157,8 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     right_tiebreak: str | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Distributed AS-OF (backward) join — for every left row, the right row
     with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
@@ -163,9 +182,9 @@ def asof_join(
     import ray  # noqa: F401  (Dataset.union ships with ray.data)
 
     right_payload = list(right_payload)
-    lschema = left.schema()
+    lschema = _plan_schema(left, left_schema)
     ltypes = dict(zip(lschema.names, lschema.types))
-    rschema = right.schema()
+    rschema = _plan_schema(right, right_schema)
     rtypes = dict(zip(rschema.names, rschema.types))
     left_cols = [c for c in lschema.names]  # includes `on` and left_ts
     out_order = left_cols + right_payload

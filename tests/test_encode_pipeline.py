@@ -674,3 +674,149 @@ def test_mixed_bucket_layout_falls_back_to_zone_scan(ray_session, tmp_path):
         expected = int((full["conv_id"] == conv).sum())
         got = decode_dataset(out, conv_id=conv).count()
         assert got == expected, (conv, got, expected)
+
+
+def test_turn_range_zone_map_is_true_minmax(ray_session, tmp_path):
+    """Regression: a (conv_id, turn_idx)-sorted chunk spanning several
+    conversations starts at the FIRST conv's turns and ends at the LAST
+    conv's — recording [first, last] as the turn zone map under-reports the
+    extent (e.g. a chunk holding turns 0..999 tagged [0, 4]) and a
+    turn_lo/turn_hi lookup silently drops rows."""
+    import numpy as np
+    import ray
+
+    # one long conversation (turns 0..999) that sorts FIRST, then 80 short
+    # ones (turns 0..4) — all in one bucket-sized chunk, so the sorted
+    # chunk's last row has turn_idx 4 while the true max is 999
+    n_long, n_short, short_turns = 1000, 80, 5
+    conv = ["conv-aaa"] * n_long + [
+        f"conv-z{j:03d}" for j in range(n_short) for _ in range(short_turns)
+    ]
+    turn = list(range(n_long)) + list(range(short_turns)) * n_short
+    n = len(conv)
+    t = pa.table(
+        {
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(turn, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64), type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "zmm")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=1, chunk_rows=1 << 20, resume=False
+    )
+    recs = load_manifest(out)
+    assert all(r.get("zone_v", 1) >= 2 for r in recs)
+    got = decode_dataset(out, turn_lo=600).to_pandas()
+    assert len(got) == 400  # turns 600..999 of the long conversation
+    assert (got["conv_id"] == "conv-aaa").all()
+    got2 = decode_dataset(out, turn_lo=2, turn_hi=3).to_pandas()
+    assert len(got2) == 2 + n_short * 2  # long conv turns 2,3 + shorts
+
+
+def test_v1_manifest_skips_turn_pruning(ray_session, tmp_path):
+    """Backward compat: manifests written before zone_v=2 carry
+    [first, last] turn ranges that are NOT valid zone maps — plan_chunks
+    must keep every chunk for them (exact row filter still applies)."""
+    import json
+
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import plan_chunks
+    from etl_sql_duckdb_parquet__ray.state.manifest import bucket_manifest_path
+
+    n = 500
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-a"] * n),
+            "turn_idx": pa.array(range(n), type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(["x"] * n),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64), type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "v1")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=1, chunk_rows=1 << 20, resume=False
+    )
+    # simulate a v1 record: drop the version tag and plant the broken
+    # [first, last] extent an old writer would have recorded
+    mpath = bucket_manifest_path(out, list(completed_buckets(out))[0])
+    with open(mpath) as f:
+        rec = json.load(f)
+    rec.pop("zone_v", None)
+    for c in rec["chunks"]:
+        c["turn_range"] = [0, 4]  # lies: true extent is [0, 499]
+    with open(mpath, "w") as f:
+        json.dump(rec, f)
+    plan = plan_chunks(out, turn_lo=300)
+    assert plan and plan[0]["idx"], "v1 manifest must not be turn-pruned"
+    got = decode_dataset(out, turn_lo=300).to_pandas()
+    assert len(got) == 200
+
+
+def test_resume_without_run_meta_poisons_layout(ray_session, tmp_path):
+    """A dir holding completed bucket records but NO _run.json (written
+    before run meta existed, or meta lost) has an unknowable layout: a
+    resumed encode must poison the home-bucket shortcut, not assume the
+    current num_buckets."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.state.manifest import (
+        bucket_manifest_path,
+        load_run_meta,
+    )
+
+    t = generate_transcripts(4000, seed=23)
+    out = str(tmp_path / "nometa")
+    encode_transcripts(ray.data.from_arrow(t), out, num_buckets=4, resume=False)
+    os.remove(os.path.join(out, "_run.json"))
+    # drop one bucket so the resumed run actually re-enters the encode path
+    victim = sorted(completed_buckets(out))[0]
+    os.remove(bucket_manifest_path(out, victim))
+    encode_transcripts(ray.data.from_arrow(t), out, num_buckets=4, resume=True)
+    assert load_run_meta(out)["hash"] == "mixed-layout"
+    # poisoned layout must still answer conv lookups exactly (zone scan)
+    full = decode_dataset(out).to_pandas()
+    conv = full["conv_id"].iloc[0]
+    expected = int((full["conv_id"] == conv).sum())
+    assert decode_dataset(out, conv_id=conv).count() == expected
+
+
+def test_concurrent_encode_jobs_bit_identical(ray_session, tmp_path):
+    """Two encode jobs running CONCURRENTLY in one driver (distinct symbol
+    tables, shared worker pool) must not thrash each other's per-worker
+    caches into corruption — both outputs decode bit-identical."""
+    import threading
+
+    import ray
+
+    t1 = generate_transcripts(6000, seed=31)
+    t2 = generate_transcripts(6000, seed=32, conv_offset=10_000)
+    outs = [str(tmp_path / "j1"), str(tmp_path / "j2")]
+    errs: list[Exception] = []
+
+    def run(table, out):
+        try:
+            encode_transcripts(
+                ray.data.from_arrow(table), out, num_buckets=4, resume=False
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [
+        threading.Thread(target=run, args=(t1, outs[0])),
+        threading.Thread(target=run, args=(t2, outs[1])),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    assert roundtrip_ok(ray.data.from_arrow(t1), outs[0])
+    assert roundtrip_ok(ray.data.from_arrow(t2), outs[1])

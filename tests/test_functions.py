@@ -2,6 +2,8 @@
 (planted near-duplicates must be found), similarity search (IVF recall vs
 brute force), text analysis, and multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -200,20 +202,86 @@ def test_text_stages(ray_session):
     assert fp.loc[fp.doc_id == 3, "n_fingerprints"].iloc[0] == 0
 
 
-# -- multimodal plumbing -----------------------------------------------------
+# -- multimodal: real WAV/PPM decode kernels + plumbing -----------------------
 
-def test_real_decoder_is_stubbed():
+def test_wav_roundtrip_and_chunk_walk():
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, 777, dtype=np.int16)
+    samples, rate = decode_wav(encode_wav(mono, 22050))
+    assert rate == 22050 and samples.shape == (777, 1)
+    assert np.array_equal(samples[:, 0], mono)
+    # stereo + an extra LIST chunk before data (chunk walk, word alignment)
+    stereo = rng.integers(-1000, 1000, (250, 2), dtype=np.int16)
+    raw = encode_wav(stereo, 8000)
+    inject = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    patched = raw[:12] + inject + raw[12:]
+    import struct as _s
+
+    patched = patched[:4] + _s.pack("<I", len(patched) - 8) + patched[8:]
+    s2, r2 = decode_wav(patched)
+    assert r2 == 8000 and s2.shape == (250, 2) and np.array_equal(s2, stereo)
+
+
+def test_ppm_roundtrip_with_comment():
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    commented = b"P6\n# a comment\n9 5\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), px)
+
+
+def test_real_decoder_rejects_unknown_formats():
+    d = RealDecoder()
+    t = synth_media_table(2)
+    bad = t.set_column(
+        t.schema.get_field_index("payload"), "payload",
+        pa.array([b"\x89PNG....", b"\xff\xd8\xff jpeg"], type=pa.large_binary()),
+    )
     with pytest.raises(NotImplementedError):
-        RealDecoder()
+        d(bad)
+
+
+def test_real_decoder_features_match_payload_truth(ray_session):
+    """The decode is genuine: feature dims equal the true pixel dims /
+    sample counts the synthesizer embedded in the payload bytes."""
+    import ray
+
+    t = synth_media_table(64)
+    assert t.schema.field("payload").type == pa.large_binary()
+    out = media_features(
+        ray.data.from_arrow(t), batch_size=16, decoder="real"
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    src = t.to_pandas()
+    for i, row in out.iterrows():
+        f = row["features"]
+        assert len(f) == 8
+        if row["kind"] == "image":
+            assert int(f[0]) == src["width"][i] and int(f[1]) == src["height"][i]
+        else:
+            assert int(f[1]) == src["sample_rate"][i] == 16000
+            n_samples = (len(src["payload"][i]) - 44) // 2  # RIFF hdr = 44 B
+            assert int(f[0]) == n_samples
+            assert 0.0 <= f[3] <= 1.0 and 0.0 <= f[4] <= 1.0  # rms, zcr
 
 
 def test_media_features_deterministic(ray_session):
     import ray
 
     t = synth_media_table(64)
-    assert t.schema.field("payload").type == pa.large_binary()
-    a = media_features(ray.data.from_arrow(t), batch_size=16).to_pandas()
-    b = media_features(ray.data.from_arrow(synth_media_table(64)), batch_size=16).to_pandas()
+    a = media_features(ray.data.from_arrow(t), batch_size=16, decoder="fake").to_pandas()
+    b = media_features(
+        ray.data.from_arrow(synth_media_table(64)), batch_size=16, decoder="fake"
+    ).to_pandas()
     a = a.sort_values("media_id").reset_index(drop=True)
     b = b.sort_values("media_id").reset_index(drop=True)
     assert a["n_bytes"].equals(b["n_bytes"])
@@ -319,3 +387,66 @@ def test_quality_score_null_text(ray_session):
     )
     assert 0 <= q["quality"].iloc[0] <= 100  # null text: defined, in range
     assert q["quality"].iloc[1] > q["quality"].iloc[0]
+
+
+# -- persisted ANN indexes: build once, query many ---------------------------
+
+def _clustered_vectors(seed=9, n_clusters=10, per=30, dim=32):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    V = np.vstack([c + rng.standard_normal((per, dim)) * 0.3 for c in centers])
+    return V
+
+
+def test_ivf_index_build_once_query_many(ray_session, tmp_path):
+    """Persisted IVF: ONE distributed assignment pass at build; every query
+    after that reads only the probed lists' directories (path-level pruning)
+    and never touches the raw corpus."""
+    import ray
+
+    V = _clustered_vectors()
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "ivf_idx")
+    meta = similarity.build_ivf_index(ds, idx, n_lists=8, n_assign=2)
+    assert meta["n_lists"] == 8 and meta["dim"] == 32
+    # the hive layout exists: one dir per (non-empty) list
+    lists = [d for d in os.listdir(os.path.join(idx, "lists"))
+             if d.startswith("list_id=")]
+    assert len(lists) >= 4
+
+    exact = similarity.brute_force_topk(ds, V[42], k=10).to_pandas()
+    for q in (V[42], V[142]):  # two queries against the SAME built index
+        got = similarity.ivf_query_index(idx, q, k=10, n_probe=3).to_pandas()
+        assert got["vec_id"].is_unique and len(got) == 10
+    recall = len(set(
+        similarity.ivf_query_index(idx, V[42], k=10, n_probe=3)
+        .to_pandas()["vec_id"]
+    ) & set(exact["vec_id"])) / 10
+    assert recall >= 0.6, recall
+
+
+def test_pq_index_build_once_query_many(ray_session, tmp_path):
+    """Persisted PQ: codes written once (m bytes/vector); queries stream the
+    codes table only — raw vectors are never read back."""
+    import ray
+
+    V = _clustered_vectors(seed=11)
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "pq_idx")
+    meta = similarity.build_pq_index(ds, idx, m=8, ks=32)
+    assert meta["m"] == 8
+    # codes table really is m bytes per vector
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(idx, "codes"))
+    assert t.num_rows == 300
+    assert all(len(b) == 8 for b in t.column("codes").to_pylist()[:10])
+
+    exact = similarity.brute_force_topk(ds, V[42], k=10).to_pandas()
+    got = similarity.pq_query_index(idx, V[42], k=10).to_pandas()
+    assert got["vec_id"].is_unique and len(got) == 10
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.6, recall
+    assert got["vec_id"].iloc[0] in set(range(30, 60))
