@@ -73,6 +73,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.pq_topk(ds, qvec, k=10)
 
+    def ann_ivf_index_topk(sf_dir: str):
+        # build-once/query-many: the index persists (centroids npy + hive
+        # parquet per list); the query reads ONLY the probed lists
+        qvec = _query_vec(sf_dir, 0)
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="ivfidx-", dir="/tmp")
+        similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=2)
+        return similarity.ivf_query_index(idx, qvec, k=10, n_probe=4)
+
+    def ann_pq_index_topk(sf_dir: str):
+        qvec = _query_vec(sf_dir, 0)
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="pqidx-", dir="/tmp")
+        similarity.build_pq_index(ds, idx, m=16, ks=32)
+        return similarity.pq_query_index(idx, qvec, k=10)
+
     def transcript_roundtrip(sf_dir: str):
         out = tempfile.mkdtemp(prefix="rt-", dir="/tmp")
         return flagship_roundtrip(sf_dir, out, num_buckets=8)
@@ -176,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": doc_fingerprints,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivf_index_topk": ann_ivf_index_topk,
+        "ann_pq_index_topk": ann_pq_index_topk,
         "multimodal_features": multimodal_features,
     }
 

@@ -294,10 +294,48 @@ def control_drift(enc: dict) -> dict:
     }
 
 
+def ann_index_bench(sf_dir: str) -> dict:
+    """Build-once/query-many evidence: index build (one distributed pass)
+    timed against a repeat query that touches only the persisted index —
+    the second query must be far cheaper than the first (which paid the
+    build)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions import similarity
+    from etl_sql_duckdb_parquet__ray.stages.relational import read_table
+
+    qvec = np.array(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", 0)],
+        ).column("embedding")[0].as_py()
+    )
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="bench-ivfidx-", dir="/tmp")
+    try:
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=2)
+        t_build = time.perf_counter() - t0
+        t_q = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(similarity.ivf_query_index(idx, qvec, k=10, n_probe=4))
+            t_q = min(t_q, time.perf_counter() - t0)
+        return {
+            "ivf_build_sec": round(t_build, 3),
+            "ivf_query_sec": round(t_q, 3),
+            "query_vs_build": round(t_q / t_build, 4),
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def run_default() -> None:
     _init_ray(NUM_CPUS)
     enc = encode_bench(NUM_CPUS, N_TURNS)
     queries = query_bench(SF_DIR)
+    ann_index = ann_index_bench(SF_DIR)
     total = enc["encode_sec"] + enc["decode_sec"] + sum(queries.values())
     drift = control_drift(enc)
     out = {
@@ -308,6 +346,7 @@ def run_default() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "encode": enc,
+        "ann_index": ann_index,
         "controls": drift,
         "host_drift": not drift["host_ok"],
     }

@@ -408,7 +408,10 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
                 if f.endswith(".parquet")
             )
     if not paths:
-        return ray.data.from_items([])
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
     qref = ray.put(q)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -423,15 +426,18 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
     partial = ray.data.read_parquet(paths, columns=["vec_id", "vn"]).map_batches(
         score, batch_format="pandas"
     )
-    # cross-list dedupe (redundant assignment), then the global top-k
-    best = partial.groupby("vec_id").max("cosine")
-    best = best.map_batches(
-        lambda t: t.rename_columns(
-            ["vec_id" if c == "vec_id" else "cosine" for c in t.column_names]
-        ),
-        batch_format="pyarrow",
+    # ONE distributed pass (per-batch top-k), then an exact driver-side
+    # merge of the bounded partials (k rows per batch — never the corpus):
+    # a distributed groupby+sort+limit here would pay two more executor
+    # rounds to order ~k*n_batches rows
+    cand = partial.to_pandas()
+    cand = (
+        cand.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        .drop_duplicates("vec_id")  # redundant assignment dedupe
+        .head(k)
+        .reset_index(drop=True)
     )
-    return best.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(cand, preserve_index=False)
 
 
 def build_pq_index(ds_emb, index_dir: str, m: int = 16, ks: int = 32,
@@ -488,8 +494,14 @@ def pq_query_index(index_dir: str, query: np.ndarray, k: int = 10):
         top = np.argsort(-approx, kind="stable")[:k]
         return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
 
-    return ray.data.read_parquet(
+    partial = ray.data.read_parquet(
         os.path.join(index_dir, "codes")
-    ).map_batches(score, batch_format="pandas").sort(
-        ["cosine_pq", "vec_id"], descending=[True, False]
-    ).limit(k)
+    ).map_batches(score, batch_format="pandas")
+    # same one-pass shape as ivf_query_index: bounded driver-side merge
+    cand = partial.to_pandas()
+    cand = (
+        cand.sort_values(["cosine_pq", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(cand, preserve_index=False)

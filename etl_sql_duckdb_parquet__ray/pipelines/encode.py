@@ -440,6 +440,69 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
     return enc(group)
 
 
+def _split_by_bucket(block: pa.Table, num_buckets: int) -> list[pa.Table]:
+    """Map-side split of one block into per-bucket sub-tables: one stable
+    argsort on the dense int bucket key, then boundary slices — O(n log n)
+    on ONE block, no global sort, no boundary sampling."""
+    b = np.asarray(block.column("bucket"))
+    order = np.argsort(b, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+    return [
+        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(num_buckets)
+    ]
+
+
+def _direct_exchange_encode(
+    bucketed, num_buckets: int, out_dir: str, chunk_rows: int, mode: str,
+    state_ref,
+) -> None:
+    """Raw-task bucket-direct exchange (opt-in ``exchange="direct"``): the
+    bucket key is a DENSE int in [0, num_buckets), so the generic sort
+    shuffle's boundary sampling + global merge of sort runs is pure
+    overhead. Here each upstream block is split map-side into
+    ``num_buckets`` sub-tables (``num_returns=num_buckets`` task), and one
+    reduce task per bucket gathers exactly its shards and runs the same
+    ``BucketEncoder`` body — two task waves, object-store spill handles
+    memory, per-bucket atomic outputs keep resume semantics identical.
+
+    Scale note: shard-object count is blocks × buckets; at 10^12 turns
+    keep blocks coarse (whole read fragments) and buckets in the 10^3-10^4
+    range, or shard the exchange per bucket-range. Measured vs the sort
+    exchange in BASELINE.md (round 3)."""
+    import ray
+
+    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    shard_refs: list[list] = [[] for _ in range(num_buckets)]
+    # stream upstream blocks as they finish; submit a split task per block
+    for bundle in bucketed.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = split.remote(block_ref, num_buckets)
+            if num_buckets == 1:
+                outs = [outs]
+            for i, ref in enumerate(outs):
+                shard_refs[i].append(ref)
+
+    @ray.remote
+    def encode_bucket(out_dir, chunk_rows, mode, wrapped_state, *shards):
+        # state_ref travels WRAPPED in a list so Ray doesn't auto-deref it
+        # at task-arg time — the encoder cache keys on the ref identity
+        parts = [s for s in shards if s.num_rows]
+        if not parts:
+            return 0
+        group = pa.concat_tables(parts).combine_chunks()
+        _encode_group_task(group, out_dir, chunk_rows, mode, wrapped_state[0])
+        return group.num_rows
+
+    done = [
+        encode_bucket.remote(out_dir, chunk_rows, mode, [state_ref], *refs)
+        for refs in shard_refs
+    ]
+    ray.get(done)
+
+
 def encode_transcripts(
     ds,
     out_dir: str,
@@ -570,6 +633,12 @@ def encode_transcripts(
     # aggregators at cpus/4.
     if exchange is None:
         exchange = os.environ.get("GRAFT_EXCHANGE", "sort")
+    if exchange == "direct":
+        # raw-task bucket-direct split+reduce (see _direct_exchange_encode)
+        _direct_exchange_encode(
+            bucketed, num_buckets, out_dir, chunk_rows, mode, state_ref
+        )
+        return load_manifest(out_dir)
     # scope the shuffle-strategy override to THIS dataset chain's captured
     # DataContext (GroupedData consults `dataset.context`, a copy snapshotted
     # at source-dataset creation) — never the process-global context, which

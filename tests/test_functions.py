@@ -450,3 +450,45 @@ def test_pq_index_build_once_query_many(ray_session, tmp_path):
     recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
     assert recall >= 0.6, recall
     assert got["vec_id"].iloc[0] in set(range(30, 60))
+
+
+# -- minhash mega-bucket chaining: connectivity kept, pair recall bounded ----
+
+def test_minhash_mega_bucket_chain_recall(ray_session):
+    """A bucket larger than max_bucket (boilerplate text) is linked as a
+    sorted CHAIN, not all-pairs. Quantified contract:
+
+    - connectivity (what dedup_corpus needs) is fully preserved — all
+      copies collapse into one component, exactly one survivor;
+    - pair-level recall on the `minhash_dup_pairs` surface is bounded
+      below by (n-1)/C(n,2) for an n-doc mega-bucket — callers who need
+      all PAIRS (not components) must raise max_bucket.
+    """
+    import ray
+
+    n_copies = 40
+    boiler = "the quick brown fox jumps over the lazy dog " * 8
+    uniq = [f"document number {i} totally unique content words {i*7} {i*13}"
+            for i in range(20)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_copies + len(uniq), dtype=np.int64),
+            "text": [boiler] * n_copies + uniq,
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+
+    # force the chain path: max_bucket far below the 40-copy bucket
+    cands = dedup.minhash_candidate_pairs(ds, max_bucket=8).to_pandas()
+    copy_pairs = cands[(cands.doc_a < n_copies) & (cands.doc_b < n_copies)]
+    all_pairs = n_copies * (n_copies - 1) // 2
+    # chain: linear in n, not quadratic — and at least a spanning chain
+    assert n_copies - 1 <= len(copy_pairs) < all_pairs
+    # pair recall loss is real and documented: chain yields ~(n-1) pairs
+    assert len(copy_pairs) <= 3 * n_copies  # a few bands' chains, deduped
+
+    # connectivity contract: dedup_corpus still collapses ALL copies
+    kept = dedup.dedup_corpus(ds, threshold=0.9).to_pandas()
+    kept_ids = set(int(x) for x in kept["doc_id"])
+    assert kept_ids & set(range(n_copies)) == {0}  # one survivor, the min id
+    assert all(i + n_copies in kept_ids for i in range(len(uniq)))

@@ -1,0 +1,64 @@
+"""Object-store-scheme I/O through the engine's own read/write paths.
+
+The reference pushes/pulls directories to S3 (``src/s3_handler.py:11-126``);
+Ray Data reads object stores natively through fsspec/pyarrow filesystems, so
+the engine claims ``read_parquet("s3://…")`` works unchanged. No network in
+this sandbox — the ``file://`` scheme exercises the same URI-parsing +
+filesystem-resolution code path end-to-end, which is the part the engine
+owns."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from etl_sql_duckdb_parquet__ray.stages.relational import read_table
+
+
+def test_read_parquet_uri_scheme_end_to_end(ray_session, sf_dir):
+    """file:// URI through the SAME engine helper used by every pipeline."""
+    local = read_table(sf_dir, "events").count()
+    via_uri = read_table(f"file://{os.path.abspath(sf_dir)}", "events").count()
+    assert local == via_uri > 0
+
+
+def test_encode_from_uri_source_roundtrips(ray_session, tmp_path, sf_dir):
+    """Full engine pipeline with a scheme'd source: derive transcripts from
+    a file:// read, encode, decode, count matches the local-path run."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+    )
+
+    src = ray.data.read_parquet(f"file://{os.path.abspath(sf_dir)}/events.parquet")
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+    def to_transcripts(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "conv_id": t.column("user_id").cast(pa.string()),
+                "turn_idx": t.column("event_id").cast(pa.int32()),
+                "role": t.column("event_type"),
+                "text": t.column("props"),
+                "tool": t.column("event_type"),
+                "ts": t.column("ts"),
+            }
+        )
+
+    ds = src.map_batches(to_transcripts, batch_format="pyarrow")
+    out = str(tmp_path / "uri-enc")
+    encode_transcripts(ds, out, num_buckets=4, resume=False)
+    assert decode_dataset(out).count() == n_events
+
+
+def test_write_parquet_uri_scheme(ray_session, tmp_path):
+    import ray
+
+    ds = ray.data.range(1000)
+    dest = str(tmp_path / "uri-out")
+    ds.write_parquet(f"file://{dest}")
+    back = ray.data.read_parquet(dest).count()
+    assert back == 1000
