@@ -167,6 +167,21 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             os.rename(run_out, out)
             return dt
 
+        # Rep schedule — controls/engine interleaved, but with ONE control
+        # pair BEFORE the engine warmup:
+        #   controls → warmup → engine → controls → engine
+        # Rationale: a 32-worker engine leg degrades the host for whatever
+        # runs NEXT (plasma frees → page re-fault storms; the pandas analog
+        # measured 9-25x inflated when it only ran post-engine), so the
+        # pre-warmup control rep is the cleanest host state this process
+        # sees, while the post-engine rep exposes within-run drift. Min-of-2
+        # per side is the reproducible number a dedicated cluster would see;
+        # the raw per-rep values ship in the artifact so a drifted window is
+        # self-evident.
+        parquet_reps: list[float] = [run_parquet_control()]
+        analog_reps: list[float] = [run_analog()]
+        engine_reps: list[float] = []
+
         if warmup:
             # steady-state measurement: run the identical job once and
             # discard it. The first run on this host pays one-time costs
@@ -180,22 +195,10 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             )
             shutil.rmtree(wout, ignore_errors=True)
 
-        # INTERLEAVED A/B/A/B repeats, best-of-2 per side: single-shot times
-        # on this shared VM swing ±30-50% and — critically — a 32-worker
-        # engine leg degrades the host for whatever runs NEXT (plasma frees
-        # → page re-fault storms), so controls measured only-before or
-        # only-after systematically favor one side. Alternating
-        # control→engine→control→engine puts both sides through the same
-        # host states; min-of-2 per side is the reproducible number a
-        # dedicated cluster would see. The raw per-rep control values ship
-        # in the artifact so a drifted window is self-evident.
-        parquet_reps: list[float] = []
-        analog_reps: list[float] = []
-        engine_reps: list[float] = []
-        for _ in range(2):
-            parquet_reps.append(run_parquet_control())
-            analog_reps.append(run_analog())
-            engine_reps.append(run_engine())
+        engine_reps.append(run_engine())
+        parquet_reps.append(run_parquet_control())
+        analog_reps.append(run_analog())
+        engine_reps.append(run_engine())
         t_parquet = min(parquet_reps)
         t_ref = min(analog_reps)
         t_enc = min(engine_reps)
