@@ -82,6 +82,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=2)
         return similarity.ivf_query_index(idx, qvec, k=10, n_probe=4)
 
+    def ann_index_exact_topk(sf_dir: str):
+        # full-probe IVF over the PERSISTED index is exhaustive search ==
+        # brute force, so this one is hash-checked against the same DuckDB
+        # cosine oracle as knn_topk — the persisted-index read path
+        # (centroids npy -> hive lists -> f32 unpack -> score) is what's
+        # actually under test
+        qvec = _query_vec(sf_dir, 0)
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="ivfex-", dir="/tmp")
+        similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=1)
+        out = similarity.ivf_query_index(idx, qvec, k=10, n_probe=16)
+        return out.select(["vec_id"])
+
     def ann_pq_index_topk(sf_dir: str):
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -194,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivf_index_topk": ann_ivf_index_topk,
         "ann_pq_index_topk": ann_pq_index_topk,
+        "ann_index_exact_topk": ann_index_exact_topk,
         "multimodal_features": multimodal_features,
     }
 
@@ -449,6 +463,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL AND ABS((value - mu)/sd) > 3
         """,
         "knn_topk": """
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+                FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10) t
+        """,
+        # full-probe persisted-IVF == exhaustive search: same oracle shape
+        # as knn_topk (verified id-for-id against brute force at sf0.001
+        # and sf0.01 despite the index's f32 vector packing)
+        "ann_index_exact_topk": """
             SELECT vec_id FROM (
                 SELECT vec_id,
                        list_cosine_similarity(embedding,
