@@ -197,7 +197,12 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
 
         engine_reps.append(run_engine())
         parquet_reps.append(run_parquet_control())
-        analog_reps.append(run_analog())
+        # the post-engine analog rep exists only as a best-of candidate; when
+        # the post-engine parquet control already shows the window poisoned
+        # (>3x its own rep-1), the analog rep can only be worse than its
+        # rep-1 (measured 10-26x inflated) — skip the 3-6 min of wasted wall
+        if parquet_reps[-1] <= 3 * parquet_reps[0]:
+            analog_reps.append(run_analog())
         engine_reps.append(run_engine())
         t_parquet = min(parquet_reps)
         t_ref = min(analog_reps)
