@@ -106,6 +106,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tempfile.mkdtemp(prefix="rt-", dir="/tmp")
         return flagship_roundtrip(sf_dir, out, num_buckets=8)
 
+    def transcript_proj_pushdown(sf_dir: str):
+        # the selective-read path: encode, then decode ONLY (conv_id,
+        # turn_idx, role) with a turn-range predicate — projection skips
+        # unselected payload bytes, the manifest turn zone maps prune
+        # chunks, the exact row filter does the rest. Hash-checked against
+        # the projected+filtered SQL mirror.
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset,
+            encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="rtp-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        return decode_dataset(
+            out, columns=["conv_id", "turn_idx", "role"], turn_lo=2, turn_hi=40
+        )
+
     def minhash_dedup_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.minhash_dup_pairs(ds, threshold=0.7)
@@ -194,8 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q(A.user_sessions),
         "value_outliers": _q(A.value_outliers),
         "knn_topk": knn_topk,
-        # engine + training-data ops (rows-only checks)
+        # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
+        "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
@@ -333,6 +357,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # Exhaustive word-trigram-Jaccard mirror of functions/dedup.py
+        # (shingle_hashes: whitespace tokens -> distinct trigrams, distinct
+        # TOKENS when < 3; jaccard = |∩|/max(|∪|,1) in float64 — the CASE
+        # arithmetic reproduces it bit-exactly, verified 0.0 max diff).
+        # The engine side is MinHash-LSH candidates + exact verify; equality
+        # with the exhaustive oracle relies on LSH recall at the observed
+        # J >= 0.9 pairs (P(miss) ~ (1-J^4)^16 < 4e-8/pair; the corpus has
+        # no pairs near the 0.7 boundary), and the MinHash params are
+        # deterministic, so the match is reproducible, not lucky.
+        "minhash_dedup_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]))
+                       ELSE list_distinct(tk) END AS s
+                FROM toks
+            ), j AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) AS la, len(b.s) AS lb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CASE WHEN la = 0 AND lb = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / GREATEST(la + lb - inter, 1) END AS jaccard
+            FROM j
+            WHERE (CASE WHEN la = 0 AND lb = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / GREATEST(la + lb - inter, 1) END) >= 0.7
+        """,
+        # dedup_corpus survivors = min-doc_id per connected component of the
+        # >= 0.7 Jaccard pair graph; transitive closure via recursive CTE
+        "dedup_corpus_docs": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]))
+                       ELSE list_distinct(tk) END AS s
+                FROM toks
+            ), jp AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                            ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                 / GREATEST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1)
+                       END) >= 0.7
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jp
+                UNION SELECT doc_b, doc_a FROM jp
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), lbl AS (
+                SELECT a AS doc, LEAST(a, MIN(b)) AS l FROM reach GROUP BY a
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc FROM lbl WHERE l < doc)
         """,
         "doc_token_stats": """
             SELECT doc_id, n_chars,
@@ -500,6 +592,25 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts, event_id
                        ) AS rn
                 FROM events) t
+        """,
+        # projected + turn-filtered mirror of the same derivation: checks
+        # the engine's selective-read path (projection pushdown + turn
+        # zone-map pruning + exact row filter) value-for-value
+        "transcript_proj_pushdown": """
+            SELECT conv_id, turn_idx, role FROM (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       CAST(rn - 1 AS INTEGER) AS turn_idx,
+                       CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                         WHEN 1 THEN 'assistant'
+                                         WHEN 2 THEN 'system'
+                                         ELSE 'tool' END AS role
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS rn
+                    FROM events) t1) t2
+            WHERE turn_idx BETWEEN 2 AND 40
         """,
         # see queries()['embedding_dup_pairs']: copies of vec_id<10 are
         # planted at vec_id+1000000; every >=0.95-cosine pair must involve
