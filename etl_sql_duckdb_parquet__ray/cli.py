@@ -120,6 +120,43 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_ann_build(args) -> int:
+    _ray()
+    import ray
+
+    from .functions.similarity import build_ivf_index, build_pq_index
+
+    ds = ray.data.read_parquet(args.input)
+    if args.kind == "ivf":
+        meta = build_ivf_index(
+            ds, args.out, n_lists=args.lists, n_assign=args.assign
+        )
+    else:
+        meta = build_pq_index(ds, args.out, m=args.m, ks=args.ks)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    _ray()
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from .functions.similarity import ivf_query_index, pq_query_index
+
+    with open(os.path.join(args.index, "meta.json")) as f:
+        meta = _json.load(f)
+    qvec = np.array(_json.loads(args.query), dtype=np.float64)
+    if meta["kind"] == "ivf":
+        out = ivf_query_index(args.index, qvec, k=args.k, n_probe=args.probe)
+    else:
+        out = pq_query_index(args.index, qvec, k=args.k)
+    print(json.dumps(out.to_pylist()))
+    return 0
+
+
 def cmd_verify(args) -> int:
     ray = _ray()
     from .pipelines.encode import roundtrip_ok
@@ -203,6 +240,27 @@ def main(argv=None) -> int:
     cp.add_argument("--out", required=True)
     cp.add_argument("--buckets", type=int, default=32)
     cp.set_defaults(fn=cmd_compact)
+
+    ab = sub.add_parser(
+        "ann-build", help="build a persisted ANN index over an embeddings dir"
+    )
+    ab.add_argument("--input", required=True, help="parquet dir: (vec_id, embedding)")
+    ab.add_argument("--out", required=True, help="index dir")
+    ab.add_argument("--kind", default="ivf", choices=["ivf", "pq"])
+    ab.add_argument("--lists", type=int, default=64, help="IVF list count")
+    ab.add_argument("--assign", type=int, default=2, help="IVF redundant assignment")
+    ab.add_argument("--m", type=int, default=16, help="PQ subquantizers")
+    ab.add_argument("--ks", type=int, default=32, help="PQ codebook size")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser(
+        "ann-query", help="query a persisted ANN index (reads only probed lists)"
+    )
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--query", required=True, help="JSON float array")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--probe", type=int, default=8, help="IVF lists probed")
+    aq.set_defaults(fn=cmd_ann_query)
 
     ver = sub.add_parser("verify", help="bit-identity roundtrip check")
     ver.add_argument("--input", required=True, help="original parquet dir")

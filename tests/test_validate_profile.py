@@ -336,3 +336,35 @@ def test_correlation_first_moment_beyond_2_62(ray_session):
     p = vx * vy
     exp = cov / math.sqrt(p) if p > 0 else float("nan")
     assert (math.isnan(corr) and math.isnan(exp)) or corr.hex() == exp.hex()
+
+
+def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.cli import main
+
+    rng = np.random.default_rng(6)
+    V = rng.standard_normal((200, 16))
+    src = str(tmp_path / "emb")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"vec_id": np.arange(200), "embedding": list(V)}),
+            preserve_index=False,
+        ),
+        f"{src}/part-0.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", "--input", src, "--out", idx,
+                 "--kind", "ivf", "--lists", "8"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["kind"] == "ivf" and meta["dim"] == 16
+
+    q = json.dumps(V[7].tolist())
+    assert main(["ann-query", "--index", idx, "--query", q,
+                 "--k", "5", "--probe", "8"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 5 and rows[0]["vec_id"] == 7  # full probe: exact
