@@ -361,6 +361,12 @@ def build_ivf_index(
     cref = ray.put(C)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "list_id": pd.Series([], dtype=np.int32),
+                 "vn": pd.Series([], dtype=object)}
+            )
         st = _cached_stage(IvfAssign, cref, n_assign=n_assign)
         out = st(batch)
         return pd.DataFrame(
