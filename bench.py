@@ -115,6 +115,7 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
     from etl_sql_duckdb_parquet__ray.pipelines.encode import (
         decode_dataset,
         encode_transcripts,
+        read_for_encode,
     )
     from etl_sql_duckdb_parquet__ray.sources.transcripts import transcripts_parquet_dir
     from etl_sql_duckdb_parquet__ray.state.manifest import manifest_stats
@@ -160,7 +161,7 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             run_out = tempfile.mkdtemp(prefix="bench-run-", dir="/tmp")
             t0 = time.perf_counter()
             encode_transcripts(
-                ray.data.read_parquet(src), run_out, num_buckets=128, resume=False
+                read_for_encode(src), run_out, num_buckets=128, resume=False
             )
             dt = time.perf_counter() - t0
             shutil.rmtree(out, ignore_errors=True)
@@ -191,7 +192,7 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             # class) - which would otherwise dominate a minutes-long bench.
             wout = tempfile.mkdtemp(prefix="bench-warm-", dir="/tmp")
             encode_transcripts(
-                ray.data.read_parquet(src), wout, num_buckets=128, resume=False
+                read_for_encode(src), wout, num_buckets=128, resume=False
             )
             shutil.rmtree(wout, ignore_errors=True)
 
@@ -454,6 +455,69 @@ def run_formats() -> None:
     ray.shutdown()
 
 
+def kernel_ceiling(widths: tuple[int, ...], reps: int = 8) -> dict:
+    """Host parallel-capacity calibration for the scaling artifact.
+
+    Runs the engine's dominant CPU kernel (FSST row-encode over a
+    deterministic synthetic text block) in W INDEPENDENT OS processes —
+    zero shared state, no Ray, no shuffle, no object store. Any sub-linear
+    scaling measured here is the HOST (all-core turbo droop, shared memory
+    bandwidth, hypervisor steal), not engine design: an embarrassingly
+    parallel workload is the upper bound on what any distributed pipeline
+    can achieve on this machine. The scaling artifact reports the engine's
+    raw efficiency next to this ceiling so a single-VM vcpu split is
+    interpretable against the north rule's N->4N *node* criterion, where
+    each added node brings its own sockets, caches and bandwidth (ceiling
+    ~1.0) instead of carving up one VM's."""
+    import multiprocessing as mp
+
+    def worker(q, reps):
+        import numpy as np
+
+        from etl_sql_duckdb_parquet__ray.codecs.base import StringBlob
+        from etl_sql_duckdb_parquet__ray.codecs.fsst import (
+            _TableIndex,
+            fsst_encode_rows,
+            train_fsst,
+        )
+
+        rng = np.random.default_rng(7)
+        words = [
+            rng.integers(97, 123, size=rng.integers(3, 9)).astype(np.uint8).tobytes()
+            for _ in range(200)
+        ]
+        rows = [
+            b" ".join(words[i] for i in rng.integers(0, 200, size=40))
+            for _ in range(12_500)
+        ]
+        data = b"".join(rows)
+        lengths = np.array([len(r) for r in rows], dtype=np.int64)
+        idx = _TableIndex(train_fsst(data[: 1 << 17], iters=5, cap=1 << 17) or [])
+        fsst_encode_rows(data, lengths, idx)  # warm (scratch + LUT faults)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fsst_encode_rows(data, lengths, idx)
+        q.put((time.perf_counter() - t0) / reps)
+
+    thr = {}
+    for w in widths:
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, reps)) for _ in range(w)]
+        for p in ps:
+            p.start()
+        per = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        thr[w] = w / (sum(per) / len(per))  # blocks/sec aggregate
+    lo, hi = widths
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    return {
+        "widths": list(widths),
+        "blocks_per_sec": {str(w): round(t, 3) for w, t in thr.items()},
+        "efficiency": round(eff, 4),
+    }
+
+
 def run_child(num_cpus: int, n_turns: int) -> None:
     """Entry for --scaling subprocess: one fresh encode+decode measurement."""
     _init_ray(num_cpus)
@@ -516,6 +580,11 @@ def run_scaling() -> None:
     thr_lo = results[lo_cpus]["encode_turns_per_sec"]
     thr_hi = results[hi_cpus]["encode_turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    # host parallel-capacity ceiling: the same dominant kernel run
+    # embarrassingly parallel (no Ray, no shared state) at both widths —
+    # the upper bound ANY pipeline can reach when the two "cluster sizes"
+    # are vcpu slices of one VM rather than real added nodes
+    ceiling = kernel_ceiling((lo_cpus, hi_cpus))
     out = {
         "metric": f"encode scaling efficiency ({lo_cpus} -> {hi_cpus} cpus, fresh processes)",
         "value": round(eff, 4),
@@ -527,6 +596,16 @@ def run_scaling() -> None:
             "low": {"num_cpus": lo_cpus, **results[lo_cpus]},
             "high": {"num_cpus": hi_cpus, **results[hi_cpus]},
             "efficiency": round(eff, 4),
+            "host_parallel_ceiling": ceiling,
+            # engine efficiency with the host's own embarrassingly-parallel
+            # ceiling divided out: what the same pipeline would show if each
+            # width brought proportional hardware (the north rule's actual
+            # N->4N-node setting)
+            "efficiency_vs_host_ceiling": round(
+                min(eff / ceiling["efficiency"], 1.0), 4
+            )
+            if ceiling["efficiency"] > 0
+            else None,
             "single_thread_control_sec": {
                 str(lo_cpus): round(control(results[lo_cpus]), 3),
                 str(hi_cpus): round(control(results[hi_cpus]), 3),

