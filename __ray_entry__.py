@@ -138,10 +138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_corpus(ds, threshold=0.7).select_columns(["doc_id"])
 
     def simhash_docs(sf_dir: str):
+        # hash_fn="md5" here so the oracle can reproduce the exact bits via
+        # DuckDB's md5_number_lower (pandas SipHash is engine-internal and
+        # unverifiable cross-engine); the dedup pipelines keep the faster
+        # SipHash default — the SimHash vote/pack logic under test is the
+        # same code path either way.
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-        return ds.map_batches(text.SimHash(), batch_format="pandas").select_columns(
-            ["doc_id", "simhash"]
-        )
+        return ds.map_batches(
+            text.SimHash(hash_fn="md5"), batch_format="pandas"
+        ).select_columns(["doc_id", "simhash"])
 
     def embedding_dup_pairs(sf_dir: str):
         # The synthetic embeddings table has no near-dup pairs (max cosine
@@ -425,6 +430,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc FROM lbl WHERE l < doc)
+        """,
+        # SimHash (Charikar'02) mirror: per-token md5_number_lower ==
+        # the engine's hash_fn="md5" token hash (lower 8 digest bytes,
+        # little-endian — verified equal), then per-bit +1/-1 votes and a
+        # sign-bit pack. Tokenization parity: \\s+ split minus empties ==
+        # pandas str.split() on the ASCII corpus.
+        "simhash_docs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                          w -> w <> '')) AS w
+                FROM documents
+            ), h AS (
+                SELECT doc_id, md5_number_lower(w) AS hv FROM tok
+            ), v AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h, (SELECT unnest(range(64)) AS b) bits
+                GROUP BY doc_id, b
+            ), sh AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INT))
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+                FROM v GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(sh.simhash, 0::UBIGINT) AS simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        """,
+        # Winnowing (Schleimer SIGMOD'03) mirror of functions/text.py
+        # winnow_fingerprints: Rabin-Karp base-1099511628211 hash of every
+        # 8-byte window mod 2^64 (the power constants are B^7..B^0 mod 2^64,
+        # so HUGEINT term-sums % 2^64 reproduce numpy's uint64 wraparound
+        # exactly on the ASCII corpus where ascii(char) == utf-8 byte),
+        # then distinct sliding-window-16 minima per document.
+        "doc_fingerprints": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, GREATEST(length(COALESCE(text, '')) - 7, 0) + 1),
+                           i -> CAST((
+                               ascii(substr(text, CAST(i AS INT), 1))::HUGEINT * 14218562807570617051::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 1, 1))::HUGEINT * 15895002104753931833::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 2, 1))::HUGEINT * 913917546033277539::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 3, 1))::HUGEINT * 11527715348014283921::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 4, 1))::HUGEINT * 624165263380053675::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 5, 1))::HUGEINT * 956575116354345::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 6, 1))::HUGEINT * 1099511628211::HUGEINT
+                             + ascii(substr(text, CAST(i AS INT) + 7, 1))::HUGEINT
+                           ) % 18446744073709551616::HUGEINT AS UBIGINT)
+                       ) AS h
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) = 0 THEN CAST([] AS UBIGINT[])
+                            WHEN len(h) <= 16 THEN [list_aggregate(h, 'min')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(h) - 16 + 2),
+                                j -> list_aggregate(h[j:j+15], 'min')))
+                       END AS fps
+                FROM g
+            )
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+                   COALESCE(list_aggregate(fps, 'min'), 0::UBIGINT) AS fp_min
+            FROM w
         """,
         "doc_token_stats": """
             SELECT doc_id, n_chars,

@@ -192,13 +192,34 @@ class Fingerprint:
         )
 
 
-def token_hashes(texts: pd.Series) -> list[np.ndarray]:
-    """Per-doc uint64 token-hash arrays via pandas' SipHash (C-vectorized
-    over the concatenated token list, then split back)."""
+def token_hashes(texts: pd.Series, hash_fn: str = "siphash") -> list[np.ndarray]:
+    """Per-doc uint64 token-hash arrays.
+
+    ``hash_fn="siphash"`` (default, production): pandas' SipHash,
+    C-vectorized over the concatenated token list, then split back.
+    ``hash_fn="md5"``: lower half of each token's MD5 digest,
+    little-endian — bit-identical to DuckDB's ``md5_number_lower``, which
+    makes SimHash outputs SQL-oracle-checkable (slower: per-token hashlib
+    call; use only where cross-engine determinism matters more than
+    throughput)."""
     token_lists = texts.fillna("").str.split()
     lens = token_lists.str.len().to_numpy()
-    flat = np.array([w for ts in token_lists for w in ts], dtype=object)
-    hashes = pd.util.hash_array(flat) if len(flat) else np.empty(0, dtype=np.uint64)
+    n_flat = int(lens.sum()) if len(lens) else 0
+    if hash_fn == "md5":
+        import hashlib
+
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:16], "little")
+                for ts in token_lists
+                for w in ts
+            ),
+            dtype=np.uint64,
+            count=n_flat,
+        )
+    else:
+        flat = np.array([w for ts in token_lists for w in ts], dtype=object)
+        hashes = pd.util.hash_array(flat) if len(flat) else np.empty(0, dtype=np.uint64)
     bounds = np.concatenate(([0], np.cumsum(lens)))
     return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(lens))]
 
@@ -214,10 +235,17 @@ def simhash64(hashes: np.ndarray) -> np.uint64:
 
 
 class SimHash:
-    """map_batches stage: simhash64 per document text."""
+    """map_batches stage: simhash64 per document text.
+
+    ``hash_fn`` selects the token hash (see :func:`token_hashes`):
+    "siphash" for production throughput, "md5" when the result must be
+    reproducible outside this engine (the DuckDB correctness oracle)."""
+
+    def __init__(self, hash_fn: str = "siphash"):
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        hs = token_hashes(batch["text"])
+        hs = token_hashes(batch["text"], hash_fn=self.hash_fn)
         batch = batch.copy()
         batch["simhash"] = np.array([simhash64(h) for h in hs], dtype=np.uint64)
         return batch

@@ -492,3 +492,128 @@ def test_minhash_mega_bucket_chain_recall(ray_session):
     kept_ids = set(int(x) for x in kept["doc_id"])
     assert kept_ids & set(range(n_copies)) == {0}  # one survivor, the min id
     assert all(i + n_copies in kept_ids for i in range(len(uniq)))
+
+
+# -- SQL-oracle parity for the hash primitives (no Ray; pure DuckDB A/B) -----
+
+def test_md5_token_hash_matches_duckdb():
+    """token_hashes(hash_fn="md5") must equal DuckDB md5_number_lower per
+    token — the contract the simhash_docs oracle rests on."""
+    import duckdb
+
+    toks = ["alpha", "Beta7", "x", "punct,!", "longer-token_42"]
+    ours = token_hashes(pd.Series([" ".join(toks)]), hash_fn="md5")[0]
+    theirs = [
+        duckdb.sql(f"SELECT md5_number_lower('{t}')").fetchone()[0] for t in toks
+    ]
+    assert [int(x) for x in ours] == theirs
+
+
+def test_simhash_md5_matches_sql_mirror():
+    """End-to-end: engine SimHash(hash_fn="md5") == the oracle SQL on a
+    corpus with whitespace runs, empties and sub-window docs."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "  leading  and   multiple   spaces\tand\ttabs\nnewlines  ",
+                "one",
+                "",
+                None,
+                "repeat repeat repeat distinct words here",
+            ],
+        }
+    )
+    got = SimHash(hash_fn="md5")(docs.copy())
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                      w -> w <> '')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id, md5_number_lower(w) AS hv FROM tok
+        ), v AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h, (SELECT unnest(range(64)) AS b) bits
+            GROUP BY doc_id, b
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INT))
+                                 ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(sh.simhash, 0::UBIGINT) AS simhash
+        FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert [int(x) for x in got.sort_values("doc_id")["simhash"]] == [
+        int(x) for x in want["simhash"]
+    ]
+
+
+def test_winnow_fingerprints_match_sql_mirror():
+    """Engine winnowing (numpy uint64 wraparound poly-hash) == the HUGEINT
+    mod-2^64 SQL mirror, across the length regimes: empty, < k, == k,
+    <= window, and long."""
+    import duckdb
+
+    texts = [
+        "",
+        "short",          # < k=8 bytes -> no grams
+        "exactly8",       # == k -> one gram
+        "a bit over the window size",  # k..window+k
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "until the winnowing window has plenty of positions to slide over",
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        """
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, GREATEST(length(COALESCE(text, '')) - 7, 0) + 1),
+                       i -> CAST((
+                           ascii(substr(text, CAST(i AS INT), 1))::HUGEINT * 14218562807570617051::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 1, 1))::HUGEINT * 15895002104753931833::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 2, 1))::HUGEINT * 913917546033277539::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 3, 1))::HUGEINT * 11527715348014283921::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 4, 1))::HUGEINT * 624165263380053675::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 5, 1))::HUGEINT * 956575116354345::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 6, 1))::HUGEINT * 1099511628211::HUGEINT
+                         + ascii(substr(text, CAST(i AS INT) + 7, 1))::HUGEINT
+                       ) % 18446744073709551616::HUGEINT AS UBIGINT)
+                   ) AS h
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   CASE WHEN len(h) = 0 THEN CAST([] AS UBIGINT[])
+                        WHEN len(h) <= 16 THEN [list_aggregate(h, 'min')]
+                        ELSE list_distinct(list_transform(
+                            range(1, len(h) - 16 + 2),
+                            j -> list_aggregate(h[j:j+15], 'min')))
+                   END AS fps
+            FROM g
+        )
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               COALESCE(list_aggregate(fps, 'min'), 0::UBIGINT) AS fp_min
+        FROM w ORDER BY doc_id
+        """
+    ).df()
+    for i, t in enumerate(texts):
+        fps = winnow_fingerprints(t)
+        assert len(fps) == int(want["n_fingerprints"][i]), t
+        exp_min = int(fps.min()) if len(fps) else 0
+        assert exp_min == int(want["fp_min"][i]), t
