@@ -171,25 +171,110 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     return np.unique(sw.min(axis=1))
 
 
+def winnow_stats_batch(
+    texts: list, k: int = 8, window: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch winnowing: (n_fingerprints, fp_min) per doc, one numpy pass.
+
+    Equivalent to ``[winnow_fingerprints(t)]`` per doc (property-tested)
+    but with NO per-doc Python in the hot loop: hash the whole batch's
+    concatenated bytes once, take ONE global sliding-window minimum, and
+    slice each doc's valid window range out of it. Grams/windows that
+    would cross a document boundary exist in the global arrays but are
+    never selected — a doc's valid window starts cover exactly its own
+    grams. Per-doc distinct counts come from one lexsort over
+    (doc, minimum) pairs instead of per-doc ``np.unique``."""
+    enc = [
+        (t if isinstance(t, str) else "").encode("utf-8", "surrogatepass")
+        for t in texts
+    ]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    n_docs = len(enc)
+    n_fp = np.zeros(n_docs, dtype=np.int64)
+    fp_min = np.zeros(n_docs, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return n_fp, fp_min
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))  # doc byte offsets
+    h = _poly_hashes(data, k)  # global; includes boundary-crossing grams
+    n_grams = np.maximum(lens - k + 1, 0)  # valid grams per doc
+
+    # Small docs (1..window grams): fingerprint set == {min of the doc's
+    # grams} -> reduceat over each doc's gram slice.
+    small = (n_grams > 0) & (n_grams <= window)
+    if small.any():
+        sidx = np.flatnonzero(small)
+        # reduceat segments [start, start+n) per small doc, interleaved with
+        # throwaway gap segments so one call covers all docs; a sentinel
+        # element keeps an end index == len(h) (doc ending the batch) legal
+        seg = np.empty(2 * len(sidx), dtype=np.int64)
+        seg[0::2] = starts[sidx]
+        seg[1::2] = starts[sidx] + n_grams[sidx]
+        h_s = np.concatenate((h, np.array([np.uint64(0xFFFFFFFFFFFFFFFF)])))
+        mins = np.minimum.reduceat(h_s, seg)[0::2]
+        n_fp[sidx] = 1
+        fp_min[sidx] = mins
+
+    # Large docs: global sliding min (O(L) two-pass block prefix/suffix
+    # minima, not the O(L*window) strided view), then per-doc valid slices.
+    big = n_grams > window
+    if big.any():
+        sw_min = _sliding_min(h, window)
+        bidx = np.flatnonzero(big)
+        counts = n_grams[bidx] - window + 1  # valid window starts per doc
+        # gather all (doc, window-min) pairs batch-wide
+        doc_of = np.repeat(np.arange(len(bidx), dtype=np.int64), counts)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        pos = np.arange(bounds[-1], dtype=np.int64) - bounds[doc_of] + starts[bidx][doc_of]
+        vals = sw_min[pos]
+        # adjacent windows usually share their minimum — drop consecutive
+        # repeats first (distinct-set-preserving, ~window-fold shrink), so
+        # the lexsort pays for the survivors only
+        k0 = np.ones(len(vals), dtype=bool)
+        k0[1:] = (vals[1:] != vals[:-1]) | (doc_of[1:] != doc_of[:-1])
+        vals, doc_of = vals[k0], doc_of[k0]
+        # distinct per doc: sort by (doc, val), drop duplicates
+        order = np.lexsort((vals, doc_of))
+        d_s, v_s = doc_of[order], vals[order]
+        keep = np.ones(len(v_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        n_fp[bidx] = np.bincount(d_s[keep], minlength=len(bidx))
+        first = np.concatenate(([0], np.cumsum(n_fp[bidx])[:-1]))
+        fp_min[bidx] = v_s[keep][first]  # sorted per doc -> first == min
+    return n_fp, fp_min
+
+
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum: per-block prefix/suffix minima (block
+    size w); window [i, i+w) = min(suffix_min[i], prefix_min[i+w-1])."""
+    n = len(h)
+    if n < w:
+        return np.empty(0, dtype=h.dtype)
+    pad = (-n) % w
+    hp = np.concatenate((h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))))
+    m = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(m, axis=1).ravel()
+    suf = np.minimum.accumulate(m[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[: n - w + 1], pref[w - 1 : n])
+
+
 class Fingerprint:
-    """map_batches stage emitting winnowing fingerprint sets per doc."""
+    """map_batches stage emitting winnowing fingerprint stats per doc —
+    the batch-vectorized :func:`winnow_stats_batch` under the hood
+    (per-doc :func:`winnow_fingerprints` is the tested reference)."""
 
     def __init__(self, k: int = 8, window: int = 16):
         self.k = k
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            winnow_fingerprints(t or "", self.k, self.window)
-            for t in batch.column("text").to_pylist()
-        ]
-        n_fp = pa.array([len(f) for f in fps], type=pa.int64())
-        fp_min = pa.array(
-            [int(f.min()) if len(f) else 0 for f in fps], type=pa.uint64()
+        n_fp, fp_min = winnow_stats_batch(
+            batch.column("text").to_pylist(), self.k, self.window
         )
-        return (
-            batch.append_column("n_fingerprints", n_fp).append_column("fp_min", fp_min)
-        )
+        return batch.append_column(
+            "n_fingerprints", pa.array(n_fp, type=pa.int64())
+        ).append_column("fp_min", pa.array(fp_min, type=pa.uint64()))
 
 
 def token_hashes(texts: pd.Series, hash_fn: str = "siphash") -> list[np.ndarray]:

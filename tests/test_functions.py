@@ -617,3 +617,43 @@ def test_winnow_fingerprints_match_sql_mirror():
         assert len(fps) == int(want["n_fingerprints"][i]), t
         exp_min = int(fps.min()) if len(fps) else 0
         assert exp_min == int(want["fp_min"][i]), t
+
+
+def test_winnow_stats_batch_matches_per_doc():
+    """Batch-vectorized winnowing == per-doc reference across every length
+    regime, including the batch-final small doc (reduceat sentinel path),
+    empties, Nones, and non-ASCII bytes."""
+    from etl_sql_duckdb_parquet__ray.functions.text import winnow_stats_batch
+
+    rng = np.random.default_rng(3)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    cases = [
+        [],
+        [""],
+        [None],
+        ["", None, ""],
+        ["short"],                      # < k
+        ["exactly8"],                   # == k -> 1 gram
+        ["exactly8!", "exactly8"],      # small docs adjacent, batch ends small
+        ["unicode £€ bytes ünïcödé and more padding to cross the window"],
+    ]
+    # randomized batches mixing all regimes
+    for _ in range(8):
+        batch = []
+        for _ in range(rng.integers(1, 30)):
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                batch.append("")
+            elif kind == 1:
+                batch.append("x" * int(rng.integers(1, 9)))
+            elif kind == 2:
+                batch.append(" ".join(rng.choice(vocab, 4)))   # near window
+            else:
+                batch.append(" ".join(rng.choice(vocab, int(rng.integers(10, 80)))))
+        cases.append(batch)
+    for texts in cases:
+        n_fp, fp_min = winnow_stats_batch(texts)
+        for i, t in enumerate(texts):
+            ref = winnow_fingerprints(t or "")
+            assert n_fp[i] == len(ref), (i, t)
+            assert fp_min[i] == (int(ref.min()) if len(ref) else 0), (i, t)
