@@ -71,6 +71,7 @@ QUERY_NAMES = [
     "purchases_last_hour",
     "dedup_exact_docs",
     "doc_token_stats",
+    "doc_fingerprints",
     "knn_topk",
     "ann_pq_topk",
 ]
