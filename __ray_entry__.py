@@ -35,7 +35,7 @@ def _q(fn):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from etl_sql_duckdb_parquet__ray.functions import dedup, similarity, text
+    from etl_sql_duckdb_parquet__ray.functions import corpus, dedup, similarity, text
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
         media_features,
         synth_media_table,
@@ -194,6 +194,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(synth_media_table(512))
         return media_features(media)
 
+    def _mod20(sf_dir: str, eq: bool):
+        # benchmark/corpus split derived from the input itself (vectorized
+        # batch filter, not a per-row lambda): doc_id % 20 == 0 is the
+        # stand-in eval set, the rest is the training corpus
+        import numpy as np
+        import pyarrow as pa
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+        def f(t):
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            m = (ids % 20 == 0) if eq else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def decontaminate_docs(sf_dir: str):
+        # hash_fn="md5" (oracle parity) — production callers use the
+        # vectorized SipHash default; the broadcast/isin machinery under
+        # test is identical either way
+        return corpus.decontaminate(
+            _mod20(sf_dir, eq=False), _mod20(sf_dir, eq=True), n=5, hash_fn="md5"
+        )
+
+    def shard_assignments(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id"])
+        return corpus.deterministic_shard(
+            ds, key_col="doc_id", n_shards=16, seed=42, hash_fn="md5"
+        )
+
+    def quota_sample_by_lang(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+        return corpus.quota_sample(
+            ds, group_col="lang", budget_tokens=5000, seed=42, hash_fn="md5"
+        )
+
+    def pack_sequences_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return corpus.pack_sequences(ds, seq_len=2048, num_buckets=8)
+
     return {
         # relational layer (oracled)
         "pricing_summary": _q(A.pricing_summary),
@@ -238,6 +278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_index_topk": ann_pq_index_topk,
         "ann_index_exact_topk": ann_index_exact_topk,
         "multimodal_features": multimodal_features,
+        "decontaminate_docs": decontaminate_docs,
+        "shard_assignments": shard_assignments,
+        "quota_sample_by_lang": quota_sample_by_lang,
+        "pack_sequences": pack_sequences_docs,
     }
 
 
@@ -696,5 +740,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM aug a JOIN copies b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # Eval-set decontamination mirror of functions/corpus.py
+        # decontaminate (hash_fn="md5"): the engine compares 64-bit md5
+        # hashes of space-joined word 5-grams; the oracle compares the
+        # exact gram strings (same \\s+ tokenization parity as simhash), so
+        # any hash collision would surface as a driver hash mismatch.
+        # Benchmark set = doc_id % 20 == 0, corpus = the rest.
+        "decontaminate_docs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE doc_id % 20 = 0
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                    FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                    WHERE doc_id % 20 <> 0
+                ) WHERE gram IN (SELECT gram FROM bg)
+            )
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+            FROM documents d WHERE d.doc_id % 20 <> 0
+        """,
+        # deterministic_shard mirror: md5_number_lower('seed|id') is
+        # bit-identical to the engine's md5 mode (verified; same identity
+        # the simhash oracle uses for token hashes)
+        "shard_assignments": """
+            SELECT doc_id,
+                   md5_number_lower('42|' || doc_id) AS shuffle_key,
+                   CAST(md5_number_lower('42|' || doc_id) % 16 AS BIGINT) AS shard
+            FROM documents
+        """,
+        # quota_sample mirror: seeded-hash priority order per language,
+        # window cumsum capped at the token budget; n_tokens parity =
+        # len(string_split(text,' ')) == count(' ')+1 (doc_token_stats)
+        "quota_sample_by_lang": """
+            WITH t AS (
+                SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                       md5_number_lower('42|' || doc_id) AS priority
+                FROM documents
+            ), c AS (
+                SELECT *, SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY priority, doc_id) AS cum
+                FROM t
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 5000
+        """,
+        # pack_sequences mirror: the engine's two-pass distributed prefix
+        # sum must equal the sequential window scan exactly
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tokens AS s
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(s AS BIGINT) AS start_offset,
+                   CAST(s // 2048 AS BIGINT) AS bin_id
+            FROM c
         """,
     }

@@ -1,0 +1,320 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+benchmark decontamination, deterministic shuffle-sharding, per-group
+token-budget (quota) sampling, and fixed-length sequence packing.
+
+These extend the reference's transform layer (SURVEY.md §2.2/§2.7 —
+dedup/ordering/sampling over pandas, e.g. ``src/etl/transform.py``,
+``src/profiling.py``) with the operations a 100-TB training corpus needs
+between "deduplicated" and "ready to tokenize". Design rules shared with
+the rest of the package:
+
+- the big side always streams through ``map_batches`` (vectorized numpy /
+  Arrow kernels); the small side (a benchmark n-gram set, per-bucket
+  prefix offsets) is broadcast once via ``ray.put`` or computed from a
+  bucket-count-sized aggregate — the corpus never lands on the driver;
+- every operator has two hash modes: ``"siphash"`` (production — pandas'
+  C-vectorized SipHash, no per-row Python) and ``"md5"`` (oracle parity —
+  bit-identical to DuckDB ``md5_number_lower``, so the driver can
+  hash-check results against ANSI SQL; slower, used only in the
+  correctness registry);
+- wide steps reuse the package's one partitioning idiom: hash-partition
+  by the group key, vectorized per-group kernel inside ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Rabin-Karp base shared with functions.text's winnowing hash — used to
+# combine per-word hashes into an n-gram hash without materializing the
+# gram strings (production siphash mode only).
+_POLY_BASE = np.uint64(1099511628211)
+
+
+def _md5_u64(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def det_keys(ids: np.ndarray, seed: int, hash_fn: str = "siphash") -> np.ndarray:
+    """Deterministic uint64 key per id — the engine's reproducible
+    stand-in for ``random()`` in shuffle/sample operators (a seeded hash
+    is restart-stable and cluster-topology-independent, which a RNG is
+    not; cf. the reference's ``df.sample(random_state=...)`` idiom).
+
+    ``md5``: ``md5_number_lower(seed || '|' || id)`` — SQL-reproducible.
+    ``siphash``: ``pd.util.hash_array`` over the int64 ids with a
+    seed-derived 16-byte key — C-vectorized, not SQL-reproducible."""
+    ids = np.asarray(ids)
+    if hash_fn == "md5":
+        return np.fromiter(
+            (_md5_u64(f"{seed}|{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+    # pandas ignores hash_key for numeric dtypes, so fold the seed into the
+    # VALUES (wrapping add of a seed-derived odd constant) before hashing —
+    # different seeds then produce genuinely different orders/shards
+    mix = np.int64((_md5_u64(f"seed|{seed}") | 1) & 0x7FFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        mixed = ids.astype(np.int64) + mix
+    return pd.util.hash_array(mixed)
+
+
+def word_ngram_hashes(
+    texts: pd.Series, n: int = 5, hash_fn: str = "siphash"
+) -> list[np.ndarray]:
+    """Per-doc uint64 word-n-gram hash arrays (whitespace tokenization —
+    same ``str.split()`` <-> ``string_split_regex(.., '\\s+')`` parity the
+    SimHash oracle relies on).
+
+    ``md5``: hash of the space-joined gram string — equals DuckDB
+    ``md5_number_lower(array_to_string(w[i:i+n-1], ' '))``.
+    ``siphash``: per-word SipHash (one vectorized pass over the batch's
+    flat token list) combined per window with a Rabin-Karp polynomial —
+    gram strings are never materialized."""
+    token_lists = texts.fillna("").str.split()
+    if hash_fn == "md5":
+        return [
+            np.fromiter(
+                (
+                    _md5_u64(" ".join(ws[i : i + n]))
+                    for i in range(len(ws) - n + 1)
+                ),
+                dtype=np.uint64,
+                count=max(len(ws) - n + 1, 0),
+            )
+            for ws in token_lists
+        ]
+    lens = token_lists.str.len().to_numpy()
+    n_flat = int(lens.sum()) if len(lens) else 0
+    if n_flat == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in range(len(texts))]
+    flat = np.array([w for ws in token_lists for w in ws], dtype=object)
+    word_h = pd.util.hash_array(flat)
+    powers = _POLY_BASE ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    out = []
+    for i in range(len(lens)):
+        h = word_h[bounds[i] : bounds[i + 1]]
+        if len(h) < n:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(h, n)
+        out.append((win * powers).sum(axis=1, dtype=np.uint64))
+    return out
+
+
+def benchmark_ngram_set(bench_ds, n: int = 5, hash_fn: str = "siphash") -> np.ndarray:
+    """Collect the DISTINCT n-gram hashes of a benchmark/eval corpus as a
+    sorted uint64 array. The benchmark side is small by definition (eval
+    sets are thousands of documents); only 8-byte hashes reach the driver
+    — per-batch dedup upstream keeps even that stream minimal."""
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = word_ngram_hashes(batch["text"], n=n, hash_fn=hash_fn)
+        flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.uint64)
+        return pd.DataFrame({"h": flat})
+
+    parts = [
+        b["h"].to_numpy()
+        for b in bench_ds.map_batches(grams, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+class Decontaminator:
+    """map_batches stage: flag documents sharing any word n-gram with a
+    broadcast benchmark set (the standard eval-decontamination pass, cf.
+    GPT-3 appendix C / most open-data pipelines).
+
+    The benchmark hash set is shipped once (``ray.put``) and resolved from
+    the worker-local object store per call (zero-copy); per batch the
+    membership test is ONE ``np.isin`` over the flat gram-hash list,
+    folded back per doc with bincount — no per-row Python.
+    64-bit gram hashing makes a false flag a ~2^-64-per-pair event; the
+    DuckDB oracle compares exact gram strings, so a collision would show
+    up as a hash mismatch in the driver gate."""
+
+    def __init__(self, bench_ref, n: int = 5, hash_fn: str = "siphash"):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        )
+        self.n = n
+        self.hash_fn = hash_fn
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = word_ngram_hashes(batch["text"], n=self.n, hash_fn=self.hash_fn)
+        lens = np.array([len(h) for h in hs], dtype=np.int64)
+        flagged = np.zeros(len(batch), dtype=bool)
+        if lens.sum() > 0 and len(self.bench) > 0:
+            flat = np.concatenate(hs)
+            doc_idx = np.repeat(np.arange(len(hs)), lens)
+            hit = np.isin(flat, self.bench)
+            flagged = np.bincount(doc_idx[hit], minlength=len(hs)) > 0
+        out = batch[["doc_id"]].copy()
+        out["contaminated"] = flagged
+        return out
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 5, hash_fn: str = "siphash"):
+    """Flag every doc in ``docs_ds`` that shares a word n-gram with
+    ``bench_ds``. Returns ``(doc_id, contaminated)`` for the full corpus —
+    callers drop or quarantine flagged docs downstream."""
+    import ray
+
+    bench = benchmark_ngram_set(bench_ds, n=n, hash_fn=hash_fn)
+    ref = ray.put(bench)
+    return docs_ds.map_batches(
+        Decontaminator,
+        fn_constructor_args=(ref, n, hash_fn),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def deterministic_shard(
+    ds, key_col: str = "doc_id", n_shards: int = 16, seed: int = 42,
+    hash_fn: str = "siphash",
+):
+    """Seeded, reproducible global shuffle-shard assignment: adds
+    ``shuffle_key`` (uint64) and ``shard`` (int64 = key % n_shards).
+
+    This is the training-data "global shuffle" expressed scale-first: the
+    assignment is a stateless vectorized map (no all-to-all), and the
+    actual data movement happens once, at the sink, keyed by ``shard`` —
+    equivalent in distribution to ``random_shuffle()`` but restart-stable,
+    resumable per shard, and independent of cluster topology."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        key = det_keys(batch[key_col].to_numpy(), seed, hash_fn)
+        batch = batch.copy()
+        batch["shuffle_key"] = key
+        batch["shard"] = (key % np.uint64(n_shards)).astype(np.int64)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def write_shards(
+    ds, out_dir: str, key_col: str = "doc_id", n_shards: int = 16, seed: int = 42,
+    hash_fn: str = "siphash",
+):
+    """Deterministic-shuffle sink: assign shards, then write hive-partitioned
+    parquet (``shard=K/``) — one resumable directory per shard, never one
+    giant file."""
+    sharded = deterministic_shard(ds, key_col, n_shards, seed, hash_fn)
+    sharded.write_parquet(out_dir, partition_cols=["shard"])
+    return out_dir
+
+
+def quota_sample(
+    docs_ds, group_col: str = "lang", budget_tokens: int = 5000,
+    seed: int = 42, hash_fn: str = "siphash",
+):
+    """Per-group token-budget sampling (the "data mixing" primitive: cap
+    each language/source at N tokens). Deterministic priority order — a
+    seeded hash of doc_id, ties broken by doc_id — so the same corpus
+    always yields the same sample, under resume and across cluster sizes.
+
+    Shape: one vectorized map (token count + priority key), one
+    hash-partition by group, one vectorized sort+cumsum per group. The
+    shuffle ships only ``(doc_id, group, n_tokens, priority)`` — 28 B/row,
+    never the text."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(batch.column("text"), " "), 1).cast(pa.int64())
+        ids = np.asarray(batch.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                group_col: batch.column(group_col),
+                "n_tokens": n_tok,
+                "priority": pa.array(det_keys(ids, seed, hash_fn)),
+            }
+        )
+
+    def take_until(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "doc_id"], kind="mergesort").reset_index(drop=True)
+        cum = g["n_tokens"].cumsum()
+        out = g.loc[cum <= budget_tokens, ["doc_id", group_col, "n_tokens"]].copy()
+        out["cum_tokens"] = cum[cum <= budget_tokens]
+        return out
+
+    return (
+        docs_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(take_until, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    docs_ds, seq_len: int = 2048, id_col: str = "doc_id", num_buckets: int = 32
+):
+    """Fixed-length sequence packing: concatenate the corpus in ``id_col``
+    order into one virtual token stream and assign each document the bin
+    ``start_offset // seq_len`` — how training shards are actually laid
+    out before tokenization.
+
+    The global prefix sum is distributed in two passes, the classic
+    scan-then-offset shape: (1) per-range-bucket token sums — an aggregate
+    whose result is ``num_buckets`` scalars, the only thing the driver
+    ever holds; (2) per-bucket vectorized cumsum + the bucket's exclusive
+    prefix offset. One shuffle (the bucket groupby), 20 B/row through the
+    exchange, no text. Buckets are contiguous id ranges so the per-bucket
+    cumsum is a true segment of the global scan."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(batch.column("text"), " "), 1).cast(pa.int64())
+        return pa.table({id_col: batch.column(id_col), "n_tokens": n_tok})
+
+    # materialize the 16 B/row (id, n_tokens) projection: it is consumed
+    # three times (id range, bucket sums, final scan) and re-executing the
+    # full-text scan per consumer would triple the corpus read
+    toks = docs_ds.map_batches(prep, batch_format="pyarrow").materialize()
+    rng = toks.aggregate(Min(id_col), Max(id_col))
+    lo, hi = int(rng[f"min({id_col})"]), int(rng[f"max({id_col})"])
+    span = max(hi - lo + 1, 1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        b = ((ids - lo) * num_buckets) // span
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    bucketed = toks.map_batches(bucketize, batch_format="pyarrow")
+
+    # pass 1: bucket totals -> exclusive prefix (num_buckets rows on driver)
+    sums = {
+        int(r["bucket"]): int(r["sum(n_tokens)"])
+        for r in bucketed.groupby("bucket").aggregate(Sum("n_tokens")).take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += sums.get(b, 0)
+
+    # pass 2: per-bucket cumsum + offset (buckets are contiguous id ranges)
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        base = offsets[int(g["bucket"].iloc[0])]
+        start = base + g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "n_tokens": g["n_tokens"],
+                "start_offset": start,
+                "bin_id": start // seq_len,
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
