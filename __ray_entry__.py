@@ -234,6 +234,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return corpus.pack_sequences(ds, seq_len=2048, num_buckets=8)
 
+    def incremental_dedup_docs(sf_dir: str):
+        # build-once/dedup-many: persist the fingerprint index of the
+        # "existing corpus" (doc_id % 5 != 0), then dedup the "new tick"
+        # (doc_id % 5 == 0) against it — the corpus is never reprocessed
+        import numpy as np
+        import pyarrow as pa
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+        def split(eq: bool):
+            def f(t):
+                ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+                m = (ids % 5 == 0) if eq else (ids % 5 != 0)
+                return t.filter(pa.array(m))
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        idx = tempfile.mkdtemp(prefix="dedupidx-", dir="/tmp")
+        dedup.build_dedup_index(split(False), idx)
+        out = dedup.incremental_exact_dedup(split(True), idx)
+        return out.select_columns(["doc_id"])
+
     return {
         # relational layer (oracled)
         "pricing_summary": _q(A.pricing_summary),
@@ -282,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignments": shard_assignments,
         "quota_sample_by_lang": quota_sample_by_lang,
         "pack_sequences": pack_sequences_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
     }
 
 
@@ -812,5 +835,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s AS BIGINT) AS start_offset,
                    CAST(s // 2048 AS BIGINT) AS bin_id
             FROM c
+        """,
+        # incremental_exact_dedup mirror: the engine compares 128-bit text
+        # keys against the persisted index; the oracle compares the exact
+        # text. Existing corpus = doc_id % 5 != 0, new tick = the rest;
+        # survivors are new docs absent from the corpus, keep-first
+        # (min doc_id) within the tick.
+        "incremental_dedup_docs": """
+            WITH existing AS (
+                SELECT text FROM documents WHERE doc_id % 5 <> 0
+            ), new AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id FROM new
+            WHERE text NOT IN (SELECT text FROM existing)
+            GROUP BY text
         """,
     }

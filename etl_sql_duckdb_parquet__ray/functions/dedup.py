@@ -707,3 +707,149 @@ def dedup_corpus(ds_docs, threshold: float = 0.7, num_perm: int = 64, bands: int
             batch_format="pyarrow",
         )
     return hash_join(ds_docs, drop, on="doc_id", join_type="left_anti")
+
+
+# -- incremental exact dedup against a persisted fingerprint index -----------
+
+def _text_keys(t: pa.Table) -> pa.Table:
+    """(doc_id, h1, h2): the 128-bit composite text key used by
+    ``pipelines.analytics.dedup_exact_docs`` — two independent SipHash-64
+    passes, vectorized C via ``pd.util.hash_array``. 24 B/row regardless of
+    document size; expected 128-bit birthday collisions at 10^12 docs
+    ~1e-15 (the argument for why hash equality == text equality here)."""
+    txt = np.asarray(t.column("text"), dtype=object)
+    h1 = pd.util.hash_array(txt, hash_key="dedupexactkey__1")
+    h2 = pd.util.hash_array(txt, hash_key="dedupexactkey__2")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+        }
+    )
+
+
+def build_dedup_index(docs_ds, index_dir: str) -> str:
+    """Persist the corpus' exact-dedup fingerprint index: one parquet row
+    per document, ``(doc_id, h1, h2)`` — 24 B/row, so a 10^12-doc corpus
+    indexes in ~24 TB of cheap columnar storage that is SCANNED (never
+    shuffled, never driver-resident) by incremental lookups. The analog of
+    the encode manifest's build-once/query-many split for ANN indexes."""
+    docs_ds.map_batches(_text_keys, batch_format="pyarrow").write_parquet(index_dir)
+    return index_dir
+
+
+def append_dedup_index(docs_ds, index_dir: str) -> str:
+    """Add a new tick's keys to the index (new parquet files beside the old
+    — readers glob the directory, so appends are atomic per file)."""
+    return build_dedup_index(docs_ds, index_dir)
+
+
+def incremental_exact_dedup(new_ds, index_dir: str, max_broadcast: int = 2_000_000):
+    """Deduplicate a NEW batch of documents against a persisted corpus
+    index without reprocessing the corpus: keep each new doc iff (a) its
+    text key is absent from the index and (b) it is the min-doc_id holder
+    of that key within the batch.
+
+    Scale shape (small tick vs huge corpus): the tick's keys are broadcast
+    once (``ray.put``); the index is STREAMED through ``map_batches`` with a
+    vectorized ``np.isin`` prefilter on h1 and an Arrow hash-join
+    verification of (h1, h2) on the prefiltered rows only — no all-to-all
+    exchange sized by the corpus. Ticks above ``max_broadcast`` keys fall
+    back to a hash-partitioned join against the index (the exchange is then
+    unavoidable and correctly sized by the smaller side's partitions)."""
+    import ray
+
+    from ..stages.relational import hash_join
+
+    keyed = new_ds.map_batches(_text_keys, batch_format="pyarrow").materialize()
+    index_ds = ray.data.read_parquet(index_dir, columns=["h1", "h2"])
+
+    n_tick = keyed.count()
+    if n_tick <= max_broadcast:
+        tick_tbl = pa.concat_tables(
+            list(keyed.select_columns(["h1", "h2"]).iter_batches(batch_format="pyarrow"))
+        )
+        h1_sorted = np.sort(np.asarray(tick_tbl.column("h1"), dtype=np.int64))
+        ref = ray.put((tick_tbl, h1_sorted))
+
+        def probe(t: pa.Table) -> pa.Table:
+            tick, h1s = ray.get(ref)
+            h1 = np.asarray(t.column("h1"), dtype=np.int64)
+            # prefilter: only rows whose h1 appears in the tick survive —
+            # on a deduplicated corpus that is ~only the true duplicates
+            if len(h1s):
+                pos = np.searchsorted(h1s, h1)
+                pos[pos == len(h1s)] = 0
+                m = h1s[pos] == h1
+            else:
+                m = np.zeros(len(h1), dtype=bool)
+            if not m.any():
+                return pa.table(
+                    {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())}
+                )
+            hit = t.filter(pa.array(m))
+            # exact verification: Arrow C++ join of the few prefiltered
+            # rows against the broadcast tick keys
+            return hit.join(tick, keys=["h1", "h2"], join_type="inner").select(
+                ["h1", "h2"]
+            )
+
+        dup_keys = pa.concat_tables(
+            [
+                b
+                for b in index_ds.map_batches(probe, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                if b.num_rows
+            ]
+            or [pa.table({"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())})]
+        )
+        # duplicate-key set is bounded by the tick size -> broadcast filter
+        dup_ref = ray.put(
+            (
+                np.sort(np.asarray(dup_keys.column("h1"), dtype=np.int64)),
+                dup_keys,
+            )
+        )
+
+        def keep_new(t: pa.Table) -> pa.Table:
+            dup_h1, dup_tbl = ray.get(dup_ref)
+            h1 = np.asarray(t.column("h1"), dtype=np.int64)
+            if len(dup_h1):
+                pos = np.searchsorted(dup_h1, h1)
+                pos[pos == len(dup_h1)] = 0
+                maybe = dup_h1[pos] == h1
+            else:
+                maybe = np.zeros(len(h1), dtype=bool)
+            if maybe.any():
+                hit = t.filter(pa.array(maybe)).join(
+                    dup_tbl, keys=["h1", "h2"], join_type="inner"
+                )
+                bad = hit.column("doc_id").combine_chunks()
+                t = t.filter(
+                    pc.invert(pc.is_in(t.column("doc_id"), value_set=bad))
+                )
+            return t
+
+        fresh = keyed.map_batches(keep_new, batch_format="pyarrow")
+    else:
+        # large tick: hash-partitioned LEFT ANTI join against the index
+        fresh = hash_join(
+            keyed, index_ds, on=["h1", "h2"], join_type="left_anti"
+        )
+
+    # within-tick keep-first (min doc_id per key)
+    from ray.data.aggregate import Min
+
+    firsts = fresh.groupby(["h1", "h2"]).aggregate(Min("doc_id"))
+    firsts = _rename(firsts, {"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
+    ids = pa.array(
+        [r["doc_id"] for r in firsts.take_all()], type=pa.int64()
+    ) if firsts.count() <= max_broadcast else None
+    if ids is not None:
+        return new_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=ids)),
+            batch_format="pyarrow",
+        )
+    return hash_join(new_ds, firsts, on="doc_id", join_type="inner")

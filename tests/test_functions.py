@@ -657,3 +657,55 @@ def test_winnow_stats_batch_matches_per_doc():
             ref = winnow_fingerprints(t or "")
             assert n_fp[i] == len(ref), (i, t)
             assert fp_min[i] == (int(ref.min()) if len(ref) else 0), (i, t)
+
+
+def test_incremental_exact_dedup_planted(ray_session, tmp_path):
+    """New-tick docs duplicating the indexed corpus are dropped; within-tick
+    duplicates keep the min doc_id; unique new docs survive."""
+    import ray
+
+    corpus_docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox"},
+            {"doc_id": 2, "text": "jumps over the lazy dog"},
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_dedup_index(corpus_docs, idx)
+
+    tick = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": "the quick brown fox"},     # dup of corpus
+            {"doc_id": 11, "text": "a genuinely new document"},
+            {"doc_id": 12, "text": "a genuinely new document"},  # within-tick dup
+            {"doc_id": 13, "text": "another new one"},
+        ]
+    )
+    out = dedup.incremental_exact_dedup(tick, idx).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13]
+
+    # append the surviving tick to the index: a re-run of the same tick now
+    # drops everything (idempotent ingestion)
+    survivors = tick.filter(lambda r: r["doc_id"] in (11, 13))
+    dedup.append_dedup_index(survivors, idx)
+    again = dedup.incremental_exact_dedup(tick, idx).to_pandas()
+    assert len(again) == 0
+
+
+def test_incremental_exact_dedup_join_fallback(ray_session, tmp_path):
+    """max_broadcast=0 forces the hash-partitioned LEFT ANTI path; results
+    must match the broadcast path exactly."""
+    import ray
+
+    corpus_docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"corpus doc {i}"} for i in range(20)]
+    )
+    idx = str(tmp_path / "idx2")
+    dedup.build_dedup_index(corpus_docs, idx)
+    tick = ray.data.from_items(
+        [{"doc_id": 100 + i, "text": f"corpus doc {i}"} for i in range(10)]
+        + [{"doc_id": 200 + i, "text": f"fresh doc {i}"} for i in range(5)]
+    )
+    broad = dedup.incremental_exact_dedup(tick, idx).to_pandas()
+    joined = dedup.incremental_exact_dedup(tick, idx, max_broadcast=0).to_pandas()
+    assert sorted(broad["doc_id"]) == sorted(joined["doc_id"]) == [200 + i for i in range(5)]
