@@ -74,7 +74,43 @@ QUERY_NAMES = [
     "doc_fingerprints",
     "knn_topk",
     "ann_pq_topk",
+    "decontaminate_docs_prod",
+    "pack_sequences_prod",
 ]
+
+
+def _extra_bench_queries() -> dict:
+    """Production-mode (SipHash) corpus-prep pipelines: the registry's
+    decontaminate/pack entries run hash_fn="md5" for DuckDB oracle parity
+    (per-gram hashlib); the bench must time the vectorized path users run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions import corpus
+
+    def _docs(sf_dir, eq=None):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        if eq is None:
+            return ds
+
+        def f(t):
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            m = (ids % 20 == 0) if eq else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return {
+        "decontaminate_docs_prod": lambda sf: corpus.decontaminate(
+            _docs(sf, eq=False), _docs(sf, eq=True), n=5
+        ),
+        "pack_sequences_prod": lambda sf: corpus.pack_sequences(
+            _docs(sf), seq_len=2048
+        ),
+    }
 
 
 def _init_ray(num_cpus: int):
@@ -272,7 +308,7 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
 def query_bench(sf_dir: str) -> dict:
     import __ray_entry__ as E
 
-    qs = E.queries()
+    qs = {**E.queries(), **_extra_bench_queries()}
     times = {}
     for name in QUERY_NAMES:
         t0 = time.perf_counter()

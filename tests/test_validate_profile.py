@@ -368,3 +368,50 @@ def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
                  "--k", "5", "--probe", "8"]) == 0
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == 5 and rows[0]["vec_id"] == 7  # full probe: exact
+
+
+def test_schema_inspect_and_diff(ray_session, sf_dir, tmp_path):
+    """Parquet inspection is metadata-only yet exact; the Dataset-side
+    streaming inspection agrees with it; the diff reports adds/drops/type
+    changes and the row delta (reference src/schema_inspector.py:49-95)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.schema import (
+        compare_schemas,
+        inspect_dataset_schema,
+        inspect_parquet_schema,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    meta = inspect_parquet_schema(src)
+    ds = ray.data.read_parquet(src)
+    live = inspect_dataset_schema(ds, name=src)
+    assert meta["num_rows"] == live["num_rows"] == ds.count()
+    assert set(meta["columns"]) == set(live["columns"])
+    for c in meta["columns"]:
+        assert meta["columns"][c]["type"] == live["columns"][c]["type"]
+        if meta["columns"][c]["null_count"] is not None:
+            assert meta["columns"][c]["null_count"] == live["columns"][c]["null_count"]
+
+    # evolve the schema: drop a column, add one, change a type, drop rows
+    t = pq.read_table(src)
+    t2 = (
+        t.drop_columns(["source"])
+        .append_column("extra", pa.array([1.5] * t.num_rows))
+        .set_column(
+            t.schema.get_field_index("n_chars") - (1 if t.schema.get_field_index("source") < t.schema.get_field_index("n_chars") else 0),
+            "n_chars",
+            t.column("n_chars").cast(pa.float64()),
+        )
+        .slice(0, t.num_rows - 7)
+    )
+    dst = str(tmp_path / "evolved.parquet")
+    pq.write_table(t2, dst)
+    diff = compare_schemas(meta, inspect_parquet_schema(dst))
+    assert diff["missing_in_target"] == ["source"]
+    assert diff["new_in_target"] == ["extra"]
+    assert "n_chars" in diff["type_changes"]
+    assert diff["type_changes"]["n_chars"]["to"] == "double"
+    assert diff["row_difference"] == -7
