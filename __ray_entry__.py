@@ -234,6 +234,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return corpus.pack_sequences(ds, seq_len=2048, num_buckets=8)
 
+    def split_docs(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id"])
+        return corpus.split_assignments(
+            ds, key_col="doc_id",
+            fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+            seed=42, hash_fn="md5",
+        )
+
     def incremental_dedup_docs(sf_dir: str):
         # build-once/dedup-many: persist the fingerprint index of the
         # "existing corpus" (doc_id % 5 != 0), then dedup the "new tick"
@@ -305,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample_by_lang": quota_sample_by_lang,
         "pack_sequences": pack_sequences_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "split_docs": split_docs,
     }
 
 
@@ -850,5 +859,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM new
             WHERE text NOT IN (SELECT text FROM existing)
             GROUP BY text
+        """,
+        # split_assignments mirror: cumulative integer thresholds over
+        # hash(seed|id) % 1e6 — 90/5/5 split, same boundary semantics as
+        # numpy searchsorted(side='right') (grain == bound -> next split)
+        "split_docs": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower('42|' || doc_id) % 1000000 < 900000
+                        THEN 'train'
+                        WHEN md5_number_lower('42|' || doc_id) % 1000000 < 950000
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
     }

@@ -318,3 +318,37 @@ def pack_sequences(
         )
 
     return bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def split_assignments(
+    ds, key_col: str = "doc_id", fractions: dict[str, float] | None = None,
+    seed: int = 42, hash_fn: str = "siphash",
+):
+    """Deterministic train/val/test assignment: each row lands in a named
+    split with probability ~fraction, decided by ``hash(seed|key) %
+    1_000_000`` against cumulative integer thresholds — so the split is
+    reproducible across runs, resumes, and cluster sizes, and a document
+    can never migrate between splits when the corpus grows (the property
+    that keeps eval sets uncontaminated over time; a ``random()`` split
+    has none of these). Stateless vectorized map, no shuffle."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fractions)
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    grains = 1_000_000
+    bounds = np.cumsum(
+        [int(round(fractions[n] * grains)) for n in names]
+    ).astype(np.uint64)
+    bounds[-1] = grains  # rounding never drops the last grain
+    name_arr = np.array(names, dtype=object)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        key = det_keys(batch[key_col].to_numpy(), seed, hash_fn)
+        grain = key % np.uint64(grains)
+        idx = np.searchsorted(bounds, grain, side="right")
+        batch = batch.copy()
+        batch["split"] = name_arr[idx]
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -165,3 +165,27 @@ def test_pack_sequences_bucket_invariance(ray_session, sf_dir, buckets):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_split_assignments_deterministic_and_stable(ray_session, sf_dir):
+    """Same seed → identical splits across runs; a document's split never
+    changes when OTHER documents are added (the no-migration property that
+    keeps eval sets uncontaminated as the corpus grows); fractions are
+    roughly respected; bad fractions are rejected."""
+    docs = _docs_ds(sf_dir)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = corpus.split_assignments(docs, fractions=fr, seed=5).to_pandas()
+    b = corpus.split_assignments(docs, fractions=fr, seed=5).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # no-migration: splitting a SUBSET assigns each doc the same split
+    sub = docs.limit(50)
+    s = corpus.split_assignments(sub, fractions=fr, seed=5).to_pandas()
+    merged = s.merge(a[["doc_id", "split"]], on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+    # distribution sanity at n=~500 (binomial 3-sigma)
+    counts = a["split"].value_counts(normalize=True)
+    assert abs(counts.get("train", 0) - 0.8) < 0.06
+    with pytest.raises(ValueError):
+        corpus.split_assignments(docs, fractions={"train": 0.5, "val": 0.1})
