@@ -194,6 +194,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(synth_media_table(512))
         return media_features(media)
 
+    def redact_docs(sf_dir: str):
+        # the PII-scrub shape over the synthetic corpus: redact two real
+        # corpus words so the transform is actually exercised (the PII
+        # presets match nothing in synthetic text); Arrow RE2 ==
+        # DuckDB RE2, so the rewrite is hash-checked end-to-end
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.redact(ds, r"\b(spark|hash)\b", "<TOOL>").select_columns(
+            ["doc_id", "clean_text", "n_redactions"]
+        )
+
+    def doc_top_terms(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.top_terms(ds, k=5)
+
+    def doc_repetition(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(
+            text.RepetitionStats, batch_format="pandas", concurrency=(1, 2)
+        )
+
+    def term_search_docs(sf_dir: str):
+        # build-once/query-many inverted index (functions/search.py):
+        # conjunctive search reads ONLY the buckets the terms hash to
+        from etl_sql_duckdb_parquet__ray.functions import search
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        idx = tempfile.mkdtemp(prefix="invidx-", dir="/tmp")
+        search.build_inverted_index(ds, idx, num_buckets=16)
+        return search.search_terms(idx, ["key", "hash"], mode="and")
+
     def _mod20(sf_dir: str, eq: bool):
         # benchmark/corpus split derived from the input itself (vectorized
         # batch filter, not a per-row lambda): doc_id % 20 == 0 is the
@@ -314,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "split_docs": split_docs,
+        "redact_docs": redact_docs,
+        "doc_top_terms": doc_top_terms,
+        "doc_repetition": doc_repetition,
+        "term_search_docs": term_search_docs,
     }
 
 
@@ -871,5 +905,89 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # Redactor mirror: Arrow's replace_substring_regex and DuckDB's
+        # regexp_replace(..., 'g') are both RE2, so the rewritten text is
+        # compared byte-for-byte; the match count mirrors
+        # count_substring_regex == len(regexp_extract_all)
+        "redact_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(spark|hash)\b', '<TOOL>', 'g')
+                       AS clean_text,
+                   CAST(len(regexp_extract_all(text, '\b(spark|hash)\b'))
+                       AS BIGINT) AS n_redactions
+            FROM documents
+        """,
+        # top_terms mirror: rank (tf DESC, df ASC, term ASC) — the term
+        # tiebreak is total (terms are unique within a doc), so top-5 is
+        # deterministic in both engines; integers only, no idf float
+        "doc_top_terms": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS term FROM words
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            ), r AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM r WHERE rn <= 5
+        """,
+        # RepetitionStats mirror: same \s+ tokenization; bigrams via array
+        # slicing (w[i] || ' ' || w[i+1]) — zero-token docs keep zeros
+        "doc_repetition": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS term FROM words
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+            ), t AS (
+                SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_token_count
+                FROM tf GROUP BY doc_id
+            ), bg AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM words, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+                WHERE len(w) >= 2
+            ), bgc AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+            ), b AS (
+                SELECT doc_id, MAX(c) AS top_bigram_count FROM bgc GROUP BY doc_id
+            )
+            SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(t.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(t.top_token_count, 0) AS BIGINT) AS top_token_count,
+                   CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+            FROM words w LEFT JOIN t USING (doc_id) LEFT JOIN b USING (doc_id)
+        """,
+        # inverted-index conjunctive search mirror: docs containing ALL
+        # query terms (the index stores DISTINCT per-doc postings, so the
+        # engine's count==n_terms equals HAVING COUNT(DISTINCT term)=2)
+        "term_search_docs": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id, unnest(w) AS term FROM words
+                )
+            )
+            SELECT doc_id FROM tok WHERE term IN ('key', 'hash')
+            GROUP BY doc_id HAVING COUNT(*) = 2
         """,
     }

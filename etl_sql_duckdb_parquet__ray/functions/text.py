@@ -334,3 +334,243 @@ class SimHash:
         batch = batch.copy()
         batch["simhash"] = np.array([simhash64(h) for h in hs], dtype=np.uint64)
         return batch
+
+
+def _explode_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch's texts into ``(doc_idx, flat_tokens, lens)`` — the
+    shared explode idiom (same ``str.split()`` <->
+    ``string_split_regex(.., '\\s+')`` + drop-empties parity every text
+    oracle in this package relies on). One object-array build per batch;
+    everything downstream is C-groupby / numpy."""
+    token_lists = texts.fillna("").str.split()
+    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    if len(lens) == 0 or lens.sum() == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            lens,
+        )
+    flat = np.array([w for ts in token_lists for w in ts], dtype=object)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return doc_idx, flat, lens
+
+
+class Redactor:
+    """map_batches stage: global regex redaction over a text column —
+    the PII-scrub pass every production corpus runs before training
+    (emails, phones, IPs), generalized to any RE2 pattern.
+
+    Extends the reference's string-normalization family (SURVEY.md §2.2,
+    ``src/etl/transform.py`` trim/case ops) with a replace transform.
+    Pure Arrow kernels (`replace_substring_regex` / `count_substring_regex`
+    — RE2, same dialect as DuckDB's regexp_replace, which is what makes
+    the redaction SQL-oracle-checkable); zero per-row Python, zero state,
+    so it runs as stateless tasks at any concurrency."""
+
+    # public, well-known PII shapes; callers compose them with '|'
+    PII_PRESETS: dict[str, str] = {
+        "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "phone": r"\+?\d[\d\-\s().]{7,}\d",
+    }
+
+    def __init__(
+        self, pattern: str, replacement: str = "<REDACTED>", text_col: str = "text"
+    ):
+        self.pattern = pattern
+        self.replacement = replacement
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(self.text_col), "")
+        n = pc.count_substring_regex(text, self.pattern).cast(pa.int64())
+        clean = pc.replace_substring_regex(
+            text, pattern=self.pattern, replacement=self.replacement
+        )
+        return batch.append_column("clean_text", clean).append_column(
+            "n_redactions", n
+        )
+
+
+def redact(ds, pattern: str, replacement: str = "<REDACTED>", text_col: str = "text"):
+    """Redact every match of ``pattern`` in ``text_col`` corpus-wide;
+    adds ``clean_text`` and ``n_redactions``. Stateless vectorized map —
+    no shuffle, no driver involvement."""
+    return ds.map_batches(
+        Redactor(pattern, replacement, text_col), batch_format="pyarrow"
+    )
+
+
+class RepetitionStats:
+    """map_batches stage: per-document repetition counters — the
+    Gopher-style repetition quality signals (Rae et al. 2021, public) kept
+    as exact integers so the result is hash-checkable against SQL:
+    ``n_tokens``, ``n_distinct`` (vocabulary of the doc), ``top_token_count``
+    (multiplicity of the most repeated token) and ``top_bigram_count``
+    (multiplicity of the most repeated adjacent word pair). Callers derive
+    the usual ratios (dup-token fraction = 1 - n_distinct/n_tokens,
+    top-bigram fraction) downstream — ratios are floats and belong in the
+    consumer, not the exchange.
+
+    Vectorized: one explode per batch, pandas C-groupby for the counts,
+    a shifted-array join (no Python loop) for bigrams."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, flat, lens = _explode_tokens(batch["text"])
+        n = len(batch)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top_tok = np.zeros(n, dtype=np.int64)
+        top_bg = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            tf = (
+                pd.DataFrame({"d": doc_idx, "t": flat})
+                .groupby(["d", "t"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            agg = tf.groupby("d", sort=False)["c"].agg(["count", "max"])
+            n_distinct[agg.index.to_numpy()] = agg["count"].to_numpy()
+            top_tok[agg.index.to_numpy()] = agg["max"].to_numpy()
+            same = doc_idx[1:] == doc_idx[:-1]
+            if same.any():
+                bg_doc = doc_idx[1:][same]
+                grams = pd.Series(flat[:-1][same]).str.cat(
+                    pd.Series(flat[1:][same]), sep=" "
+                )
+                bgc = (
+                    pd.DataFrame({"d": bg_doc, "g": grams.to_numpy()})
+                    .groupby(["d", "g"], sort=False)
+                    .size()
+                    .groupby(level=0)
+                    .max()
+                )
+                top_bg[bgc.index.to_numpy()] = bgc.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": lens,
+                "n_distinct": n_distinct,
+                "top_token_count": top_tok,
+                "top_bigram_count": top_bg,
+            }
+        )
+
+
+class _DistinctTermPairs:
+    """map_batches stage: explode each doc into its DISTINCT (doc_id, term)
+    pairs — the posting-list primitive shared by document frequency and the
+    inverted index. Distinctness is established per batch (docs are never
+    split across rows), so downstream term-counts are exact df values."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, flat, _ = _explode_tokens(batch[self.text_col])
+        if not len(flat):
+            return pd.DataFrame(
+                {self.id_col: np.empty(0, dtype=np.int64), "term": []}
+            )
+        pairs = pd.DataFrame({"d": doc_idx, "term": flat}).drop_duplicates()
+        ids = batch[self.id_col].to_numpy()
+        return pd.DataFrame(
+            {self.id_col: ids[pairs["d"].to_numpy()], "term": pairs["term"].to_numpy()}
+        )
+
+
+class _TopTerms:
+    """map_batches stage (pass 2 of :func:`top_terms`): per-doc term
+    frequencies ranked by ``(tf DESC, df ASC, term ASC)`` — most frequent
+    first, rarest-in-corpus breaking ties (the integer-exact skeleton of
+    TF-IDF; the float idf = ln(N/df) is a trivial consumer-side map and
+    would make the result hash-unverifiable across engines). The corpus
+    document-frequency table is broadcast ONCE via ``ray.put`` and resolved
+    zero-copy per actor."""
+
+    def __init__(self, df_ref, k: int, id_col: str, text_col: str):
+        import ray
+
+        self.df = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, flat, _ = _explode_tokens(batch[self.text_col])
+        empty = pd.DataFrame(
+            {
+                self.id_col: np.empty(0, dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": np.empty(0, dtype=np.int64),
+                "df": np.empty(0, dtype=np.int64),
+            }
+        )
+        if not len(flat):
+            return empty
+        tf = (
+            pd.DataFrame({"d": doc_idx, "term": flat})
+            .groupby(["d", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["df"] = tf["term"].map(self.df).astype(np.int64)
+        tf = tf.sort_values(
+            ["d", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("d", sort=False).head(self.k)
+        ids = batch[self.id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                self.id_col: ids[top["d"].to_numpy()],
+                "term": top["term"].to_numpy(),
+                "tf": top["tf"].to_numpy(dtype=np.int64),
+                "df": top["df"].to_numpy(dtype=np.int64),
+            }
+        )
+
+
+def document_frequency(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact per-term document frequency: one explode map (distinct pairs
+    per doc), one ``groupby(term).count()`` shuffle whose payload is the
+    distinct (doc, term) pairs — never the text. Returns a vocab-sized
+    Dataset ``(term, df)``."""
+    pairs = docs_ds.map_batches(
+        _DistinctTermPairs(id_col, text_col), batch_format="pandas"
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["term", "df"])
+
+    return pairs.groupby("term").count().map_batches(rename, batch_format="pyarrow")
+
+
+def top_terms(docs_ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k most-characteristic terms per document, integer-exact:
+    rank by ``(tf DESC, df ASC, term ASC)``.
+
+    Two passes over the corpus (both streaming): pass 1 computes the
+    corpus document-frequency table (vocab-sized — the only thing the
+    driver holds; natural-language vocabularies are millions of terms ≈
+    tens of MB, broadcastable); pass 2 re-reads the docs, computes per-doc
+    tf entirely within the batch (a doc's text is one row, never split),
+    joins df from the broadcast table and emits the top k. No per-doc
+    shuffle at all — the single exchange is the vocab-sized df groupby."""
+    import ray
+
+    df_map = {
+        r["term"]: int(r["df"])
+        for b in document_frequency(docs_ds, id_col, text_col).iter_batches(
+            batch_format="pandas"
+        )
+        for r in b.to_dict("records")
+    }
+    ref = ray.put(df_map)
+    return docs_ds.map_batches(
+        _TopTerms,
+        fn_constructor_args=(ref, k, id_col, text_col),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
