@@ -224,6 +224,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         search.build_inverted_index(ds, idx, num_buckets=16)
         return search.search_terms(idx, ["key", "hash"], mode="and")
 
+    def sample_docs_per_lang(sf_dir: str):
+        ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+        return corpus.sample_n_per_group(
+            ds, "lang", n=20, key_col="doc_id", seed=42, hash_fn="md5"
+        )
+
+    def price_quantiles(sf_dir: str):
+        # EXACT distributed quantiles (histogram locate + pruned bin
+        # collect) — hash-checked against DuckDB quantile_disc
+        import pandas as pd
+
+        from etl_sql_duckdb_parquet__ray.stages.profile import exact_quantiles
+
+        qs = [0.25, 0.5, 0.75, 0.95]
+        ds = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+        vals = exact_quantiles(ds, "l_extendedprice", qs)
+        return pd.DataFrame({"q": qs, "value": vals})
+
+    def customer_running_total(sf_dir: str):
+        return A.customer_running_total(sf_dir)
+
     def _mod20(sf_dir: str, eq: bool):
         # benchmark/corpus split derived from the input itself (vectorized
         # batch filter, not a per-row lambda): doc_id % 20 == 0 is the
@@ -348,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_repetition": doc_repetition,
         "term_search_docs": term_search_docs,
+        "sample_docs_per_lang": sample_docs_per_lang,
+        "price_quantiles": price_quantiles,
+        "customer_running_total": customer_running_total,
     }
 
 
@@ -989,5 +1013,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM tok WHERE term IN ('key', 'hash')
             GROUP BY doc_id HAVING COUNT(*) = 2
+        """,
+        # sample_n_per_group mirror: seeded-hash priority rank per group
+        # (same md5_number_lower identity as shard_assignments)
+        "sample_docs_per_lang": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower('42|' || doc_id), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM t WHERE rn <= 20
+        """,
+        # exact_quantiles mirror: quantile_disc IS the discrete quantile
+        # (element at rank max(ceil(q*n)-1, 0)); the engine's histogram
+        # locate + pruned bin collect must select the identical element
+        "price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem
+        """,
+        # customer_running_total mirror: cumulative window sum in integer
+        # cents, frame ordered by (date, orderkey) — deterministic because
+        # orderkey is unique within a customer
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_x100,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS running_x100
+            FROM orders
         """,
     }

@@ -352,3 +352,34 @@ def split_assignments(
         return batch
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def sample_n_per_group(
+    ds, group_col: str, n: int, key_col: str = "doc_id",
+    seed: int = 42, hash_fn: str = "siphash",
+):
+    """Deterministic stratified sample: exactly ``min(n, group size)`` rows
+    per group, chosen by seeded-hash priority (ties by key) — the
+    count-based sibling of :func:`quota_sample` (which budgets tokens).
+    Same scale shape: the one group shuffle ships only
+    ``(key, group, priority)``; selection is a vectorized per-group
+    sort+head. Reproducible across runs, resumes and cluster sizes."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: batch[key_col],
+                group_col: batch[group_col],
+                "priority": det_keys(batch[key_col].to_numpy(), seed, hash_fn),
+            }
+        )
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", key_col], kind="mergesort")
+        return g.head(n)[[key_col, group_col]]
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(head_n, batch_format="pandas")
+    )

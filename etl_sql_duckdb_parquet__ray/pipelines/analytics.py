@@ -659,3 +659,39 @@ def lineitem_correlation(sf_dir: str):
             "corr_price_disc": pa.array([corr[("l_extendedprice", "l_discount")]], type=pa.float64()),
         }
     )
+
+
+def customer_running_total(sf_dir: str):
+    """Per-customer running order spend (cumulative window aggregate, the
+    W-family sibling of RANK/percent-of-total — SURVEY.md §2.8): orders
+    per customer ordered by (date, orderkey), cumulative total in integer
+    cents so Ray and SQL agree bit-for-bit. Hash-partition by customer,
+    vectorized cumsum per group — identical scale shape to
+    :func:`user_sessions`."""
+    ds = read_table(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "date_us": _ts_us(t.column("o_orderdate")),
+                "price_x100": cents,
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["date_us", "o_orderkey"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["running_x100"] = g["price_x100"].cumsum()
+        return g[["o_custkey", "o_orderkey", "price_x100", "running_x100"]]
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -297,6 +297,144 @@ def approx_quantiles(ds, column: str, qs: list[float], bins: int = 8192) -> list
     return out
 
 
+def exact_quantiles(
+    ds,
+    column: str,
+    qs: list[float],
+    bins: int = 8192,
+    collect_cap: int = 5_000_000,
+) -> list[float]:
+    """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics: the
+    element at 0-based rank ``max(ceil(q*n)-1, 0)``) without ever sorting
+    or collecting the column.
+
+    Shape: the :func:`approx_quantiles` histogram locates the bin holding
+    each target rank; a final pruned pass collects ONLY the values inside
+    the hit bins (a ``1/bins`` fraction of the data in expectation) and
+    selects the exact order statistic locally with ``np.partition``. A
+    pathological bin holding more than ``collect_cap`` values (extreme
+    skew — most mass on one value range) is refined with a sub-histogram
+    before collecting, so the driver transfer stays bounded at any scale.
+    Cost: 2 column-pruned scans + 1 filtered scan per refinement level
+    (almost always zero levels)."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    def _mm(t: pa.Table) -> pa.Table:
+        c = t.column(column).drop_null()
+        if len(c) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "mn": pa.array([pc.min(c).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(c).as_py()], pa.float64()),
+        })
+
+    def _hist_counts(col_ds, edges: np.ndarray) -> np.ndarray:
+        nb = len(edges) - 1
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column(column).drop_null(), dtype=np.float64)
+            h, _ = np.histogram(v, bins=edges)
+            return pa.table({"bin": np.arange(nb, dtype=np.int64), "cnt": h})
+
+        hdf = (
+            col_ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("bin").sum("cnt").to_pandas()
+        )
+        counts = np.zeros(nb, dtype=np.int64)
+        counts[hdf["bin"].to_numpy()] = hdf["sum(cnt)"].to_numpy()
+        return counts
+
+    col = ds.select_columns([column])
+    agg = col.map_batches(_mm, batch_format="pyarrow").aggregate(Min("mn"), Max("mx"))
+    lo_v, hi_v = float(agg["min(mn)"]), float(agg["max(mx)"])
+    if not np.isfinite(lo_v):
+        return [float("nan") for _ in qs]
+    if hi_v <= lo_v:
+        return [lo_v for _ in qs]
+
+    edges = np.linspace(lo_v, hi_v, bins + 1)
+    counts = _hist_counts(col, edges)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    # 0-based target ranks, quantile_disc semantics (same float product
+    # C++ computes, so the rank agrees with the oracle bit-for-bit)
+    ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
+
+    out: list[float] = [float("nan")] * len(qs)
+    # group targets by hit bin; np.histogram's last bin is closed on the
+    # right, matching searchsorted on cum with side='right' over rank
+    by_bin: dict[int, list[int]] = {}
+    for i, r in enumerate(ranks):
+        b = int(np.searchsorted(cum, r, side="right"))
+        b = min(b, bins - 1)
+        by_bin.setdefault(b, []).append(i)
+
+    for b, idxs in by_bin.items():
+        blo, bhi = float(edges[b]), float(edges[b + 1])
+        last = b == bins - 1  # last histogram bin includes its right edge
+        prev = int(cum[b - 1]) if b > 0 else 0
+        if counts[b] > collect_cap:
+            # refine: sub-histogram inside the bin, then collect the sub-bin
+            sub_edges = np.linspace(blo, bhi, bins + 1)
+            sub_counts = _hist_counts(
+                col.map_batches(
+                    _range_filter(column, blo, bhi, last), batch_format="pyarrow"
+                ),
+                sub_edges,
+            )
+            sub_cum = np.cumsum(sub_counts)
+            for i in idxs:
+                within = ranks[i] - prev
+                sb = int(np.searchsorted(sub_cum, within, side="right"))
+                sb = min(sb, bins - 1)
+                vals = _collect_range(
+                    col, column, float(sub_edges[sb]), float(sub_edges[sb + 1]),
+                    last and sb == bins - 1,
+                )
+                sprev = int(sub_cum[sb - 1]) if sb > 0 else 0
+                out[i] = float(np.partition(vals, within - sprev)[within - sprev])
+            continue
+        vals = _collect_range(col, column, blo, bhi, last)
+        for i in idxs:
+            within = ranks[i] - prev
+            out[i] = float(np.partition(vals, within)[within])
+    return out
+
+
+def _range_filter(column: str, lo: float, hi: float, include_hi: bool):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        c = t.column(column)
+        upper = pc.less_equal(c, hi) if include_hi else pc.less(c, hi)
+        keep = pc.and_(pc.greater_equal(c, lo), upper)
+        return t.filter(pc.fill_null(keep, False))
+
+    return f
+
+
+def _collect_range(
+    col_ds, column: str, lo: float, hi: float, include_hi: bool
+) -> "np.ndarray":
+    """Gather the values of one histogram bin to the driver — the pruned,
+    bounded transfer at the end of :func:`exact_quantiles`."""
+    import numpy as np
+
+    parts = [
+        np.asarray(t.column(column).drop_null(), dtype=np.float64)
+        for t in col_ds.map_batches(
+            _range_filter(column, lo, hi, include_hi), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)
+
+
 def flag_outliers_iqr(ds, column: str, k: float = 1.5, bins: int = 8192):
     """IQR outlier flagging (reference ``qc_metrics.py:125-142``): Q1/Q3
     from the distributed histogram sketch (:func:`approx_quantiles` — the

@@ -189,3 +189,27 @@ def test_split_assignments_deterministic_and_stable(ray_session, sf_dir):
     assert abs(counts.get("train", 0) - 0.8) < 0.06
     with pytest.raises(ValueError):
         corpus.split_assignments(docs, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_sample_n_per_group_exact_and_deterministic(ray_session):
+    import ray
+
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2]} for i in range(50)]
+    rows.append({"doc_id": 999, "lang": "tiny"})  # group smaller than n
+    ds = ray.data.from_items(rows)
+    out1 = sorted(
+        (r["lang"], r["doc_id"])
+        for r in corpus.sample_n_per_group(ds, "lang", n=5).take_all()
+    )
+    counts = pd.Series([lang for lang, _ in out1]).value_counts()
+    assert counts["en"] == 5 and counts["fr"] == 5 and counts["tiny"] == 1
+    out2 = sorted(
+        (r["lang"], r["doc_id"])
+        for r in corpus.sample_n_per_group(ds, "lang", n=5).take_all()
+    )
+    assert out1 == out2  # seeded hash, not RNG
+    out3 = sorted(
+        (r["lang"], r["doc_id"])
+        for r in corpus.sample_n_per_group(ds, "lang", n=5, seed=7).take_all()
+    )
+    assert out1 != out3  # a different seed picks a different sample

@@ -415,3 +415,32 @@ def test_schema_inspect_and_diff(ray_session, sf_dir, tmp_path):
     assert "n_chars" in diff["type_changes"]
     assert diff["type_changes"]["n_chars"]["to"] == "double"
     assert diff["row_difference"] == -7
+
+
+def test_exact_quantiles_matches_numpy_and_refines(ray_session):
+    """exact_quantiles must select the true order statistic (quantile_disc
+    rank), including through the skew-refinement path (collect_cap=1 forces
+    a sub-histogram for every hit bin)."""
+    import math
+
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import exact_quantiles
+
+    rng = np.random.default_rng(42)
+    # heavy skew: 95% of mass in a narrow band + outliers, with exact ties
+    vals = np.concatenate(
+        [rng.normal(100.0, 0.5, 1900), rng.uniform(0, 1e6, 100), [100.0] * 50]
+    )
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    srt = np.sort(vals)
+    want = [srt[max(math.ceil(q * len(vals)) - 1, 0)] for q in qs]
+    got = exact_quantiles(ds, "v", qs, bins=64)
+    assert got == want
+    # force the refinement path: every bin "overflows"
+    got_refined = exact_quantiles(ds, "v", qs, bins=64, collect_cap=1)
+    assert got_refined == want
+    # constant column
+    const = ray.data.from_arrow(pa.table({"v": [7.0] * 100}))
+    assert exact_quantiles(const, "v", [0.1, 0.9]) == [7.0, 7.0]
