@@ -245,6 +245,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def customer_running_total(sf_dir: str):
         return A.customer_running_total(sf_dir)
 
+    def price_quantiles_by_flag(sf_dir: str):
+        from etl_sql_duckdb_parquet__ray.stages.profile import quantiles_by_group
+
+        ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        return quantiles_by_group(
+            ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
+        )
+
+    def events_by_segment_skewjoin(sf_dir: str):
+        # skew-aware join: sampled hot user_ids bypass the hash exchange
+        # via a broadcast of their matching customer rows; result must be
+        # identical to the plain SQL join
+        from ray.data.aggregate import Count
+
+        from etl_sql_duckdb_parquet__ray.stages.relational import skew_join
+
+        ev = read_table(sf_dir, "events", ["user_id", "event_id"])
+        cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        joined = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                           hot_frac=0.005)
+        out = joined.groupby("c_mktsegment").aggregate(Count())
+        return out.map_batches(
+            lambda t: t.rename_columns(["c_mktsegment", "n_events"]),
+            batch_format="pyarrow",
+        )
+
+    def embedding_clusters(sf_dir: str):
+        # distributed Lloyd's k-means (rows-only gate: clustering has no
+        # SQL mirror; determinism + planted-cluster purity live in pytest)
+        from etl_sql_duckdb_parquet__ray.functions.similarity import kmeans_clusters
+
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        asg, _ = kmeans_clusters(ds, k=8, iters=4)
+        return asg
+
     def _mod20(sf_dir: str, eq: bool):
         # benchmark/corpus split derived from the input itself (vectorized
         # batch filter, not a per-row lambda): doc_id % 20 == 0 is the
@@ -372,6 +407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_per_lang": sample_docs_per_lang,
         "price_quantiles": price_quantiles,
         "customer_running_total": customer_running_total,
+        "price_quantiles_by_flag": price_quantiles_by_flag,
+        "events_by_segment_skewjoin": events_by_segment_skewjoin,
+        "embedding_clusters": embedding_clusters,
     }
 
 
@@ -1049,5 +1087,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_x100
             FROM orders
+        """,
+        # quantiles_by_group mirror (same quantile_disc rank identity as
+        # price_quantiles, per group)
+        "price_quantiles_by_flag": """
+            SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.5, quantile_disc(l_extendedprice, 0.5)
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.9, quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # skew_join mirror: the hot/cold split must be invisible in the
+        # result — a plain join aggregate
+        "events_by_segment_skewjoin": """
+            SELECT c_mktsegment, COUNT(*) AS n_events
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment
         """,
     }

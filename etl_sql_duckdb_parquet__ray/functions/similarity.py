@@ -511,3 +511,61 @@ def pq_query_index(index_dir: str, query: np.ndarray, k: int = 10):
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+def kmeans_clusters(ds_emb, k: int = 8, iters: int = 10, seed: int = 5):
+    """Distributed Lloyd's k-means over the embedding corpus (spherical:
+    cosine assignment over normalized vectors — the same geometry the ANN
+    family uses). Returns ``(assignments_ds, centroids)`` where
+    assignments is a Dataset of ``(vec_id, cluster)``.
+
+    Scale shape: init = deterministic sample k-means
+    (:func:`train_ivf_centroids`); each Lloyd iteration is ONE streaming
+    pass emitting k partial (count, sum-vector) rows per batch — the
+    driver combines B×k tiny partials (k×dim floats each), never rows.
+    The input projection is materialized once and consumed iters+1 times
+    (re-executing a full upstream pipeline per iteration would multiply
+    the corpus read). Empty clusters keep their previous centroid."""
+    import ray
+
+    base = ds_emb.materialize()
+    C = train_ivf_centroids(base, n_lists=k, seed=seed)
+    k_eff = len(C)
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            Cl = ray.get(cref)
+            _, V = _stack(batch)
+            Vn = _normalize(V)
+            a = np.argmax(Vn @ Cl.T, axis=1)
+            counts = np.bincount(a, minlength=len(Cl))
+            sums = np.zeros((len(Cl), Vn.shape[1]), dtype=np.float64)
+            for c in np.unique(a):
+                sums[c] = Vn[a == c].sum(axis=0)
+            return pd.DataFrame(
+                {"c": np.arange(len(Cl)), "n": counts, "s": list(sums)}
+            )
+
+        parts = base.map_batches(partial, batch_format="pandas").to_pandas()
+        new_C = C.copy()
+        for c in range(k_eff):
+            rows = parts[parts["c"] == c]
+            n = int(rows["n"].sum())
+            if n > 0:
+                v = np.sum(np.stack(rows["s"].to_numpy()), axis=0) / n
+                new_C[c] = v / max(np.linalg.norm(v), 1e-12)
+        C = new_C
+
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cl = ray.get(cref)
+        ids, V = _stack(batch)
+        Vn = _normalize(V)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": np.argmax(Vn @ Cl.T, axis=1).astype(np.int64)}
+        )
+
+    return base.map_batches(assign, batch_format="pandas"), C

@@ -553,3 +553,41 @@ def numeric_correlation(ds, columns: list[str]) -> dict[tuple[str, str], float]:
         denom = math.sqrt(var[a] * var[b]) if var[a] * var[b] > 0 else 0.0
         out[(a, b)] = cov / denom if denom else float("nan")
     return out
+
+
+def quantiles_by_group(ds, group_col: str, value_col: str, qs: list[float]):
+    """Exact per-group discrete quantiles (same ``quantile_disc`` rank
+    semantics as :func:`exact_quantiles`) via hash-partition by group +
+    one vectorized sort per group. Contract: a GROUP's values must fit in
+    a worker (the ``grouped_rank`` partitioning assumption) — for a
+    single giant group use :func:`exact_quantiles` on its filtered slice,
+    which never materializes the column anywhere."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qs = list(qs)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        v = v[~np.isnan(v)]
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame(
+                {group_col: [], "q": [], "value": []}
+            )
+        ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]] * len(qs),
+                "q": qs,
+                "value": v[ranks],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(f, batch_format="pandas")
+    )

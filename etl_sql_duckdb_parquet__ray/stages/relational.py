@@ -364,3 +364,100 @@ def hash_join(left, right, on, right_on=None, join_type: str = "inner",
         )
     finally:
         ctx.shuffle_strategy = prev
+
+
+def skew_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    hot_frac: float = 0.01,
+    sample_rows: int = 65536,
+    num_partitions: int | None = None,
+    hot_keys: list | None = None,
+):
+    """Skew-aware large-by-large inner join: hot keys bypass the hash
+    exchange.
+
+    A plain hash-partitioned join sends every row of a hot key to ONE
+    aggregator — at 100 TB a single celebrity key can hold a whole
+    partition hostage. Here a block-spread sample of ``left`` estimates
+    key frequencies; keys above ``hot_frac`` of the sample are joined via
+    broadcast (the right side's matching rows — dim-like by assumption,
+    it is the LEFT side that is skewed — ship once via ``ray.put``), and
+    only the cold remainder goes through the hash exchange. Result =
+    union, column-aligned (both Ray ``Dataset.join`` and Arrow's join
+    emit left columns + right-minus-key).
+
+    ``hot_keys`` overrides detection when the caller already knows the
+    skew (e.g. from a profile pass). With no hot keys detected this is
+    exactly :func:`hash_join`."""
+    rk = right_on or on
+
+    if hot_keys is None:
+        per_block = max(64, sample_rows // 32)
+        sample = (
+            left.select_columns([on])
+            .map_batches(lambda df: df.head(per_block), batch_format="pandas")
+            .limit(sample_rows)
+            .to_pandas()
+        )
+        counts = sample[on].value_counts()
+        hot_keys = counts[counts > max(1, int(hot_frac * len(sample)))].index.tolist()
+
+    if not hot_keys:
+        return hash_join(left, right, on=on, right_on=rk, num_partitions=num_partitions)
+
+    hot_arr = pa.array(hot_keys)
+
+    def _in(col_name, invert=False):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(col_name), value_set=hot_arr)
+            if invert:
+                m = pc.invert(m)
+            return t.filter(pc.fill_null(m, False))
+
+        return f
+
+    # hot path: right's matching rows collected once (bounded: |hot_keys| ×
+    # right-rows-per-key; the skew premise is a hot LEFT, dim-like right)
+    right_hot = pa.concat_tables(
+        list(
+            right.map_batches(_in(rk), batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+    left_hot = left.map_batches(_in(on), batch_format="pyarrow")
+    hot_joined = broadcast_join(left_hot, right_hot, keys=on, right_keys=rk)
+
+    left_cold = left.map_batches(_in(on, invert=True), batch_format="pyarrow")
+    right_cold = right.map_batches(_in(rk, invert=True), batch_format="pyarrow")
+
+    # Ray's hash-shuffle join crashes on a fully-EMPTY side (the aggregator
+    # sees a schema-less partition) — and with heavy skew the cold side can
+    # legitimately be empty. Union an all-NULL sentinel row into each side:
+    # null join keys never match (SQL semantics, verified for Dataset.join),
+    # so the sentinels keep every partition schema-ful and add zero result
+    # rows to the inner join.
+    import ray.data
+
+    def _sentinel(ds_side):
+        sch = _plan_schema(ds_side)
+        return ray.data.from_arrow(
+            pa.table({n: pa.nulls(1, type=t) for n, t in zip(sch.names, sch.types)})
+        )
+
+    cold_joined = hash_join(
+        left_cold.union(_sentinel(left)),
+        right_cold.union(_sentinel(right)),
+        on=on,
+        right_on=rk,
+        num_partitions=num_partitions,
+    )
+
+    cols = list(_plan_schema(left).names) + [
+        c for c in _plan_schema(right).names if c != rk
+    ]
+    return hot_joined.select_columns(cols).union(cold_joined.select_columns(cols))

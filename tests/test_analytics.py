@@ -4,6 +4,7 @@ values), exactly the comparison the driver performs at sf0.01.
 """
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -242,3 +243,45 @@ def test_rolling_window_count_matches_bruteforce(ray_session, seed):
     for i in range(n):
         exp = int(((k == k[i]) & m & (t > t[i] - w) & (t <= t[i])).sum())
         assert out.loc[i, "c"] == exp, (i, out.loc[i, "c"], exp)
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    """Planted 60%-hot key: the hot/cold split (broadcast + hash exchange)
+    must be invisible in the result; explicit hot_keys and the no-hot path
+    must agree too."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import hash_join, skew_join
+
+    n = 20000
+    keys = np.where(np.arange(n) % 10 < 6, 7, np.arange(n) % 997)
+    left = ray.data.from_pandas(pd.DataFrame({"k": keys, "a": np.arange(n)}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rk": np.arange(997), "b": np.arange(997) * 2.0})
+    )
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df[sorted(df.columns)].sort_values(["k", "a"]).reset_index(drop=True)
+
+    ref = canon(hash_join(left, right, on="k", right_on="rk"))
+    got = canon(skew_join(left, right, on="k", right_on="rk", hot_frac=0.05))
+    pd.testing.assert_frame_equal(got, ref)
+    got_explicit = canon(skew_join(left, right, on="k", right_on="rk", hot_keys=[7]))
+    pd.testing.assert_frame_equal(got_explicit, ref)
+
+
+def test_skew_join_survives_empty_cold_side(ray_session):
+    """When EVERY key is hot the cold side is empty — the null-keyed
+    sentinel must keep the hash join alive and add no rows."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import skew_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1] * 50 + [2] * 50, "a": range(100)})
+    )
+    right = ray.data.from_pandas(pd.DataFrame({"rk": [1, 2], "b": [10.0, 20.0]}))
+    out = skew_join(left, right, on="k", right_on="rk", hot_keys=[1, 2]).to_pandas()
+    assert len(out) == 100
+    assert not out["b"].isna().any()

@@ -709,3 +709,30 @@ def test_incremental_exact_dedup_join_fallback(ray_session, tmp_path):
     broad = dedup.incremental_exact_dedup(tick, idx).to_pandas()
     joined = dedup.incremental_exact_dedup(tick, idx, max_broadcast=0).to_pandas()
     assert sorted(broad["doc_id"]) == sorted(joined["doc_id"]) == [200 + i for i in range(5)]
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(1)
+    centers = np.eye(3, 8)
+    rows = [
+        {"vec_id": i, "embedding": (centers[i % 3] + rng.normal(0, 0.05, 8)).tolist()}
+        for i in range(600)
+    ]
+    ds = ray.data.from_items(rows)
+    asg, C = kmeans_clusters(ds, k=3, iters=5)
+    df = asg.to_pandas()
+    df["planted"] = df["vec_id"] % 3
+    # perfect purity both directions on well-separated clusters
+    assert df.groupby("planted")["cluster"].nunique().tolist() == [1, 1, 1]
+    assert df.groupby("cluster")["planted"].nunique().tolist() == [1, 1, 1]
+    assert C.shape == (3, 8)
+    # deterministic: same seed, same assignment
+    asg2, _ = kmeans_clusters(ds, k=3, iters=5)
+    pd.testing.assert_frame_equal(
+        df[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True),
+        asg2.to_pandas().sort_values("vec_id").reset_index(drop=True),
+    )
