@@ -410,6 +410,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_flag": price_quantiles_by_flag,
         "events_by_segment_skewjoin": events_by_segment_skewjoin,
         "embedding_clusters": embedding_clusters,
+        "revenue_rollup": A.revenue_rollup,
+        "orders_pivot_priority": A.orders_pivot_priority,
+        "orders_above_customer_avg": A.orders_above_customer_avg,
+        "user_event_gaps": A.user_event_gaps,
+        "quantity_mode_by_flag": A.quantity_mode_by_flag,
+        "customer_balance_quartiles": A.customer_balance_quartiles,
+        "event_order_users_intersect": A.event_order_users_intersect,
+        "order_only_customers_except": A.order_only_customers_except,
     }
 
 
@@ -1107,5 +1115,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, COUNT(*) AS n_events
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        # revenue_rollup mirror: three ROLLUP levels, NULL markers -> 'ALL'
+        "revenue_rollup": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        """,
+        # orders_pivot_priority mirror: PIVOT via the SUM(CASE ...) idiom
+        "orders_pivot_priority": """
+            SELECT o_orderstatus,
+                   CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   CAST(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(SUM(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+                   CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   COUNT(*) AS n_total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        # orders_above_customer_avg mirror: decorrelated subquery; the
+        # comparison is exact integer cross-multiplication on both sides so
+        # float-average boundary ties cannot diverge
+        "orders_above_customer_avg": """
+            SELECT o_orderpriority, COUNT(*) AS n_above_avg
+            FROM (SELECT o_custkey, o_orderpriority,
+                         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_x100
+                  FROM orders) o
+            JOIN (SELECT o_custkey AS cust,
+                         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_x100,
+                         COUNT(*) AS n_cust
+                  FROM orders GROUP BY o_custkey) c
+              ON o.o_custkey = c.cust
+            WHERE o.price_x100 * c.n_cust > c.sum_x100
+            GROUP BY o_orderpriority
+        """,
+        # user_event_gaps mirror: LAG window over (ts, event_id)
+        "user_event_gaps": """
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+            FROM (SELECT user_id,
+                         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                  FROM events)
+            WHERE gap IS NOT NULL
+            GROUP BY user_id
+        """,
+        # quantity_mode_by_flag mirror: deterministic MODE() (count DESC,
+        # value ASC) — SQL's mode() has unspecified ties, so mirror the
+        # explicit ROW_NUMBER form
+        "quantity_mode_by_flag": """
+            SELECT l_returnflag, qty_x100 AS mode_qty_x100, n FROM (
+                SELECT l_returnflag, qty_x100, n,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY n DESC, qty_x100) AS rn
+                FROM (SELECT l_returnflag,
+                             CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_x100,
+                             COUNT(*) AS n
+                      FROM lineitem GROUP BY 1, 2)
+            ) WHERE rn = 1
+        """,
+        # customer_balance_quartiles mirror: NTILE(4) per nation over the
+        # total order (acctbal, custkey)
+        "customer_balance_quartiles": """
+            SELECT c_nationkey, quartile, COUNT(*) AS n_custs,
+                   CAST(SUM(bal_x100) AS BIGINT) AS sum_bal_x100
+            FROM (SELECT c_nationkey,
+                         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_x100,
+                         NTILE(4) OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal, c_custkey) AS quartile
+                  FROM customer)
+            GROUP BY 1, 2
+        """,
+        "event_order_users_intersect": """
+            SELECT user_id AS ckey FROM events
+            INTERSECT
+            SELECT o_custkey AS ckey FROM orders
+        """,
+        "order_only_customers_except": """
+            SELECT o_custkey AS ckey FROM orders
+            EXCEPT
+            SELECT user_id AS ckey FROM events
         """,
     }

@@ -695,3 +695,279 @@ def customer_running_total(sf_dir: str):
         .groupby("o_custkey")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(c_mktsegment, o_orderpriority) — multi-level
+    aggregate (SURVEY.md A6 family; the reference's grouped reports stop at
+    one level). One shuffle computes the FINEST level; the super-aggregate
+    levels are derived from that tiny (|segments|x|priorities|) result, the
+    standard rollup optimization — at 100 TB the raw data is aggregated
+    exactly once. NULL markers follow the SQL convention, mapped to 'ALL'."""
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "total_x100": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+            }
+        )
+
+    finest = _rename(
+        broadcast_join(
+            ds.map_batches(to_cents, batch_format="pyarrow"), cust,
+            keys="o_custkey", right_keys="c_custkey",
+        )
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("total_x100"), Count()),
+        ["c_mktsegment", "o_orderpriority", "revenue_x100", "n_orders"],
+    ).to_pandas()  # |segments| x |priorities| rows — super-agg input is tiny
+
+    lvl1 = (
+        finest.groupby("c_mktsegment", as_index=False)[["revenue_x100", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "c_mktsegment": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "revenue_x100": [finest["revenue_x100"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    cols = ["c_mktsegment", "o_orderpriority", "revenue_x100", "n_orders"]
+    out = pd.concat([finest[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    out["revenue_x100"] = out["revenue_x100"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_PRIORITY_PIVOT = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+def orders_pivot_priority(sf_dir: str):
+    """PIVOT o_orderpriority into one count column per priority, rows keyed
+    by o_orderstatus (reference report matrices; SQL mirror is the
+    SUM(CASE ...) idiom). Vectorized indicator columns per batch, then ONE
+    combiner-backed groupby — the wide shape never shuffles raw rows."""
+    ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": t.column("o_orderstatus")}
+        pri = t.column("o_orderpriority")
+        for value, name in _PRIORITY_PIVOT:
+            cols[name] = pc.cast(pc.equal(pri, value), pa.int64())
+        cols["one"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(*[Sum(name) for _, name in _PRIORITY_PIVOT], Sum("one"))
+    )
+    return _rename(out, ["o_orderstatus"] + [n for _, n in _PRIORITY_PIVOT] + ["n_total"])
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Decorrelated subquery (WHERE o_totalprice > AVG over that customer):
+    per-customer (sum, count) via one combiner groupby, hash-joined back to
+    orders (large-by-large — at 100 TB the per-customer table is itself huge,
+    so no broadcast), compared in EXACT integer math
+    (price_x100 * n_cust > sum_x100 avoids float-average boundary ties),
+    then a tiny grouped count."""
+    from ..stages.relational import hash_join
+
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_x100": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    per_cust = _rename(
+        cents.groupby("o_custkey").aggregate(Sum("price_x100"), Count()),
+        ["cust", "sum_x100", "n_cust"],
+    )
+    joined = hash_join(cents, per_cust, on="o_custkey", right_on="cust", num_partitions=8)
+
+    def above(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t.column("price_x100"), t.column("n_cust")),
+            t.column("sum_x100"),
+        )
+        return t.filter(keep).select(["o_orderpriority"])
+
+    out = (
+        joined.map_batches(above, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count())
+    )
+    return _rename(out, ["o_orderpriority", "n_above_avg"])
+
+
+def user_event_gaps(sf_dir: str):
+    """LAG-window inter-event gaps (W-family; reference has no window layer):
+    per user, events ordered by (ts, event_id); emit count/max/sum of the
+    microsecond gaps as exact integers. Hash-partition by user + vectorized
+    np.diff per group — same scale shape as :func:`user_sessions`."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": _ts_us(t.column("ts")),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_gaps": pd.Series([], dtype="int64"),
+                 "max_gap_us": pd.Series([], dtype="int64"),
+                 "sum_gap_us": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        d = np.diff(g["ts_us"].to_numpy())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_gaps": [len(d)],
+                "max_gap_us": [int(d.max())],
+                "sum_gap_us": [int(d.sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+def quantity_mode_by_flag(sf_dir: str):
+    """MODE() per group (most frequent l_quantity per returnflag, ties to the
+    smallest value — made deterministic, unlike SQL's unspecified mode()):
+    combiner groupby on (flag, qty) shrinks 100 TB to |flags|x|qtys| rows,
+    then a per-flag argmax over that tiny table."""
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_x100": pc.round(pc.multiply(t.column("l_quantity"), 100.0)).cast(pa.int64()),
+            }
+        )
+
+    counts = _rename(
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty_x100"])
+        .aggregate(Count()),
+        ["l_returnflag", "qty_x100", "n"],
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "qty_x100"], ascending=[False, True], kind="mergesort")
+        top = g.iloc[[0]][["l_returnflag", "qty_x100", "n"]].copy()
+        return top.rename(columns={"qty_x100": "mode_qty_x100"})
+
+    return counts.groupby("l_returnflag").map_groups(argmax, batch_format="pandas")
+
+
+def _ntile(n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket per 1-based rank for a group of n rows: the first
+    n%k buckets hold ceil(n/k) rows, the rest floor(n/k)."""
+    q, r = divmod(n, k)
+    sizes = np.full(min(k, n), q, dtype=np.int64)
+    sizes[:r] += 1
+    return np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)
+
+
+def customer_balance_quartiles(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY nation ORDER BY acctbal, custkey), then
+    per-(nation, quartile) count + exact integer balance sum. One
+    hash-partition by nation; rank->bucket->aggregate all inside the group
+    worker so only the tiny summary leaves it."""
+    ds = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], kind="mergesort").reset_index(drop=True)
+        bal = np.round(g["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        g["quartile"] = _ntile(len(g), 4)
+        g["bal_x100"] = bal
+        out = (
+            g.groupby("quartile", sort=True)
+            .agg(n_custs=("c_custkey", "size"), sum_bal_x100=("bal_x100", "sum"))
+            .reset_index()
+        )
+        out.insert(0, "c_nationkey", g["c_nationkey"].iloc[0])
+        return out
+
+    return ds.groupby("c_nationkey").map_groups(quartiles, batch_format="pandas")
+
+
+def _tagged_keys(ds, key_col: str, tag: str):
+    def f(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column(key_col))  # per-batch dedup: combiner
+        return pa.table(
+            {
+                "ckey": keys,
+                "in_a": pa.array(np.full(len(keys), 1 if tag == "a" else 0, dtype=np.int64)),
+                "in_b": pa.array(np.full(len(keys), 1 if tag == "b" else 0, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _set_op(sf_dir: str, keep):
+    """Distributed INTERSECT/EXCEPT (SURVEY.md D4/D5 as first-class
+    pipelines): tag each side, per-batch dedup, union, ONE groupby on the
+    key with Max flags, filter by presence. Only (key, 2 ints) rows enter
+    the exchange."""
+    ev = read_table(sf_dir, "events", ["user_id"])
+    od = read_table(sf_dir, "orders", ["o_custkey"])
+    both = _tagged_keys(ev, "user_id", "a").union(_tagged_keys(od, "o_custkey", "b"))
+    flags = _rename(
+        both.groupby("ckey").aggregate(Max("in_a"), Max("in_b")),
+        ["ckey", "in_a", "in_b"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(keep(t)).select(["ckey"])
+
+    return flags.map_batches(f, batch_format="pyarrow")
+
+
+def event_order_users_intersect(sf_dir: str):
+    """user_ids present in BOTH events and orders (INTERSECT)."""
+    return _set_op(
+        sf_dir,
+        lambda t: pc.and_(pc.equal(t.column("in_a"), 1), pc.equal(t.column("in_b"), 1)),
+    )
+
+
+def order_only_customers_except(sf_dir: str):
+    """custkeys with orders but NO events (EXCEPT)."""
+    return _set_op(
+        sf_dir,
+        lambda t: pc.and_(pc.equal(t.column("in_b"), 1), pc.equal(t.column("in_a"), 0)),
+    )

@@ -285,3 +285,38 @@ def test_skew_join_survives_empty_cold_side(ray_session):
     out = skew_join(left, right, on="k", right_on="rk", hot_keys=[1, 2]).to_pandas()
     assert len(out) == 100
     assert not out["b"].isna().any()
+
+
+def test_ntile_remainder_semantics():
+    # SQL NTILE: first n%k buckets get ceil(n/k) rows
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import _ntile
+
+    assert _ntile(10, 4).tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert _ntile(4, 4).tolist() == [1, 2, 3, 4]
+    assert _ntile(2, 4).tolist() == [1, 2]  # fewer rows than buckets
+    assert _ntile(0, 4).tolist() == []
+
+
+def test_user_event_gaps_drops_single_event_users(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pa.array([1_000_000, 3_000_000, 2_000_000, 9_000_000], type=pa.timestamp("us")),
+            "user_id": [7, 7, 7, 8],  # user 8 has one event -> no gap row
+            "event_type": ["a"] * 4,
+            "value": [0.0] * 4,
+            "props": [""] * 4,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import user_event_gaps
+
+    df = user_event_gaps(str(tmp_path)).to_pandas()
+    assert len(df) == 1 and df["user_id"].iloc[0] == 7
+    # user 7's events sort to 1s, 2s, 3s -> two 1 s gaps
+    assert df["n_gaps"].iloc[0] == 2
+    assert df["max_gap_us"].iloc[0] == 1_000_000
+    assert df["sum_gap_us"].iloc[0] == 2_000_000
