@@ -253,6 +253,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
         )
 
+    def price_mad_by_flag(sf_dir: str):
+        from etl_sql_duckdb_parquet__ray.stages.profile import mad_by_group
+
+        ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        return mad_by_group(ds, "l_returnflag", "l_extendedprice")
+
+    def corpus_bigrams_docs(sf_dir: str):
+        docs = read_table(sf_dir, "documents", ["text"])
+        return text.corpus_bigrams(docs, k=20)
+
     def events_by_segment_skewjoin(sf_dir: str):
         # skew-aware join: sampled hot user_ids bypass the hash exchange
         # via a broadcast of their matching customer rows; result must be
@@ -418,6 +428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
         "order_only_customers_except": A.order_only_customers_except,
+        "price_mad_by_flag": price_mad_by_flag,
+        "corpus_bigrams": corpus_bigrams_docs,
+        "value_histogram": A.value_histogram,
     }
 
 
@@ -1199,5 +1212,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS ckey FROM orders
             EXCEPT
             SELECT user_id AS ckey FROM events
+        """,
+        # price_mad_by_flag mirror: MAD with quantile_disc (lower-median)
+        # semantics for both medians — SQL's mad() interpolates, so the
+        # deterministic explicit form is mirrored instead; the abs-deviation
+        # doubles are the identical IEEE subtraction on both sides
+        "price_mad_by_flag": """
+            WITH med AS (
+                SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
+                FROM lineitem GROUP BY l_returnflag
+            ), dev AS (
+                SELECT l.l_returnflag, ABS(l.l_extendedprice - med.m) AS d
+                FROM lineitem l JOIN med USING (l_returnflag)
+            )
+            SELECT l_returnflag, quantile_disc(d, 0.5) AS mad
+            FROM dev GROUP BY l_returnflag
+        """,
+        # corpus_bigrams mirror: same \s+/drop-empty tokenization as
+        # doc_top_terms; ties rank lexicographically
+        "corpus_bigrams": r"""
+            WITH words AS (
+                SELECT list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), bg AS (
+                SELECT w[i] || ' ' || w[i+1] AS g
+                FROM words, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+                WHERE len(w) >= 2
+            )
+            SELECT g AS bigram, COUNT(*) AS n FROM bg
+            GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # value_histogram mirror: identical double bin expression; empty
+        # bins omitted on both sides; NULL values dropped on both sides
+        "value_histogram": """
+            WITH mm AS (
+                SELECT MIN(value) AS lo,
+                       (MAX(value) - MIN(value)) / 16.0 AS width
+                FROM events
+            )
+            SELECT CAST(LEAST(FLOOR((value - lo) / width), 15) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM events, mm
+            WHERE value IS NOT NULL
+            GROUP BY 1
         """,
     }

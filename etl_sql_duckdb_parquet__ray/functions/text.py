@@ -574,3 +574,48 @@ def top_terms(docs_ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text
         batch_format="pandas",
         concurrency=(1, 8),
     )
+
+
+def corpus_bigrams(docs_ds, k: int = 20, text_col: str = "text"):
+    """Corpus-level top-k bigram counts (the n-gram language-model-count
+    classic). Tokenization parity with the SQL mirror: whitespace split,
+    empties dropped (``str.split()`` == ``list_filter(string_split_regex
+    (text, '\\s+'), w -> w <> '')`` — ASCII/no-exotic-whitespace
+    precondition checked for the testdata in tests).
+
+    Shape: each batch emits its LOCAL bigram counts (a combiner — the
+    exchange carries vocabulary-sized partials, never per-occurrence
+    rows), one groupby-sum on the bigram key, then a top-k sort over the
+    aggregated vocabulary. Ties rank lexicographically for determinism."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            w = (txt.as_py() or "").split()
+            if len(w) >= 2:
+                c.update(a + " " + b for a, b in zip(w, w[1:]))
+        if not c:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"bigram": pa.array(ks, pa.string()),
+                         "n": pa.array(vs, pa.int64())})
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({"bigram": t.column("bigram"),
+                         "n": t.column("sum(n)"),
+                         "neg_n": pc.negate(t.column("sum(n)"))})
+
+    top = (
+        agg.map_batches(rn, batch_format="pyarrow")
+        .sort(["neg_n", "bigram"])
+        .limit(k)
+    )
+    return top.drop_columns(["neg_n"])

@@ -971,3 +971,39 @@ def order_only_customers_except(sf_dir: str):
         sf_dir,
         lambda t: pc.and_(pc.equal(t.column("in_b"), 1), pc.equal(t.column("in_a"), 0)),
     )
+
+
+def value_histogram(sf_dir: str, nbins: int = 16):
+    """Fixed-width histogram of events.value (profiling A-family; the
+    reference's profiler summarizes but never bins). Two streaming passes:
+    a Min/Max aggregate, then vectorized binning + ONE combiner groupby on
+    the bin id — only (bin, count) partials enter the exchange. The bin
+    expression ``min(floor((v-lo)/width), nbins-1)`` is the identical IEEE
+    double computation the SQL mirror performs, so edges match exactly."""
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        c = t.column("value").drop_null()
+        if len(c) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": pa.array([pc.min(c).as_py()], pa.float64()),
+                         "mx": pa.array([pc.max(c).as_py()], pa.float64())})
+
+    agg = ds.map_batches(mm, batch_format="pyarrow").aggregate(AMin("mn"), AMax("mx"))
+    lo, hi = float(agg["min(mn)"]), float(agg["max(mx)"])
+    width = (hi - lo) / float(nbins)
+
+    def binit(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value").drop_null(), dtype=np.float64)
+        if width == 0.0:  # constant column: everything in bin 0 (the SQL
+            b = np.zeros(len(v), dtype=np.int64)  # mirror assumes a range)
+        else:
+            b = np.minimum(np.floor((v - lo) / width), nbins - 1).astype(np.int64)
+        return pa.table({"bin": b})
+
+    out = ds.map_batches(binit, batch_format="pyarrow").groupby("bin").aggregate(Count())
+    return _rename(out, ["bin", "n"])

@@ -591,3 +591,42 @@ def quantiles_by_group(ds, group_col: str, value_col: str, qs: list[float]):
         .groupby(group_col)
         .map_groups(f, batch_format="pandas")
     )
+
+
+def mad_by_group(ds, group_col: str, value_col: str):
+    """Median absolute deviation per group, deterministic ``quantile_disc``
+    semantics for BOTH medians (SQL's mad() interpolates; the explicit
+    two-median SQL mirror matches this exactly). Two streaming passes:
+    per-group median via :func:`quantiles_by_group` (a group-count-sized
+    table broadcast with ``ray.put``), then a vectorized abs-deviation map
+    and a second per-group median. The raw column shuffles twice and never
+    materializes anywhere."""
+    import ray
+
+    med = {}
+    for b in quantiles_by_group(ds, group_col, value_col, [0.5]).iter_batches(
+        batch_format="pandas"
+    ):
+        for g, v in zip(b[group_col], b["value"]):
+            med[g] = float(v)
+    ref = ray.put(med)
+
+    def dev(g: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        out = pd.DataFrame(
+            {
+                group_col: g[group_col],
+                "dev": (g[value_col] - g[group_col].map(m)).abs(),
+            }
+        )
+        return out
+
+    devs = ds.select_columns([group_col, value_col]).map_batches(
+        dev, batch_format="pandas"
+    )
+    out = quantiles_by_group(devs, group_col, "dev", [0.5])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t.column(group_col), "mad": t.column("value")})
+
+    return out.map_batches(shape, batch_format="pyarrow")

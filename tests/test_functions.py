@@ -736,3 +736,33 @@ def test_kmeans_recovers_planted_clusters(ray_session):
         df[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True),
         asg2.to_pandas().sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_corpus_bigrams_tie_order_and_empty_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from etl_sql_duckdb_parquet__ray.functions.text import corpus_bigrams
+
+    docs = ray.data.from_arrow(pa.table({
+        "text": ["b c", "a b", "a b", "b c", None, "", "solo"],
+    }))
+    df = corpus_bigrams(docs, k=3).to_pandas()
+    # both bigrams have count 2 -> lexicographic tie-break
+    assert df["bigram"].tolist() == ["a b", "b c"]
+    assert df["n"].tolist() == [2, 2]
+
+
+def test_mad_by_group_small(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import mad_by_group
+
+    t = pa.table({"g": ["x"] * 5 + ["y"] * 2,
+                  "v": [1.0, 2.0, 3.0, 4.0, 100.0, 10.0, 20.0]})
+    df = mad_by_group(ray.data.from_arrow(t), "g", "v").to_pandas().set_index("g")
+    # x: lower median 3 -> |dev| = [2,1,0,1,97] -> lower median 1
+    assert df.loc["x", "mad"] == 1.0
+    # y: lower median 10 -> |dev| = [0,10] -> lower median (rank ceil(.5*2)-1=0) = 0
+    assert df.loc["y", "mad"] == 0.0
