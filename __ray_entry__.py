@@ -253,6 +253,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
         )
 
+    def transcript_conv_stats(sf_dir: str):
+        # catalog-style stats straight off the ENCODED corpus: encode the
+        # derived transcripts once, then aggregate over a 3-column
+        # projection decode (text/tool payload bytes never leave the
+        # chunk files)
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            conv_stats,
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="cs-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        return conv_stats(out)
+
+    def transcript_text_search(sf_dir: str):
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+            text_search,
+        )
+
+        out = tempfile.mkdtemp(prefix="tsr-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        return text_search(out, '"k": 6')
+
     def price_mad_by_flag(sf_dir: str):
         from etl_sql_duckdb_parquet__ray.stages.profile import mad_by_group
 
@@ -431,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad_by_flag": price_mad_by_flag,
         "corpus_bigrams": corpus_bigrams_docs,
         "value_histogram": A.value_histogram,
+        "transcript_conv_stats": transcript_conv_stats,
+        "transcript_text_search": transcript_text_search,
     }
 
 
@@ -1242,6 +1276,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS bigram, COUNT(*) AS n FROM bg
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # transcript_conv_stats mirror: per-conversation aggregate over the
+        # same transcript derivation the engine encodes — checks decode
+        # projection + groupby composition value-for-value
+        "transcript_conv_stats": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(MAX(rn - 1) AS BIGINT) AS max_turn_idx,
+                   CAST(SUM(CASE WHEN (rn - 1) % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tool_turns
+            FROM (
+                SELECT user_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events) t
+            GROUP BY 1
+        """,
+        # transcript_text_search mirror: substring match over the decoded
+        # text column (= COALESCE(props,'')), counts per cycled role
+        "transcript_text_search": """
+            SELECT CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                     WHEN 1 THEN 'assistant'
+                                     WHEN 2 THEN 'system'
+                                     ELSE 'tool' END AS role,
+                   COUNT(*) AS n_hits
+            FROM (
+                SELECT props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events) t
+            WHERE COALESCE(props, '') LIKE '%"k": 6%'
+            GROUP BY 1
         """,
         # value_histogram mirror: identical double bin expression; empty
         # bins omitted on both sides; NULL values dropped on both sides

@@ -51,3 +51,59 @@ def flagship_roundtrip(sf_dir: str, out_dir: str, num_buckets: int = 8):
         encoder_concurrency=(1, 4),
     )
     return decode_dataset(out_dir)
+
+
+def conv_stats(encoded_dir: str):
+    """Per-conversation stats computed FROM THE ENCODED FORM: decode only
+    (conv_id, turn_idx, role) — projection pushdown skips text/tool payload
+    bytes — then one combiner groupby per conversation. The pattern a
+    100 TB corpus uses for catalog-style stats without touching text."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = decode_dataset(encoded_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "is_tool": pc.cast(pc.equal(t.column("role"), "tool"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Count(), Max("turn_idx"), Sum("is_tool"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["conv_id", "n_turns", "max_turn_idx", "n_tool_turns"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def text_search(encoded_dir: str, term: str):
+    """Substring search over the encoded corpus: decode only (role, text),
+    vectorized ``match_substring`` per batch, per-role match counts. Only
+    (role, flag) partials reach the exchange."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = decode_dataset(encoded_dir, columns=["role", "text"])
+
+    def match(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring(t.column("text"), term)
+        return pa.table({"role": t.column("role")}).filter(pc.fill_null(hit, False))
+
+    out = (
+        ds.map_batches(match, batch_format="pyarrow").groupby("role").aggregate(Count())
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["role", "n_hits"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
