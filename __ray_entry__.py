@@ -253,6 +253,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
         )
 
+    def transcript_ts_window(sf_dir: str):
+        # time-range read off the ENCODED corpus: manifest ts zone maps
+        # prune chunks, exact epoch-us row filter does the rest. Window
+        # bounds come from parquet column STATISTICS (no data read) with
+        # integer arithmetic mirrored exactly in the SQL.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset,
+            encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+        ts_idx = pf.schema_arrow.get_field_index("ts")
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ts_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        to_us = lambda v: int(pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+        mn, mx = min(map(to_us, mins)), max(map(to_us, maxs))
+        lo = mn + (mx - mn) * 3 // 10
+        hi = mn + (mx - mn) * 6 // 10
+
+        out = tempfile.mkdtemp(prefix="tsw-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        return decode_dataset(
+            out, columns=["conv_id", "turn_idx", "role"], ts_lo=lo, ts_hi=hi
+        )
+
     def transcript_conv_stats(sf_dir: str):
         # catalog-style stats straight off the ENCODED corpus: encode the
         # derived transcripts once, then aggregate over a 3-column
@@ -465,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": A.value_histogram,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_text_search": transcript_text_search,
+        "transcript_ts_window": transcript_ts_window,
     }
 
 
@@ -1292,6 +1330,30 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts, event_id) AS rn
                 FROM events) t
             GROUP BY 1
+        """,
+        # transcript_ts_window mirror: the 30-60% epoch-us window over the
+        # same transcript derivation, integer bound arithmetic identical to
+        # the parquet-statistics computation on the engine side
+        "transcript_ts_window": """
+            WITH mm AS (
+                SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                FROM events
+            )
+            SELECT conv_id, turn_idx, role FROM (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       CAST(rn - 1 AS INTEGER) AS turn_idx,
+                       CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                         WHEN 1 THEN 'assistant'
+                                         WHEN 2 THEN 'system'
+                                         ELSE 'tool' END AS role,
+                       epoch_us(ts) AS ts_us
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                    FROM events) t1) t2, mm
+            WHERE ts_us BETWEEN mm.mn + (mm.mx - mm.mn) * 3 // 10
+                            AND mm.mn + (mm.mx - mm.mn) * 6 // 10
         """,
         # transcript_text_search mirror: substring match over the decoded
         # text column (= COALESCE(props,'')), counts per cycled role

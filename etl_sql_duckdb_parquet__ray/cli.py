@@ -69,9 +69,12 @@ def cmd_decode(args) -> int:
         conv_id=args.conv_id,
         turn_lo=args.turn_lo,
         turn_hi=args.turn_hi,
+        ts_lo=args.ts_lo,
+        ts_hi=args.ts_hi,
     )
     pushdown = bool(args.columns or args.conv_id is not None
-                    or args.turn_lo is not None or args.turn_hi is not None)
+                    or args.turn_lo is not None or args.turn_hi is not None
+                    or args.ts_lo is not None or args.ts_hi is not None)
     if pushdown:
         # selective decode: STREAM the write (a projection over the full
         # dataset must not pin everything in the object store), then count
@@ -231,6 +234,11 @@ def main(argv=None) -> int:
     )
     dec.add_argument("--turn-lo", type=int, default=None)
     dec.add_argument("--turn-hi", type=int, default=None)
+    dec.add_argument(
+        "--ts-lo", default=None,
+        help="time-range read: ISO timestamp or int epoch-us (inclusive)",
+    )
+    dec.add_argument("--ts-hi", default=None)
     dec.set_defaults(fn=cmd_decode)
 
     cp = sub.add_parser(

@@ -366,6 +366,14 @@ class BucketEncoder:
                 "conv_range": [str(conv[0]), str(conv[-1])],
                 "turn_range": [int(tmm["min"].as_py()), int(tmm["max"].as_py())],
             }
+            # ts zone map (time-range reads are the common transcript access
+            # pattern): TRUE min/max in epoch-us — ts is not monotonic in
+            # the (conv_id, turn_idx) sort order, same pitfall as turn_idx.
+            # All-null ts -> no ts_range key -> plan_chunks keeps the chunk.
+            if "ts" in part.column_names:
+                smm = pc.min_max(part.column("ts").cast(pa.int64()))
+                if smm["min"].is_valid:
+                    extra["ts_range"] = [smm["min"].as_py(), smm["max"].as_py()]
             preencoded = None
             order = None
             if pre:
@@ -740,11 +748,25 @@ def _decode_file_batches(batch: pa.Table):
             yield decode_chunk(blob)
 
 
+def _ts_us_scalar(v) -> int | None:
+    """Normalize a ts bound (int epoch-us, datetime, numpy/pandas timestamp,
+    ISO string) to int epoch microseconds."""
+    if v is None:
+        return None
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, str) and v.lstrip("-").isdigit():  # CLI epoch-us string
+        return int(v)
+    return int(pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+
 def plan_chunks(
     out_dir: str,
     conv_id: str | None = None,
     turn_lo: int | None = None,
     turn_hi: int | None = None,
+    ts_lo: int | None = None,
+    ts_hi: int | None = None,
 ) -> list[dict]:
     """Zone-map pruning over the lineage manifest: each chunk record carries
     its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
@@ -809,6 +831,13 @@ def plan_chunks(
                     continue
                 if turn_hi is not None and tlo > turn_hi:
                     continue
+            srange = c.get("ts_range")  # absent on older manifests / null ts
+            if srange is not None:
+                slo, shi = srange
+                if ts_lo is not None and shi < ts_lo:
+                    continue
+                if ts_hi is not None and slo > ts_hi:
+                    continue
             keep.append(i)
         if keep:
             plan.append({"path": r["path"], "idx": keep})
@@ -820,17 +849,21 @@ class _SelectiveDecode:
     column byte ranges (seek I/O), applies the exact row predicate, projects
     to the requested columns."""
 
-    def __init__(self, columns, conv_id, turn_lo, turn_hi):
+    def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None):
         self.columns = columns
         self.conv_id = conv_id
         self.turn_lo = turn_lo
         self.turn_hi = turn_hi
+        self.ts_lo = ts_lo
+        self.ts_hi = ts_hi
         need = set(columns) if columns is not None else None
         if need is not None:
             if conv_id is not None:
                 need.add("conv_id")
             if turn_lo is not None or turn_hi is not None:
                 need.add("turn_idx")
+            if ts_lo is not None or ts_hi is not None:
+                need.add("ts")
         self.read_cols = sorted(need) if need is not None else None
 
     def __call__(self, batch: pa.Table):
@@ -849,8 +882,14 @@ class _SelectiveDecode:
                 if self.turn_hi is not None:
                     m = pc.less_equal(t.column("turn_idx"), self.turn_hi)
                     mask = m if mask is None else pc.and_(mask, m)
+                if self.ts_lo is not None:
+                    m = pc.greater_equal(t.column("ts").cast(pa.int64()), self.ts_lo)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if self.ts_hi is not None:
+                    m = pc.less_equal(t.column("ts").cast(pa.int64()), self.ts_hi)
+                    mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
-                    t = t.filter(mask)
+                    t = t.filter(pc.fill_null(mask, False))  # null ts never matches
                 if self.columns is not None:
                     t = t.select(self.columns)
                 if t.num_rows:
@@ -863,6 +902,8 @@ def decode_dataset(
     conv_id: str | None = None,
     turn_lo: int | None = None,
     turn_hi: int | None = None,
+    ts_lo=None,
+    ts_hi=None,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -871,16 +912,21 @@ def decode_dataset(
 
     - ``columns``: decode only these columns — per-column header offsets
       mean unselected payloads are neither read from disk nor decoded.
-    - ``conv_id`` / ``turn_lo`` / ``turn_hi``: prune whole chunks via the
-      manifest's per-chunk conv/turn zone maps (``plan_chunks``), then
-      apply the exact row filter to the survivors.
+    - ``conv_id`` / ``turn_lo`` / ``turn_hi`` / ``ts_lo`` / ``ts_hi``:
+      prune whole chunks via the manifest's per-chunk conv/turn/ts zone
+      maps (``plan_chunks``), then apply the exact row filter to the
+      survivors. ts bounds accept int epoch-us, datetime, pandas/numpy
+      timestamps or ISO strings; the range is inclusive on both ends.
 
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
     """
     import ray
 
-    if columns is None and conv_id is None and turn_lo is None and turn_hi is None:
+    ts_lo = _ts_us_scalar(ts_lo)
+    ts_hi = _ts_us_scalar(ts_hi)
+    if (columns is None and conv_id is None and turn_lo is None
+            and turn_hi is None and ts_lo is None and ts_hi is None):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
@@ -888,14 +934,14 @@ def decode_dataset(
         return paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         )
-    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi)
+    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi)
     if not plan:
         # prune eliminated everything: empty dataset (schema-less is fine
         # for a no-match lookup)
         return ray.data.from_items([]).map_batches(lambda t: t)
     items = ray.data.from_items(plan)
     return items.map_batches(
-        _SelectiveDecode(columns, conv_id, turn_lo, turn_hi),
+        _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi),
         batch_format="pyarrow",
         batch_size=1,
     )

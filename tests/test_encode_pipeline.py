@@ -746,6 +746,7 @@ def test_v1_manifest_skips_turn_pruning(ray_session, tmp_path):
     import json
 
     import numpy as np
+    import pandas as pd
     import ray
 
     from etl_sql_duckdb_parquet__ray.pipelines.encode import plan_chunks
@@ -862,3 +863,93 @@ def test_direct_exchange_roundtrip(ray_session, tmp_path):
     os.remove(os.path.join(out_d, f"bucket-{victim:05d}.json"))
     encode_transcripts(ds, out_d, num_buckets=4, resume=True, exchange="direct")
     assert roundtrip_ok(ray.data.from_arrow(t), out_d)
+
+
+def test_ts_range_pushdown_matches_in_memory_filter(ray_session, tmp_path):
+    """ts_lo/ts_hi selective decode == in-memory epoch-us filter, and the
+    manifest ts zone maps actually PRUNE chunks for a narrow window."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import plan_chunks
+
+    rng = np.random.default_rng(7)
+    n_conv, turns = 40, 50
+    n = n_conv * turns
+    # per-conv time bases spread over a wide range so chunks get disjoint
+    # ts extents; within a conv, ts increases with turn
+    base = np.repeat(rng.integers(0, 10**9, n_conv), turns)
+    step = np.tile(np.arange(turns, dtype=np.int64) * 1_000_000, n_conv)
+    ts = (base + step).astype(np.int64)
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:05d}" for i in range(n_conv) for _ in range(turns)]),
+            "turn_idx": pa.array(list(range(turns)) * n_conv, type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n // 2)),
+            "text": pa.array([f"msg {i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "tsz")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=200, resume=False
+    )
+    lo, hi = 200_000_000, 400_000_000
+    got = (
+        decode_dataset(out, ts_lo=lo, ts_hi=hi)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = t.to_pandas()
+    ref = ref[(ref["ts"].astype("int64") >= lo) & (ref["ts"].astype("int64") <= hi)]
+    ref = ref.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) > 0
+    # pruning: the narrow window must plan strictly fewer chunks than all
+    all_chunks = sum(len(p["idx"]) for p in plan_chunks(out))
+    win_chunks = sum(len(p["idx"]) for p in plan_chunks(out, ts_lo=lo, ts_hi=hi))
+    assert 0 < win_chunks < all_chunks
+    # datetime-typed bounds hit the same path
+    got2 = decode_dataset(
+        out, ts_lo=pd.Timestamp(lo, unit="us"), ts_hi=pd.Timestamp(hi, unit="us")
+    ).to_pandas()
+    assert len(got2) == len(ref)
+
+
+def test_ts_pushdown_on_manifest_without_ts_range(ray_session, tmp_path):
+    """Manifests whose chunk records lack ts_range (older encodes): no
+    pruning, but the exact row filter still yields correct results."""
+    import json
+
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.state.manifest import bucket_manifest_path
+
+    n = 500
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c-{i % 10:03d}" for i in range(n)]),
+            "turn_idx": pa.array([i // 10 for i in range(n)], type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"x{i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1000, type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "nots")
+    encode_transcripts(ray.data.from_arrow(t), out, num_buckets=2, resume=False)
+    # strip ts_range from every chunk record, as an older encode would be
+    for b in range(2):
+        p = bucket_manifest_path(out, b)
+        rec = json.load(open(p))
+        for c in rec["chunks"]:
+            c.pop("ts_range", None)
+        json.dump(rec, open(p, "w"))
+    lo = 100_000  # epoch-us
+    got = decode_dataset(out, ts_lo=lo).to_pandas()
+    exp = (np.arange(n, dtype=np.int64) * 1000 >= lo).sum()
+    assert len(got) == exp
