@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = read_table(sf_dir, "documents", ["text"])
         return text.corpus_bigrams(docs, k=20)
 
+    def heavy_hitter_terms_docs(sf_dir: str):
+        docs = read_table(sf_dir, "documents", ["text"])
+        return text.heavy_hitter_terms(docs, k=20)
+
     def events_by_segment_skewjoin(sf_dir: str):
         # skew-aware join: sampled hot user_ids bypass the hash exchange
         # via a broadcast of their matching customer rows; result must be
@@ -503,6 +507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
+        "heavy_hitter_terms": heavy_hitter_terms_docs,
+        "funnel_click_purchase": A.funnel_click_purchase,
+        "cohort_retention": A.cohort_retention,
     }
 
 
@@ -1284,6 +1291,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS ckey FROM orders
             EXCEPT
             SELECT user_id AS ckey FROM events
+        """,
+        # heavy_hitter_terms mirror: the MG sketch + exact re-count returns
+        # the TRUE top-k with exact counts, so the mirror is the plain
+        # grouped count (same \s+/drop-empty tokenization)
+        "heavy_hitter_terms": r"""
+            WITH words AS (
+                SELECT list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (SELECT unnest(w) AS term FROM words)
+            SELECT term, COUNT(*) AS n FROM tok
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        # funnel mirror: stage 2 requires a purchase STRICTLY after the
+        # user's first click
+        "funnel_click_purchase": """
+            WITH c AS (
+                SELECT user_id, MIN(ts) AS first_click
+                FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), p AS (
+                SELECT DISTINCT c.user_id
+                FROM c JOIN events e ON e.user_id = c.user_id
+                 AND e.event_type = 'purchase' AND e.ts > c.first_click
+            )
+            SELECT 'click' AS stage, COUNT(*) AS n_users FROM c
+            UNION ALL
+            SELECT 'click>purchase', COUNT(*) FROM p
+        """,
+        # cohort_retention mirror: first-event day per user, distinct
+        # active (cohort, offset) user counts
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts) // 86400000000) AS cohort_day
+                FROM events GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   epoch_us(e.ts) // 86400000000 - f.cohort_day AS offset_day,
+                   COUNT(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # price_mad_by_flag mirror: MAD with quantile_disc (lower-median)
         # semantics for both medians — SQL's mad() interpolates, so the

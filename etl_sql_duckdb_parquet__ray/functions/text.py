@@ -619,3 +619,88 @@ def corpus_bigrams(docs_ds, k: int = 20, text_col: str = "text"):
         .limit(k)
     )
     return top.drop_columns(["neg_n"])
+
+
+def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
+                       text_col: str = "text"):
+    """Exact corpus top-k terms via a Misra-Gries sketch + exact re-count —
+    the shuffle-light alternative to :func:`corpus_bigrams`'s vocab-sized
+    exchange when the vocabulary itself is huge (e.g. raw web n-grams).
+
+    Stage 1 emits each batch's MERGEABLE MG summary (Agarwal et al.,
+    "Mergeable Summaries": exact batch counts minus the (C+1)-th largest,
+    top-C kept) — ≤ ``capacity`` rows per batch through the exchange no
+    matter the vocabulary size. Stage 2 sums summaries and takes the top
+    4k candidate terms. Stage 3 re-counts ONLY the candidates exactly
+    (broadcast set, one combiner groupby) and returns the true top-k.
+
+    Exactness bound: a true top-k term is missed only if its count is
+    within N/capacity of the (k+1)-th term's count summed over batches —
+    with the default capacity the candidate pool is a provable superset
+    whenever count_k − count_{k+1} > 2·N/capacity; the exact re-count
+    then makes the final ranks and counts exact, so the result is
+    SQL-oracle-comparable."""
+    import ray
+    from collections import Counter
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            c.update((txt.as_py() or "").split())
+        if len(c) > capacity:
+            counts = sorted(c.values(), reverse=True)
+            thr = counts[capacity]  # (C+1)-th largest
+            c = Counter({w: n - thr for w, n in c.items() if n > thr})
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "est": pa.array(vs, pa.int64())})
+
+    cand = (
+        docs_ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("est")
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "neg": pc.negate(t.column("sum(est)"))})
+
+    cand_terms = {
+        r["term"]
+        for b in cand.map_batches(neg, batch_format="pyarrow")
+        .sort(["neg", "term"]).limit(4 * k)
+        .iter_batches(batch_format="pandas")
+        for r in b.to_dict("records")
+    }
+    ref = ray.put(cand_terms)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            c.update(w for w in (txt.as_py() or "").split() if w in keep)
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array(vs, pa.int64())})
+
+    exact = (
+        docs_ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "n": t.column("sum(n)"),
+                         "neg": pc.negate(t.column("sum(n)"))})
+
+    return (
+        exact.map_batches(shape, batch_format="pyarrow")
+        .sort(["neg", "term"]).limit(k).drop_columns(["neg"])
+    )

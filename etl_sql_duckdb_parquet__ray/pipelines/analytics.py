@@ -1007,3 +1007,72 @@ def value_histogram(sf_dir: str, nbins: int = 16):
 
     out = ds.map_batches(binit, batch_format="pyarrow").groupby("bin").aggregate(Count())
     return _rename(out, ["bin", "n"])
+
+
+def funnel_click_purchase(sf_dir: str):
+    """Two-stage event funnel (sequence analytics, beyond the reference):
+    stage 1 = users with a click; stage 2 = users with a purchase STRICTLY
+    after their first click. One hash-partition by user; per-group flags
+    are two vectorized comparisons; only two counters leave each group."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g.loc[g["event_type"] == "click", "ts"]
+        if clicks.empty:
+            return pd.DataFrame({"s1": [0], "s2": [0]})
+        first = clicks.min()
+        conv = int(
+            ((g["event_type"] == "purchase") & (g["ts"] > first)).any()
+        )
+        return pd.DataFrame({"s1": [1], "s2": [conv]})
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(flags, batch_format="pandas")
+        .aggregate(Sum("s1"), Sum("s2"))
+    )
+    s1, s2 = int(agg["sum(s1)"]), int(agg["sum(s2)"])
+    return pa.table(
+        {
+            "stage": pa.array(["click", "click>purchase"]),
+            "n_users": pa.array([s1, s2], type=pa.int64()),
+        }
+    )
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort/retention matrix (beyond the reference): cohort_day = day of
+    a user's FIRST event; offset_day = activity day - cohort day;
+    n_users = distinct active users per (cohort, offset). Shuffle 1
+    partitions by user and emits each user's DISTINCT (cohort, offset)
+    pairs (deduped inside the group worker, so shuffle 2 counts unique
+    users by construction — no COUNT(DISTINCT) exchange)."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(_ts_us(t.column("ts")), US_PER_DAY),
+            }
+        )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["day"].to_numpy()
+        cohort = int(days.min())
+        offs = np.unique(days - cohort)
+        return pd.DataFrame(
+            {
+                "cohort_day": np.full(len(offs), cohort, dtype=np.int64),
+                "offset_day": offs.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_day, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(offsets, batch_format="pandas")
+        .groupby(["cohort_day", "offset_day"])
+        .aggregate(Count())
+    )
+    return _rename(out, ["cohort_day", "offset_day", "n_users"])

@@ -766,3 +766,55 @@ def test_mad_by_group_small(ray_session):
     assert df.loc["x", "mad"] == 1.0
     # y: lower median 10 -> |dev| = [0,10] -> lower median (rank ceil(.5*2)-1=0) = 0
     assert df.loc["y", "mad"] == 0.0
+
+
+def test_heavy_hitters_mg_compression_path_still_exact(ray_session):
+    """capacity << vocab forces real Misra-Gries compression in every batch;
+    the exact re-count pass must still return the true top-k with true
+    counts (the planted heavy terms dominate the bound)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_sql_duckdb_parquet__ray.functions.text import heavy_hitter_terms
+
+    rng = np.random.default_rng(3)
+    docs = []
+    truth: Counter = Counter()
+    for i in range(200):
+        words = [f"tail{rng.integers(0, 5000)}" for _ in range(30)]
+        words += ["hot%d" % (i % 5)] * 20  # 5 planted heavy hitters
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+        truth.update(words)
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(8)
+    got = heavy_hitter_terms(ds, k=5, capacity=64).to_pandas()
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["term"], got["n"])) == [(t, n) for t, n in exp]
+    assert set(got["term"]) == {f"hot{i}" for i in range(5)}
+
+
+def test_funnel_purchase_before_click_does_not_convert(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pa.array([10, 20, 30, 40, 5], type=pa.timestamp("us")),
+            "user_id": [1, 1, 2, 2, 2],
+            "event_type": ["click", "purchase",   # user 1: converts
+                           "purchase", "click",   # user 2: purchase at 30
+                           "purchase"],           #   before click at 40 (+5)
+            "value": [0.0] * 5,
+            "props": [""] * 5,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import funnel_click_purchase
+
+    df = funnel_click_purchase(str(tmp_path)).to_pandas().set_index("stage")
+    assert df.loc["click", "n_users"] == 2
+    assert df.loc["click>purchase", "n_users"] == 1
