@@ -272,6 +272,26 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             t0 = time.perf_counter()
             n_conv = decode_dataset(out, conv_id=conv).count()
             t_lookup = min(t_lookup, time.perf_counter() - t0)
+        # time-range read: a 10%-of-span epoch-us window planned straight
+        # off the manifest ts zone maps (chunk pruning) + exact row filter
+        from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+        ranges = [
+            c["ts_range"]
+            for r in load_manifest(out)
+            for c in r["chunks"]
+            if c.get("ts_range")
+        ]
+        lo_us = min(r[0] for r in ranges)
+        hi_us = max(r[1] for r in ranges)
+        t_tswin = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_dataset(
+                out, columns=["conv_id", "turn_idx"],
+                ts_lo=lo_us, ts_hi=lo_us + (hi_us - lo_us) // 10,
+            ).count()
+            t_tswin = min(t_tswin, time.perf_counter() - t0)
         assert n_conv > 0
         return {
             "rows": stats["rows"],
@@ -281,6 +301,7 @@ def encode_bench(num_cpus: int, n_turns: int, warmup: bool = True) -> dict:
             "decode_turns_per_sec": round(stats["rows"] / t_dec, 1),
             "decode_proj2_sec": round(t_proj, 3),
             "decode_conv_lookup_sec": round(t_lookup, 3),
+            "decode_ts_window_sec": round(t_tswin, 3),
             "bytes_out": stats["bytes_out"],
             "bytes_in_arrow": stats["bytes_in"],
             "bytes_per_turn": round(stats["bytes_out"] / stats["rows"], 2),
