@@ -681,7 +681,10 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
         keep = ray.get(ref)
         c: Counter = Counter()
         for txt in t.column(text_col):
-            c.update(w for w in (txt.as_py() or "").split() if w in keep)
+            c.update((txt.as_py() or "").split())
+        # membership filter at VOCAB size, not token count (C-speed update
+        # above; candidate set is tiny)
+        c = Counter({w: n for w, n in c.items() if w in keep})
         if not c:
             return pa.table({"term": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
