@@ -295,12 +295,14 @@ class BucketEncoder:
         mode: str = "balanced",
         state_ref=None,
         with_checksums: bool = True,
+        chunk_order: str = "conv",
     ):
         tune_malloc()
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.mode = mode
         self.with_checksums = with_checksums
+        self.chunk_order = chunk_order
         if state_ref is not None:
             import ray
 
@@ -346,6 +348,27 @@ class BucketEncoder:
                 conv_col.cast(pa.string()),
             )
         body = body.take(pc.sort_indices(body, sort_keys=SORT_KEYS))
+        if self.chunk_order == "time" and "ts" in body.column_names:
+            # time-clustered layout (opt-in): order whole CONVERSATIONS by
+            # (min ts, conv_id) so chunks get tight ts extents and a
+            # time-range read prunes ~to the window fraction. Rows within a
+            # conversation keep their (turn_idx) order — the decode
+            # contract (per-turn text under stable (conv_id, turn_idx)
+            # ordering) is order-free across conversations.
+            cids = np.asarray(body.column("conv_id").cast(pa.large_string()))
+            starts = np.flatnonzero(
+                np.concatenate(([True], cids[1:] != cids[:-1]))
+            )
+            ts64 = np.asarray(
+                body.column("ts").cast(pa.int64()).fill_null(np.iinfo(np.int64).max)
+            )
+            run_min_ts = np.minimum.reduceat(ts64, starts)
+            ends = np.append(starts[1:], len(cids))
+            run_order = np.lexsort((cids[starts], run_min_ts))
+            take = np.concatenate(
+                [np.arange(starts[r], ends[r]) for r in run_order]
+            ) if len(starts) else np.array([], dtype=np.int64)
+            body = body.take(pa.array(take, type=pa.int64()))
         pre = "text_codes" in body.column_names
         chunks: list[bytes] = []
         chunk_meta: list[dict] = []
@@ -354,6 +377,13 @@ class BucketEncoder:
             part = body.slice(lo, self.chunk_rows)
             conv = part.column("conv_id")
             turn = part.column("turn_idx")
+            if self.chunk_order == "time":
+                # conv order is broken by the time clustering: conv_range
+                # must be a computed min/max, not first/last
+                cmm = pc.min_max(conv)
+                conv_lo, conv_hi = str(cmm["min"].as_py()), str(cmm["max"].as_py())
+            else:
+                conv_lo, conv_hi = str(conv[0]), str(conv[-1])
             # conv_range: first/last IS min/max (conv_id is the primary sort
             # key). turn_range must be the TRUE min/max — turn_idx restarts
             # per conversation inside a (conv_id, turn_idx)-sorted chunk, so
@@ -363,7 +393,7 @@ class BucketEncoder:
             tmm = pc.min_max(turn)
             extra = {
                 "bucket": bucket,
-                "conv_range": [str(conv[0]), str(conv[-1])],
+                "conv_range": [conv_lo, conv_hi],
                 "turn_range": [int(tmm["min"].as_py()), int(tmm["max"].as_py())],
             }
             # ts zone map (time-range reads are the common transcript access
@@ -427,12 +457,12 @@ class BucketEncoder:
 _WORKER_ENCODERS: dict[tuple, "BucketEncoder"] = {}
 
 
-def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref) -> pa.Table:
+def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref, chunk_order: str = "conv") -> pa.Table:
     # the broadcast-state identity MUST be part of the key: a reused worker
     # serving a new job would otherwise assemble chunks with a stale symbol
     # table (codes from table B stored next to table A = silent corruption)
     skey = state_ref.hex() if hasattr(state_ref, "hex") else str(id(state_ref))
-    key = (out_dir, chunk_rows, mode, skey)
+    key = (out_dir, chunk_rows, mode, skey, chunk_order)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
         # small capped cache (FIFO evict, same policy as _PRE_INDEX): bounded
@@ -442,7 +472,8 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
         while len(_WORKER_ENCODERS) >= 4:
             _WORKER_ENCODERS.pop(next(iter(_WORKER_ENCODERS)))
         enc = BucketEncoder(
-            out_dir=out_dir, chunk_rows=chunk_rows, mode=mode, state_ref=state_ref
+            out_dir=out_dir, chunk_rows=chunk_rows, mode=mode,
+            state_ref=state_ref, chunk_order=chunk_order,
         )
         _WORKER_ENCODERS[key] = enc
     return enc(group)
@@ -567,6 +598,7 @@ def encode_transcripts(
     hot_convs: dict[str, int] | None = None,
     dict_conv: bool | None = None,
     exchange: str | None = None,
+    chunk_order: str = "conv",
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -713,6 +745,7 @@ def encode_transcripts(
                     "chunk_rows": chunk_rows,
                     "mode": mode,
                     "state_ref": state_ref,
+                    "chunk_order": chunk_order,
                 },
                 batch_format="pyarrow",
                 concurrency=encoder_concurrency or (1, 8),
@@ -729,6 +762,7 @@ def encode_transcripts(
                     chunk_rows=chunk_rows,
                     mode=mode,
                     state_ref=state_ref,
+                    chunk_order=chunk_order,
                 ),
                 batch_format="pyarrow",
             )

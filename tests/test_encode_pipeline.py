@@ -953,3 +953,64 @@ def test_ts_pushdown_on_manifest_without_ts_range(ray_session, tmp_path):
     got = decode_dataset(out, ts_lo=lo).to_pandas()
     exp = (np.arange(n, dtype=np.int64) * 1000 >= lo).sum()
     assert len(got) == exp
+
+
+def test_time_clustered_chunk_order(ray_session, tmp_path):
+    """chunk_order='time': bit-identical roundtrip, strictly better ts-window
+    pruning than the conv order, and conv point lookups still exact (the
+    conv_range zone maps switch to computed min/max)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import plan_chunks
+
+    rng = np.random.default_rng(11)
+    n_conv, turns = 60, 40
+    n = n_conv * turns
+    base = np.repeat(rng.integers(0, 10**9, n_conv), turns)
+    step = np.tile(np.arange(turns, dtype=np.int64) * 1_000, n_conv)
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:05d}" for i in range(n_conv) for _ in range(turns)]),
+            "turn_idx": pa.array(list(range(turns)) * n_conv, type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n // 2)),
+            "text": pa.array([f"msg {i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array((base + step).astype(np.int64), type=pa.timestamp("us")),
+        }
+    )
+    ref = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    out_t = str(tmp_path / "tord")
+    encode_transcripts(
+        ray.data.from_arrow(t), out_t, num_buckets=2, chunk_rows=240,
+        resume=False, chunk_order="time",
+    )
+    got = (
+        decode_dataset(out_t).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+    out_c = str(tmp_path / "cord")
+    encode_transcripts(
+        ray.data.from_arrow(t), out_c, num_buckets=2, chunk_rows=240, resume=False
+    )
+    lo, hi = 100_000_000, 200_000_000
+    pruned_t = sum(len(p["idx"]) for p in plan_chunks(out_t, ts_lo=lo, ts_hi=hi))
+    pruned_c = sum(len(p["idx"]) for p in plan_chunks(out_c, ts_lo=lo, ts_hi=hi))
+    assert pruned_t < pruned_c  # time clustering tightens ts extents
+    win_t = decode_dataset(out_t, ts_lo=lo, ts_hi=hi).to_pandas()
+    win_ref = ref[(ref["ts"].astype("int64") >= lo) & (ref["ts"].astype("int64") <= hi)]
+    assert len(win_t) == len(win_ref)
+
+    # conv point lookup under the time layout
+    conv = "conv-00031"
+    got_conv = (
+        decode_dataset(out_t, conv_id=conv).to_pandas()
+        .sort_values("turn_idx").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_conv, ref[ref["conv_id"] == conv].reset_index(drop=True)
+    )
