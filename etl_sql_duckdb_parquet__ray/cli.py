@@ -52,6 +52,7 @@ def cmd_encode(args) -> int:
         resume=not args.no_resume,
         use_actors=args.use_actors,
         encoder_concurrency=(1, args.concurrency),
+        chunk_order=args.chunk_order,
     )
     print(json.dumps(manifest_stats(args.out)))
     return 0
@@ -208,6 +209,11 @@ def main(argv=None) -> int:
     enc.add_argument("--out", required=True)
     enc.add_argument("--buckets", type=int, default=64)
     enc.add_argument("--chunk-rows", type=int, default=65536)
+    enc.add_argument(
+        "--chunk-order", default="conv", choices=["conv", "time"],
+        help="physical conversation order within a bucket: 'time' tightens "
+             "ts zone maps for time-range reads (see BASELINE.md)",
+    )
     enc.add_argument("--mode", default="balanced", choices=["fast", "balanced"])
     enc.add_argument(
         "--concurrency", type=int, default=8,
