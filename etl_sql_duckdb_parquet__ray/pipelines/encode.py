@@ -348,7 +348,8 @@ class BucketEncoder:
                 conv_col.cast(pa.string()),
             )
         body = body.take(pc.sort_indices(body, sort_keys=SORT_KEYS))
-        if self.chunk_order == "time" and "ts" in body.column_names:
+        if (self.chunk_order == "time" and "ts" in body.column_names
+                and body.num_rows):
             # time-clustered layout (opt-in): order whole CONVERSATIONS by
             # (min ts, conv_id) so chunks get tight ts extents and a
             # time-range read prunes ~to the window fraction. Rows within a
