@@ -1014,3 +1014,76 @@ def test_time_clustered_chunk_order(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got_conv, ref[ref["conv_id"] == conv].reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize("chunk_order", ["conv", "time"])
+def test_pushdown_equivalence_randomized(ray_session, tmp_path, chunk_order):
+    """Randomized pushdown-equivalence sweep: for random transcripts
+    (unicode text, NULs, duplicate ts, hot-ish conv sizes) and random
+    conv/turn/ts filter combinations, the selective decode must equal the
+    in-memory filter of the source table — under BOTH chunk layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(42 if chunk_order == "conv" else 43)
+    sizes = rng.integers(1, 60, 30)
+    conv_ids = np.repeat(
+        np.array([f"c{i:04d}" for i in range(len(sizes))]), sizes
+    )
+    n = len(conv_ids)
+    turn = np.concatenate([np.arange(s) for s in sizes]).astype(np.int32)
+    ts = rng.integers(0, 10**7, n).astype(np.int64)  # duplicates likely
+    texts = [
+        "".join(chr(c) for c in rng.integers(0, 0x300, rng.integers(0, 12)))
+        for _ in range(n)
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array(conv_ids),
+            "turn_idx": pa.array(turn),
+            "role": pa.array(rng.choice(["user", "assistant", "tool"], n)),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / f"rand-{chunk_order}")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=3, chunk_rows=128,
+        resume=False, chunk_order=chunk_order,
+    )
+    src = t.to_pandas()
+    src["ts_us"] = src["ts"].astype("int64")
+    for trial in range(6):
+        kw = {}
+        m = pd.Series(True, index=src.index)
+        if rng.random() < 0.5:
+            conv = str(rng.choice(conv_ids))
+            kw["conv_id"] = conv
+            m &= src["conv_id"] == conv
+        if rng.random() < 0.5:
+            kw["turn_lo"] = int(rng.integers(0, 40))
+            m &= src["turn_idx"] >= kw["turn_lo"]
+        if rng.random() < 0.5:
+            kw["turn_hi"] = int(rng.integers(0, 60))
+            m &= src["turn_idx"] <= kw["turn_hi"]
+        if rng.random() < 0.5:
+            kw["ts_lo"] = int(rng.integers(0, 10**7))
+            m &= src["ts_us"] >= kw["ts_lo"]
+        if rng.random() < 0.5:
+            kw["ts_hi"] = int(rng.integers(0, 10**7))
+            m &= src["ts_us"] <= kw["ts_hi"]
+        if not kw:
+            kw["columns"] = ["conv_id", "turn_idx", "text"]
+        got = decode_dataset(out, **kw).to_pandas()
+        exp = src[m]
+        assert len(got) == len(exp), (trial, kw, len(got), len(exp))
+        if len(got) and "columns" not in kw:
+            got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            exp2 = (
+                exp.drop(columns=["ts_us"])
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, exp2)
