@@ -5,7 +5,9 @@ Two decode paths:
 
 - ``RealDecoder`` — a GENUINE decode kernel for the container-friendly
   formats that need no codec library: WAV (RIFF PCM16 — header walk +
-  ``np.frombuffer``) and PPM P6 (ASCII header + raw RGB). Features are real
+  ``np.frombuffer``), PPM P6 (ASCII header + raw RGB) and 24-bit
+  uncompressed BMP (BITMAPINFOHEADER walk, row padding, BGR order,
+  bottom-up or top-down). Features are real
   signal statistics (dims/sample counts, channel means, RMS, zero-crossing
   rate). Formats that genuinely need PIL/libsndfile (JPEG/PNG/MP3/FLAC)
   raise ``NotImplementedError`` with the exact production call shape.
@@ -124,6 +126,42 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    bottom-up rows, 4-byte row padding, BGR byte order)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → HxWx3 uint8 RGB (bottom-up or top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed (BI_RGB) BMP")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
     """Deterministic media payloads in MEDIA_SCHEMA — REAL format bytes
     (RIFF/PCM16 WAV for audio, P6 PPM for images) so the decode kernel is
@@ -134,9 +172,9 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
     for k in kinds:
         if k == "image":
             w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
-            payloads.append(
-                encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
-            )
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # alternate image container: PPM P6 and 24-bit BMP
+            payloads.append(encode_ppm(px) if rng.random() < 0.5 else encode_bmp(px))
             ws.append(w); hs.append(h); srs.append(-1)
         else:
             n_s = int(rng.integers(128, 2049))
@@ -171,8 +209,8 @@ class RealDecoder:
 
     def _features(self, payload: bytes) -> np.ndarray:
         f = np.zeros(FEATURE_DIM, dtype=np.float64)
-        if payload[:2] == b"P6":
-            px = decode_ppm(payload)
+        if payload[:2] in (b"P6", b"BM"):
+            px = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
             h, w, _ = px.shape
             means = px.reshape(-1, 3).mean(axis=0) / 255.0
             f[:7] = [w, h, 3, means[0], means[1], means[2], px.std() / 255.0]

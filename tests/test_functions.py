@@ -818,3 +818,51 @@ def test_funnel_purchase_before_click_does_not_convert(ray_session, tmp_path):
     df = funnel_click_purchase(str(tmp_path)).to_pandas().set_index("stage")
     assert df.loc["click", "n_users"] == 2
     assert df.loc["click>purchase", "n_users"] == 1
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(9)
+    for w, h in [(5, 3), (4, 4), (7, 1), (1, 6)]:  # odd widths hit padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    # top-down variant (negative height) decodes identically
+    import struct
+
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(px))
+    (hh,) = struct.unpack_from("<i", b, 22)
+    struct.pack_into("<i", b, 22, -hh)
+    stride = (5 * 3 + 3) & ~3
+    rows = np.frombuffer(bytes(b), dtype=np.uint8, count=3 * stride, offset=54).reshape(3, stride).copy()
+    b[54:54 + 3 * stride] = rows[::-1].tobytes()  # un-flip for top-down
+    assert (decode_bmp(bytes(b)) == px).all()
+
+
+def test_real_decoder_bmp_features_match_pixels(ray_session):
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        RealDecoder,
+        encode_bmp,
+    )
+    import pyarrow as pa
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_bmp(px)], type=pa.large_binary()),
+        }
+    )
+    f = RealDecoder()(batch).column("features")[0].as_py()
+    assert f[:3] == [6.0, 4.0, 3.0]
+    assert f[3] == 1.0 and f[4] == 0.0 and f[5] == 0.0  # channel means
