@@ -253,6 +253,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9]
         )
 
+    _encoded_cache: dict[str, str] = {}
+
+    def _encoded_transcripts_dir(sf_dir: str) -> str:
+        # the three encoded-corpus queries (conv_stats / text_search /
+        # ts_window) read the SAME derivation — encode it once per sf_dir
+        # and share the chunk dir instead of tripling the gate's most
+        # expensive stage
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = _encoded_cache.get(sf_dir)
+        if out is None:
+            out = tempfile.mkdtemp(prefix="enc-", dir="/tmp")
+            encode_transcripts(
+                events_to_transcripts(sf_dir), out, num_buckets=8,
+                resume=False, encoder_concurrency=(1, 4),
+            )
+            _encoded_cache[sf_dir] = out
+        return out
+
     def transcript_ts_window(sf_dir: str):
         # time-range read off the ENCODED corpus: manifest ts zone maps
         # prune chunks, exact epoch-us row filter does the rest. Window
@@ -261,13 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
-            decode_dataset,
-            encode_transcripts,
-        )
-        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
-            events_to_transcripts,
-        )
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import decode_dataset
 
         pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
         ts_idx = pf.schema_arrow.get_field_index("ts")
@@ -281,13 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lo = mn + (mx - mn) * 3 // 10
         hi = mn + (mx - mn) * 6 // 10
 
-        out = tempfile.mkdtemp(prefix="tsw-", dir="/tmp")
-        encode_transcripts(
-            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
-            encoder_concurrency=(1, 4),
-        )
         return decode_dataset(
-            out, columns=["conv_id", "turn_idx", "role"], ts_lo=lo, ts_hi=hi
+            _encoded_transcripts_dir(sf_dir),
+            columns=["conv_id", "turn_idx", "role"], ts_lo=lo, ts_hi=hi,
         )
 
     def transcript_conv_stats(sf_dir: str):
@@ -295,32 +307,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived transcripts once, then aggregate over a 3-column
         # projection decode (text/tool payload bytes never leave the
         # chunk files)
-        from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
-        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
-            conv_stats,
-            events_to_transcripts,
-        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import conv_stats
 
-        out = tempfile.mkdtemp(prefix="cs-", dir="/tmp")
-        encode_transcripts(
-            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
-            encoder_concurrency=(1, 4),
-        )
-        return conv_stats(out)
+        return conv_stats(_encoded_transcripts_dir(sf_dir))
 
     def transcript_text_search(sf_dir: str):
-        from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
-        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
-            events_to_transcripts,
-            text_search,
-        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import text_search
 
-        out = tempfile.mkdtemp(prefix="tsr-", dir="/tmp")
-        encode_transcripts(
-            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
-            encoder_concurrency=(1, 4),
-        )
-        return text_search(out, '"k": 6')
+        return text_search(_encoded_transcripts_dir(sf_dir), '"k": 6')
 
     def price_mad_by_flag(sf_dir: str):
         from etl_sql_duckdb_parquet__ray.stages.profile import mad_by_group

@@ -195,7 +195,8 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
 
 class RealDecoder:
     """Actor-pool decode/feature stage with GENUINE decode kernels for
-    WAV (RIFF PCM16) and PPM P6 — pure numpy, no codec libraries. Feature
+    WAV (RIFF PCM16), PPM P6 and 24-bit BMP — pure numpy, no codec
+    libraries. Feature
     vector (FEATURE_DIM floats):
 
     - image: [width, height, 3, mean_r/255, mean_g/255, mean_b/255,
@@ -229,7 +230,7 @@ class RealDecoder:
             f[7] = 1.0
         else:
             raise NotImplementedError(
-                "only WAV(PCM16)/PPM(P6) decodable without codec libraries; "
+                "only WAV(PCM16)/PPM(P6)/BMP(24-bit) decodable without codec libraries; "
                 "production impl: PIL.Image.open(io.BytesIO(payload)) for "
                 "images, soundfile.read(io.BytesIO(payload)) for audio"
             )

@@ -634,27 +634,30 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
     4k candidate terms. Stage 3 re-counts ONLY the candidates exactly
     (broadcast set, one combiner groupby) and returns the true top-k.
 
-    Exactness bound: a true top-k term is missed only if its count is
-    within N/capacity of the (k+1)-th term's count summed over batches —
-    with the default capacity the candidate pool is a provable superset
-    whenever count_k − count_{k+1} > 2·N/capacity; the exact re-count
-    then makes the final ranks and counts exact, so the result is
-    SQL-oracle-comparable."""
+    Exactness is CERTIFIED, never assumed: each batch also ships its MG
+    threshold, so after the re-count the guarantee "every non-candidate's
+    true count ≤ est(last candidate) + Σ thresholds" is checked against
+    the k-th exact count. If the margin fails (near-uniform counts — MG's
+    blind spot), the function falls back to the exact full-vocabulary
+    groupby, so the result is ALWAYS SQL-oracle-exact; the sketch path is
+    a certified fast path."""
     import ray
     from collections import Counter
 
+    # the "" term (impossible for whitespace-split tokens) carries each
+    # batch's MG threshold so Σ thresholds — the total undercount bound —
+    # survives the same groupby-sum as the summaries
     def mg_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for txt in t.column(text_col):
             c.update((txt.as_py() or "").split())
+        thr = 0
         if len(c) > capacity:
             counts = sorted(c.values(), reverse=True)
             thr = counts[capacity]  # (C+1)-th largest
             c = Counter({w: n - thr for w, n in c.items() if n > thr})
-        if not c:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "est": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
+        ks = [""] + list(c.keys())
+        vs = [thr] + list(c.values())
         return pa.table({"term": pa.array(ks, pa.string()),
                          "est": pa.array(vs, pa.int64())})
 
@@ -668,13 +671,27 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
         return pa.table({"term": t.column("term"),
                          "neg": pc.negate(t.column("sum(est)"))})
 
-    cand_terms = {
-        r["term"]
-        for b in cand.map_batches(neg, batch_format="pyarrow")
-        .sort(["neg", "term"]).limit(4 * k)
+    cand = cand.materialize()  # consumed twice: carrier row + top-4k scan
+    urows = cand.filter(
+        lambda r: r["term"] == ""
+    ).take_all()
+    undercount = int(urows[0]["sum(est)"]) if urows else 0
+    cand_est: dict[str, int] = {}
+    for b in (
+        cand.map_batches(neg, batch_format="pyarrow")
+        .sort(["neg", "term"]).limit(4 * k + 1)
         .iter_batches(batch_format="pandas")
-        for r in b.to_dict("records")
-    }
+    ):
+        for r in b.to_dict("records"):
+            if r["term"] != "":
+                cand_est[r["term"]] = int(-r["neg"])
+    cand_est = dict(sorted(cand_est.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * k])
+    cand_terms = set(cand_est)
+    # any term OUTSIDE the candidate set has true count ≤ est_floor +
+    # undercount: unadmitted-but-seen terms est ≤ est of the last admitted
+    # candidate; never-summarized terms est ≤ 0
+    est_floor = min(cand_est.values()) if len(cand_est) >= 4 * k else 0
+    non_cand_bound = est_floor + undercount
     ref = ray.put(cand_terms)
 
     def exact_partial(t: pa.Table) -> pa.Table:
@@ -703,7 +720,32 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
                          "n": t.column("sum(n)"),
                          "neg": pc.negate(t.column("sum(n)"))})
 
-    return (
+    top = (
         exact.map_batches(shape, batch_format="pyarrow")
+        .sort(["neg", "term"]).limit(k).drop_columns(["neg"]).to_pandas()
+    )
+    # CERTIFY the sketch: every non-candidate's true count is provably
+    # ≤ non_cand_bound; the top-k is exact iff the k-th exact count clears
+    # that bound (strict, so boundary ties can't slip through)
+    kth = int(top["n"].iloc[-1]) if len(top) >= k else 0
+    if len(top) >= k and kth > non_cand_bound:
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    # certification failed (near-uniform counts — MG's blind spot): exact
+    # full-vocabulary fallback, same shape as corpus_bigrams' exchange
+    def exact_all(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            c.update((txt.as_py() or "").split())
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array(vs, pa.int64())})
+
+    full = docs_ds.map_batches(exact_all, batch_format="pyarrow").groupby("term").sum("n")
+    return (
+        full.map_batches(shape, batch_format="pyarrow")
         .sort(["neg", "term"]).limit(k).drop_columns(["neg"])
     )

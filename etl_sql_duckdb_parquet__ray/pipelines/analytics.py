@@ -712,7 +712,7 @@ def revenue_rollup(sf_dir: str):
             {
                 "o_custkey": t.column("o_custkey"),
                 "o_orderpriority": t.column("o_orderpriority"),
-                "total_x100": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+                "total_x100": _cents(t.column("o_totalprice")),
             }
         )
 
@@ -794,7 +794,7 @@ def orders_above_customer_avg(sf_dir: str):
             {
                 "o_custkey": t.column("o_custkey"),
                 "o_orderpriority": t.column("o_orderpriority"),
-                "price_x100": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+                "price_x100": _cents(t.column("o_totalprice")),
             }
         )
 
@@ -873,7 +873,7 @@ def quantity_mode_by_flag(sf_dir: str):
         return pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
-                "qty_x100": pc.round(pc.multiply(t.column("l_quantity"), 100.0)).cast(pa.int64()),
+                "qty_x100": _cents(t.column("l_quantity")),
             }
         )
 
@@ -994,6 +994,9 @@ def value_histogram(sf_dir: str, nbins: int = 16):
                          "mx": pa.array([pc.max(c).as_py()], pa.float64())})
 
     agg = ds.map_batches(mm, batch_format="pyarrow").aggregate(AMin("mn"), AMax("mx"))
+    if agg is None or agg.get("min(mn)") is None:  # all-NULL column: the
+        return pa.table({"bin": pa.array([], pa.int64()),  # mirror's WHERE
+                         "n": pa.array([], pa.int64())})   # drops every row
     lo, hi = float(agg["min(mn)"]), float(agg["max(mx)"])
     width = (hi - lo) / float(nbins)
 

@@ -52,8 +52,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = np.round(s.astype("float64"), 6)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
-    sortable = [c for c in df.columns
-                if not (len(df) and isinstance(df[c].iloc[0], (np.ndarray, list, dict, bytes)))]
+    def _is_sortable(col):
+        if not len(df):
+            return True
+        if col.dtype != object:
+            return True
+        return not col.map(
+            lambda v: isinstance(v, (np.ndarray, list, dict, bytes))
+        ).any()
+
+    sortable = [c for c in df.columns if _is_sortable(df[c])]
     if len(df) and sortable:
         df = df.sort_values(sortable, kind="mergesort").reset_index(drop=True)
     return df

@@ -746,7 +746,6 @@ def test_v1_manifest_skips_turn_pruning(ray_session, tmp_path):
     import json
 
     import numpy as np
-    import pandas as pd
     import ray
 
     from etl_sql_duckdb_parquet__ray.pipelines.encode import plan_chunks

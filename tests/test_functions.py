@@ -866,3 +866,28 @@ def test_real_decoder_bmp_features_match_pixels(ray_session):
     f = RealDecoder()(batch).column("features")[0].as_py()
     assert f[:3] == [6.0, 4.0, 3.0]
     assert f[3] == 1.0 and f[4] == 0.0 and f[5] == 0.0  # channel means
+
+
+def test_heavy_hitters_uniform_counts_fall_back_to_exact(ray_session):
+    """Near-uniform counts are MG's blind spot (every batch summary comes
+    back empty); certification must fail and the exact full-vocab fallback
+    must return the true top-k anyway."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_sql_duckdb_parquet__ray.functions.text import heavy_hitter_terms
+
+    rng = np.random.default_rng(5)
+    truth: Counter = Counter()
+    docs = []
+    for _ in range(100):
+        words = [f"u{rng.integers(0, 3000):04d}" for _ in range(40)]
+        docs.append(" ".join(words))
+        truth.update(words)
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(6)
+    got = heavy_hitter_terms(ds, k=10, capacity=32).to_pandas()
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"], got["n"])) == [(t, int(n)) for t, n in exp]
