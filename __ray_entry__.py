@@ -63,6 +63,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = similarity.brute_force_topk(ds, qvec, k=10)
         return top.select_columns(["vec_id"])
 
+    def knn_multi_topk(sf_dir: str):
+        # batched multi-query brute force: ship the (q, d) query matrix
+        # once (ray.put), one matmul per corpus batch — the batched-
+        # inference pattern. Queries = vectors 0..4, read via parquet
+        # row-filter (no full-table driver read).
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 5)],
+        )
+        order = np.argsort(t.column("vec_id").to_numpy())
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )[order]
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = similarity.brute_force_topk_many(ds, Q, k=10)
+        return out.select_columns(["query_idx", "vec_id"])
+
     def ann_ivf_topk(sf_dir: str):
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -455,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q(A.user_sessions),
         "value_outliers": _q(A.value_outliers),
         "knn_topk": knn_topk,
+        "knn_multi_topk": knn_multi_topk,
         # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_proj_pushdown": transcript_proj_pushdown,
@@ -895,6 +917,20 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(embedding,
                            (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
                 FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10) t
+        """,
+        # batched multi-query mirror: one ROW_NUMBER partition per query
+        # vector, same DESC-cosine/vec_id tie order as knn_topk
+        "knn_multi_topk": """
+            SELECT query_idx, vec_id FROM (
+                SELECT CAST(q.vec_id AS BIGINT) AS query_idx, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q
+            ) WHERE rn <= 10
         """,
         # full-probe persisted-IVF == exhaustive search: same oracle shape
         # as knn_topk (verified id-for-id against brute force at sf0.001
