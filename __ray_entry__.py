@@ -337,6 +337,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return text_search(_encoded_transcripts_dir(sf_dir), '"k": 6')
 
+    def corpus_prep_docs(sf_dir: str):
+        from etl_sql_duckdb_parquet__ray.pipelines.corpus_prep import corpus_prep
+
+        return corpus_prep(sf_dir)
+
     def price_mad_by_flag(sf_dir: str):
         from etl_sql_duckdb_parquet__ray.stages.profile import mad_by_group
 
@@ -477,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q(A.value_outliers),
         "knn_topk": knn_topk,
         "knn_multi_topk": knn_multi_topk,
+        "corpus_prep": corpus_prep_docs,
         # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_proj_pushdown": transcript_proj_pushdown,
@@ -1362,6 +1368,84 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT e.user_id) AS n_users
             FROM events e JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # corpus_prep mirror: the composed flagship — langid + quality
+        # filters, benchmark holdout, exact-gram decontamination, exact
+        # dedup keep-MIN(doc_id) — each clause copied verbatim from the
+        # already-oracled per-stage mirrors, composed in the same order as
+        # the streaming pipeline
+        "corpus_prep": r"""
+            WITH lf AS (
+                SELECT doc_id,
+                       regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                           '[^a-zàâäéèêëîïôöùûüñáíóúß''\s]+', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), lh AS (
+                SELECT doc_id, cjk,
+                  len(list_filter(toks, t -> t IN ('a','an','and','as','at','be','by','for','from','have','in','is','it','of','on','or','that','the','this','to','was','with'))) AS n_en,
+                  len(list_filter(toks, t -> t IN ('au','avec','ce','dans','de','des','du','est','et','il','la','le','les','ne','pas','pour','que','qui','se','sur','un','une'))) AS n_fr,
+                  len(list_filter(toks, t -> t IN ('como','con','de','del','el','en','es','la','las','los','más','no','para','pero','por','que','se','su','un','una','y'))) AS n_es,
+                  len(list_filter(toks, t -> t IN ('als','auf','das','dem','den','der','des','die','ein','eine','für','im','ist','mit','nicht','sich','und','von','zu'))) AS n_de
+                FROM lf
+            ), lang AS (
+                SELECT doc_id,
+                       CASE WHEN cjk THEN 'zh'
+                            WHEN GREATEST(n_en, n_fr, n_es, n_de) = 0 THEN 'und'
+                            WHEN n_en = GREATEST(n_en, n_fr, n_es, n_de) THEN 'en'
+                            WHEN n_fr = GREATEST(n_en, n_fr, n_es, n_de) THEN 'fr'
+                            WHEN n_es = GREATEST(n_en, n_fr, n_es, n_de) THEN 'es'
+                            ELSE 'de' END AS lang_pred
+                FROM lh
+            ), qf AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS nc,
+                       CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS np,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS nt,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('a','an','and','as','at','be','by','for','from','have','in','is','it','of','on','or','that','the','this','to','was','with'))) AS DOUBLE) AS hits,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       CAST(FLOOR(100.0 * (
+                           0.3 * LEAST(GREATEST(nc / 500.0, 0.0), 1.0)
+                         + 0.2 * (1.0 - LEAST(GREATEST((np / GREATEST(nc, 1.0)) * 4.0, 0.0), 1.0))
+                         + 0.3 * LEAST(GREATEST((hits / GREATEST(toks, 1.0)) * 3.0, 0.0), 1.0)
+                         + 0.2 * (CASE WHEN nc / GREATEST(nt, 1.0) >= 3.0
+                                        AND nc / GREATEST(nt, 1.0) <= 10.0
+                                  THEN 1.0 ELSE 0.5 END)
+                       )) AS BIGINT) AS quality
+                FROM qf
+            ), kept AS (
+                SELECT d.doc_id, d.text
+                FROM documents d
+                JOIN lang USING (doc_id) JOIN q USING (doc_id)
+                WHERE lang.lang_pred = 'en' AND q.quality >= 55
+                  AND d.doc_id % 20 <> 0
+            ), bwords AS (
+                SELECT list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents WHERE doc_id % 20 = 0
+            ), bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM bwords, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+            ), kwords AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM kept
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                    FROM kwords, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                ) WHERE gram IN (SELECT gram FROM bg)
+            ), clean AS (
+                SELECT doc_id, text FROM kept
+                WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            )
+            SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text
         """,
         # price_mad_by_flag mirror: MAD with quantile_disc (lower-median)
         # semantics for both medians — SQL's mad() interpolates, so the
