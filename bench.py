@@ -76,6 +76,7 @@ QUERY_NAMES = [
     "ann_pq_topk",
     "decontaminate_docs_prod",
     "pack_sequences_prod",
+    "corpus_prep_prod",
 ]
 
 
@@ -88,6 +89,12 @@ def _extra_bench_queries() -> dict:
     import ray
 
     from etl_sql_duckdb_parquet__ray.functions import corpus
+    from etl_sql_duckdb_parquet__ray.pipelines.corpus_prep import corpus_prep
+
+    def _corpus_prep_prod(sf_dir):
+        # the composed flagship (langid -> quality -> decontaminate ->
+        # dedup) on the vectorized SipHash gram path
+        return corpus_prep(sf_dir, hash_fn="siphash")
 
     def _docs(sf_dir, eq=None):
         ds = ray.data.read_parquet(
@@ -110,6 +117,7 @@ def _extra_bench_queries() -> dict:
         "pack_sequences_prod": lambda sf: corpus.pack_sequences(
             _docs(sf), seq_len=2048
         ),
+        "corpus_prep_prod": _corpus_prep_prod,
     }
 
 
