@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q(A.latest_event_per_user),
         "last_purchase_before_event": _q(A.last_purchase_before_event),
         "purchases_last_hour": _q(A.purchases_last_hour),
+        "clicks_after_purchase": _q(A.clicks_after_purchase),
         "orphan_orders": _q(A.orphan_orders),
         "table_counts_union": _q(A.table_counts_union),
         "null_rates_events": _q(A.null_rates_events),
@@ -630,6 +631,14 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id AND p.event_type = 'purchase'
              AND p.ts > e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
             GROUP BY e.event_id, e.user_id, e.ts
+        """,
+        "clicks_after_purchase": """
+            SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 6 HOUR
         """,
         "orphan_orders": """
             SELECT COUNT(*) AS n_orphans

@@ -304,6 +304,70 @@ def last_purchase_before_event(sf_dir: str):
     )
 
 
+def clicks_after_purchase(sf_dir: str):
+    """RANGE (interval) join: every (click, purchase) pair where the same
+    user's click lands inside the 6-hour window after the purchase —
+    `stages/relational.py:range_join` (one union+hash exchange, vectorized
+    searchsorted pair expansion; the inequality-join operator Ray Data
+    lacks). The oracle is the literal inequality join in DuckDB."""
+    from ..stages.relational import range_join
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table(
+            {
+                "click_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "click_ts": t.column("ts"),
+            }
+        )
+
+    WINDOW_US = 6 * 3_600_000_000
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        start = t.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "purchase_id": t.column("event_id"),
+                "purchase_ts": t.column("ts"),
+                "w_start": start,
+                "w_end": pc.add(start, WINDOW_US),
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow")
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    import pyarrow.parquet as pq
+
+    evs = pq.read_schema(f"{sf_dir}/events.parquet")
+    left_schema = pa.schema(
+        [
+            ("click_id", evs.field("event_id").type),
+            ("user_id", evs.field("user_id").type),
+            ("click_ts", evs.field("ts").type),
+        ]
+    )
+    right_schema = pa.schema(
+        [
+            ("user_id", evs.field("user_id").type),
+            ("purchase_id", evs.field("event_id").type),
+            ("purchase_ts", evs.field("ts").type),
+            ("w_start", pa.int64()),
+            ("w_end", pa.int64()),
+        ]
+    )
+    return range_join(
+        left, right, on="user_id", left_ts="click_ts",
+        right_start="w_start", right_end="w_end",
+        right_payload=["purchase_id", "purchase_ts"],
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+
 def purchases_last_hour(sf_dir: str):
     """Sliding-window aggregate: per event, how many of the same user's
     purchases happened in the preceding hour (inclusive of the event's own

@@ -320,6 +320,143 @@ def rolling_window_count(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def range_join(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    right_payload: Sequence[str],
+    closed: str = "left",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Distributed RANGE (interval) join — every (left point, right interval)
+    pair with equal ``on`` key and ``left_ts`` inside
+    ``[right_start, right_end)`` (``closed="left"``, the default) or
+    ``[right_start, right_end]`` (``closed="both"``). The inner-join
+    companion to :func:`asof_join`; Ray Data has no native inequality join.
+
+    Shape: ONE exchange, same as asof_join — both sides padded to a shared
+    schema, unioned, hash-shuffled once by the key. Inside a group the pair
+    expansion is fully vectorized: points sorted once, each interval's match
+    range found with two ``np.searchsorted`` calls, and the pairs emitted
+    with a repeat/cumsum index build — no per-row Python even when intervals
+    overlap arbitrarily. Output size is the true join cardinality (a range
+    join DOES replicate points across overlapping intervals — when only a
+    count is needed use :func:`rolling_window_count`, which never
+    materializes pairs).
+
+    SQL NULL semantics: right rows with a null key/start/end can never
+    match and are dropped at the pad; left rows with a null key or null
+    timestamp never match (inner join — dropped inside the group).
+
+    Partitioning assumption (custom-operator contract): one key's rows fit
+    in a worker; salt hot keys by coarse time range (splitting INTERVALS
+    needs the point side replicated into every salted slot the interval's
+    [start, end) span overlaps — the same boundary-merge trick the encode
+    shuffle documents)."""
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    right_payload = list(right_payload)
+    lschema = _plan_schema(left, left_schema)
+    rschema = _plan_schema(right, right_schema)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    left_cols = list(lschema.names)
+    out_order = left_cols + right_payload
+    end_side = "left" if closed == "left" else "right"
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            t.column(on).is_valid(), t.column(left_ts).is_valid()
+        )
+        t = t.filter(valid)
+        arrays = [t.column(c) for c in left_cols]
+        names = list(left_cols)
+        for c in right_payload:
+            arrays.append(pa.nulls(t.num_rows, type=rtypes[c]))
+            names.append(c)
+        arrays.append(pa.nulls(t.num_rows, type=pa.int64()))
+        names.append("__rs")
+        arrays.append(pa.nulls(t.num_rows, type=pa.int64()))
+        names.append("__re")
+        arrays.append(pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        names.append("__side")
+        return pa.table(dict(zip(names, arrays)))
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.and_(
+                t.column(on).is_valid(), t.column(right_start).is_valid()
+            ),
+            t.column(right_end).is_valid(),
+        )
+        t = t.filter(valid)
+        arrays, names = [], []
+        for c in left_cols:
+            arrays.append(
+                t.column(on) if c == on
+                else pa.nulls(t.num_rows, type=ltypes[c])
+            )
+            names.append(c)
+        for c in right_payload:
+            arrays.append(t.column(c))
+            names.append(c)
+        arrays.append(t.column(right_start).cast(pa.int64()))
+        names.append("__rs")
+        arrays.append(t.column(right_end).cast(pa.int64()))
+        names.append("__re")
+        arrays.append(pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        names.append("__side")
+        return pa.table(dict(zip(names, arrays)))
+
+    lu = left.map_batches(pad_left, batch_format="pyarrow")
+    ru = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lu.union(ru)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        l = g.filter(pa.array(side == 0))
+        empty = pa.table(
+            {c: pa.chunked_array([], type=(ltypes | rtypes)[c])
+             for c in out_order}
+        )
+        if l.num_rows == 0:
+            return empty
+        r = g.filter(pa.array(side == 1))
+        if r.num_rows == 0:
+            return empty
+        l = l.take(pc.sort_indices(l, sort_keys=[(left_ts, "ascending")]))
+        # pad_left dropped null timestamps, so the int64 view is exact
+        pts = np.asarray(l.column(left_ts).cast(pa.int64()).combine_chunks())
+        rs = np.asarray(r.column("__rs"))
+        re_ = np.asarray(r.column("__re"))
+        lo = np.searchsorted(pts, rs, side="left")
+        hi = np.searchsorted(pts, re_, side=end_side)
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        int_idx = np.repeat(np.arange(len(counts)), counts)
+        starts = np.cumsum(counts) - counts
+        pt_idx = (
+            np.arange(total)
+            - np.repeat(starts, counts)
+            + np.repeat(lo, counts)
+        )
+        pt_ind = pa.array(pt_idx.astype(np.int64))
+        int_ind = pa.array(int_idx.astype(np.int64))
+        out_cols = {c: l.column(c).take(pt_ind) for c in left_cols}
+        for c in right_payload:
+            out_cols[c] = r.column(c).take(int_ind)
+        return pa.table({c: out_cols[c] for c in out_order})
+
+    return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
+
+
 def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col: str) -> pa.Table:
     """Nested CASE WHEN over one column: cases = [(op, threshold, label)]
     evaluated in order (reference Q3 qc_status, ``sql/queries.sql:33-38``)."""

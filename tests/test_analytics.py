@@ -221,6 +221,88 @@ def test_asof_join_matches_bruteforce(ray_session, seed):
             assert got == exp, (i, got, exp)
 
 
+def test_range_join_overlap_and_closed_semantics(ray_session):
+    """Pinned RANGE-join semantics: overlapping intervals replicate the
+    point once per matching interval; closed='left' excludes the end bound
+    while closed='both' includes it; null keys/bounds never match."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import range_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, None], type=pa.int64()),
+            "t": pa.array([5, 10, 20, 5, 5], type=pa.int64()),
+            "lid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    # k=1: [0,10) and [5,25) overlap on t in [5,10)
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None], type=pa.int64()),
+            "s": pa.array([0, 5, 0, 0], type=pa.int64()),
+            "e": pa.array([10, 25, None, 9], type=pa.int64()),
+            "iv": pa.array([100, 200, 300, 400], type=pa.int64()),
+        }
+    )
+
+    def run(closed):
+        return range_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", left_ts="t", right_start="s", right_end="e",
+            right_payload=["iv"], closed=closed,
+        ).to_pandas().sort_values(["lid", "iv"], ignore_index=True)
+
+    out = run("left")
+    # t=5 matches both intervals; t=10 only [5,25) (end-exclusive);
+    # t=20 only [5,25); k=2's interval has a null end -> dropped;
+    # null left key never matches
+    assert list(zip(out["lid"], out["iv"])) == [
+        (0, 100), (0, 200), (1, 200), (2, 200)
+    ]
+    both = run("both")
+    # closed='both': t=10 now also matches [0,10]
+    assert list(zip(both["lid"], both["iv"])) == [
+        (0, 100), (0, 200), (1, 100), (1, 200), (2, 200)
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_range_join_matches_bruteforce(ray_session, seed):
+    """Randomized range join vs an O(n*m) reference, with arbitrary
+    interval overlap, empty intervals, and duplicate points."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import range_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = 150, 70
+    lk = rng.integers(0, 5, nl).astype(np.int64)
+    lt = rng.integers(0, 60, nl).astype(np.int64)
+    rk = rng.integers(0, 5, nr).astype(np.int64)
+    rs = rng.integers(0, 60, nr).astype(np.int64)
+    re_ = rs + rng.integers(0, 20, nr)  # some empty ([s, s))
+    left = pa.table({"k": lk, "t": lt, "lid": np.arange(nl, dtype=np.int64)})
+    right = pa.table({"k": rk, "s": rs, "e": re_,
+                      "rid": np.arange(nr, dtype=np.int64)})
+    out = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_ts="t", right_start="s", right_end="e",
+        right_payload=["rid"],
+    ).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    exp = sorted(
+        (int(i), int(j))
+        for i in range(nl) for j in range(nr)
+        if lk[i] == rk[j] and rs[j] <= lt[i] < re_[j]
+    )
+    assert got == exp
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_rolling_window_count_matches_bruteforce(ray_session, seed):
     import numpy as np
