@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             encode_transcripts(
                 events_to_transcripts(sf_dir), out, num_buckets=8,
                 resume=False, encoder_concurrency=(1, 4),
+                text_filters=True,
             )
             _encoded_cache[sf_dir] = out
         return out

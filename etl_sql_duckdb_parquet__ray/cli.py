@@ -53,6 +53,7 @@ def cmd_encode(args) -> int:
         use_actors=args.use_actors,
         encoder_concurrency=(1, args.concurrency),
         chunk_order=args.chunk_order,
+        text_filters=args.text_filters,
     )
     print(json.dumps(manifest_stats(args.out)))
     return 0
@@ -72,10 +73,12 @@ def cmd_decode(args) -> int:
         turn_hi=args.turn_hi,
         ts_lo=args.ts_lo,
         ts_hi=args.ts_hi,
+        text_contains=args.text_contains,
     )
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None
-                    or args.ts_lo is not None or args.ts_hi is not None)
+                    or args.ts_lo is not None or args.ts_hi is not None
+                    or args.text_contains is not None)
     if pushdown:
         # selective decode: STREAM the write (a projection over the full
         # dataset must not pin everything in the object store), then count
@@ -225,6 +228,11 @@ def main(argv=None) -> int:
         help="explicit actor-pool encoder (long-lived cluster jobs)",
     )
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument(
+        "--text-filters", action="store_true",
+        help="store per-chunk trigram Bloom filters in the manifest for "
+             "substring data skipping (decode --text-contains)",
+    )
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode", help="decode chunks back to parquet")
@@ -245,6 +253,12 @@ def main(argv=None) -> int:
         help="time-range read: ISO timestamp or int epoch-us (inclusive)",
     )
     dec.add_argument("--ts-hi", default=None)
+    dec.add_argument(
+        "--text-contains", default=None,
+        help="substring predicate on text; prunes chunks via manifest "
+             "trigram filters when the corpus was encoded with "
+             "--text-filters",
+    )
     dec.set_defaults(fn=cmd_decode)
 
     cp = sub.add_parser(

@@ -409,6 +409,42 @@ def train_fsst(
     return table
 
 
+def fsst_decode_stream(codes_b: bytes, lits_b: bytes, table: list[bytes]) -> bytes:
+    """Decode a flat FSST code stream back to the concatenated plaintext
+    bytes. Fully vectorized: pad symbols into a (256, wp) byte matrix
+    (wp = symbol width rounded to a power of two), gather rows by code
+    as SINGLE WORDS (uint16/32/64 view — ~4x faster than a 2-D
+    axis-0 take), then boolean-mask-flatten (row-major) — this IS the
+    concatenation, with zero per-token Python. The prefix mask is
+    itself a 256-row table gathered the same way (it depends only on
+    the code), so no per-row length compare is materialized. Gathers
+    land in reusable scratch (see _scratch: fresh pages are
+    pathologically slow to first-touch on this host class)."""
+    codes = np.frombuffer(codes_b, dtype=np.uint8)
+    nc = len(codes)
+    w = max((len(s) for s in table), default=1)
+    wp = 1 << max(w - 1, 0).bit_length()  # 1,2,4,8
+    word = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[wp]
+    mat = np.zeros((256, wp), dtype=np.uint8)
+    msk = np.zeros((256, wp), dtype=np.uint8)
+    for i, s in enumerate(table):
+        mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        msk[i, : len(s)] = 1
+    msk[255, 0] = 1  # escape: one literal byte
+    matw = mat.view(word).ravel()
+    mskw = msk.view(word).ravel()
+    bw = _scratch("dec_bw", nc, word)
+    mw = _scratch("dec_mw", nc, word)
+    np.take(matw, codes, out=bw)
+    np.take(mskw, codes, out=mw)
+    big = bw.view(np.uint8).reshape(nc, wp)
+    mask = mw.view(np.uint8).reshape(nc, wp).view(np.bool_)
+    esc = codes == 255
+    if esc.any():
+        big[esc, 0] = np.frombuffer(lits_b, dtype=np.uint8)
+    return big.ravel()[mask.ravel()].tobytes()
+
+
 class FsstCodec:
     name = "fsst"
     _post_zstd = False
@@ -454,38 +490,7 @@ class FsstCodec:
             sections = [zstd_decompress(s, r) for s, r in zip(sections, meta["raw"])]
         tbl_b, codes_b, lits_b, lens_b = sections
         table = unpack_sections(tbl_b) if tbl_b else []
-        codes = np.frombuffer(codes_b, dtype=np.uint8)
-        nc = len(codes)
-        # fully vectorized decode: pad symbols into a (256, wp) byte matrix
-        # (wp = symbol width rounded to a power of two), gather rows by code
-        # as SINGLE WORDS (uint16/32/64 view — ~4x faster than a 2-D
-        # axis-0 take), then boolean-mask-flatten (row-major) — this IS the
-        # concatenation, with zero per-token Python. The prefix mask is
-        # itself a 256-row table gathered the same way (it depends only on
-        # the code), so no per-row length compare is materialized. Gathers
-        # land in reusable scratch (see _scratch: fresh pages are
-        # pathologically slow to first-touch on this host class).
-        w = max((len(s) for s in table), default=1)
-        wp = 1 << max(w - 1, 0).bit_length()  # 1,2,4,8
-        word = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[wp]
-        mat = np.zeros((256, wp), dtype=np.uint8)
-        msk = np.zeros((256, wp), dtype=np.uint8)
-        for i, s in enumerate(table):
-            mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            msk[i, : len(s)] = 1
-        msk[255, 0] = 1  # escape: one literal byte
-        matw = mat.view(word).ravel()
-        mskw = msk.view(word).ravel()
-        bw = _scratch("dec_bw", nc, word)
-        mw = _scratch("dec_mw", nc, word)
-        np.take(matw, codes, out=bw)
-        np.take(mskw, codes, out=mw)
-        big = bw.view(np.uint8).reshape(nc, wp)
-        mask = mw.view(np.uint8).reshape(nc, wp).view(np.bool_)
-        esc = codes == 255
-        if esc.any():
-            big[esc, 0] = np.frombuffer(lits_b, dtype=np.uint8)
-        data = big.ravel()[mask.ravel()].tobytes()
+        data = fsst_decode_stream(codes_b, lits_b, table)
         lengths = bitunpack(lens_b, meta["lw"], n).astype(np.int64)
         return StringBlob(lengths, data)
 

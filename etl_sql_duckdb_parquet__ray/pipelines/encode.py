@@ -296,6 +296,7 @@ class BucketEncoder:
         state_ref=None,
         with_checksums: bool = True,
         chunk_order: str = "conv",
+        text_filters: bool = False,
     ):
         tune_malloc()
         self.out_dir = out_dir
@@ -303,6 +304,7 @@ class BucketEncoder:
         self.mode = mode
         self.with_checksums = with_checksums
         self.chunk_order = chunk_order
+        self.text_filters = text_filters
         if state_ref is not None:
             import ray
 
@@ -336,6 +338,24 @@ class BucketEncoder:
         i = part.column_names.index("text_codes")
         order = part.column_names[:i] + ["text"] + part.column_names[i + 3 :]
         return part.drop_columns(PRE_COLS), {"order": order, "text": (payload, meta)}
+
+    def _flat_text(self, part: pa.Table) -> bytes:
+        """The chunk's concatenated text bytes, for the trigram filter. On
+        the pre-encode path the plaintext no longer exists post-shuffle —
+        decode the row code streams once (flat, no per-row split; FSST
+        decode is a vectorized gather, a few ms per chunk)."""
+        from ..codecs.base import string_array_to_blob
+
+        if "text_codes" in part.column_names:
+            from ..codecs.fsst import fsst_decode_stream
+
+            codes = string_array_to_blob(part.column("text_codes").combine_chunks())
+            lits = string_array_to_blob(part.column("text_lits").combine_chunks())
+            return fsst_decode_stream(codes.data, lits.data, self.fsst_table or [])
+        if "text" not in part.column_names:
+            return b""
+        filled = pc.fill_null(part.column("text").combine_chunks(), "")
+        return string_array_to_blob(filled).data
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
@@ -405,6 +425,15 @@ class BucketEncoder:
                 smm = pc.min_max(part.column("ts").cast(pa.int64()))
                 if smm["min"].is_valid:
                     extra["ts_range"] = [smm["min"].as_py(), smm["max"].as_py()]
+            filt = None
+            if self.text_filters:
+                # substring data skipping: Bloom over the chunk's distinct
+                # text trigrams, manifest-side only (the data file layout
+                # is unchanged; see filters.py for the exactness argument).
+                # Must run BEFORE _assemble_text consumes the code columns.
+                from ..filters import build_trigram_filter
+
+                filt = build_trigram_filter(self._flat_text(part))
             preencoded = None
             order = None
             if pre:
@@ -422,7 +451,10 @@ class BucketEncoder:
             )
             chunks.append(blob)
             bytes_in += summary["bytes_in"]
-            chunk_meta.append({**extra, "rows": summary["rows"], "codecs": summary["codecs"]})
+            meta_rec = {**extra, "rows": summary["rows"], "codecs": summary["codecs"]}
+            if filt is not None:
+                meta_rec["tri_filter"] = filt
+            chunk_meta.append(meta_rec)
         path = bucket_data_path(self.out_dir, bucket)
         nbytes = write_chunk_file(path, chunks)
         record = {
@@ -458,12 +490,12 @@ class BucketEncoder:
 _WORKER_ENCODERS: dict[tuple, "BucketEncoder"] = {}
 
 
-def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref, chunk_order: str = "conv") -> pa.Table:
+def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref, chunk_order: str = "conv", text_filters: bool = False) -> pa.Table:
     # the broadcast-state identity MUST be part of the key: a reused worker
     # serving a new job would otherwise assemble chunks with a stale symbol
     # table (codes from table B stored next to table A = silent corruption)
     skey = state_ref.hex() if hasattr(state_ref, "hex") else str(id(state_ref))
-    key = (out_dir, chunk_rows, mode, skey, chunk_order)
+    key = (out_dir, chunk_rows, mode, skey, chunk_order, text_filters)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
         # small capped cache (FIFO evict, same policy as _PRE_INDEX): bounded
@@ -475,6 +507,7 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
         enc = BucketEncoder(
             out_dir=out_dir, chunk_rows=chunk_rows, mode=mode,
             state_ref=state_ref, chunk_order=chunk_order,
+            text_filters=text_filters,
         )
         _WORKER_ENCODERS[key] = enc
     return enc(group)
@@ -497,7 +530,7 @@ def _split_by_bucket(block: pa.Table, num_buckets: int) -> list[pa.Table]:
 
 def _direct_exchange_encode(
     bucketed, num_buckets: int, out_dir: str, chunk_rows: int, mode: str,
-    state_ref,
+    state_ref, text_filters: bool = False,
 ) -> None:
     """Raw-task bucket-direct exchange (opt-in ``exchange="direct"``): the
     bucket key is a DENSE int in [0, num_buckets), so the generic sort
@@ -533,7 +566,10 @@ def _direct_exchange_encode(
         if not parts:
             return 0
         group = pa.concat_tables(parts).combine_chunks()
-        _encode_group_task(group, out_dir, chunk_rows, mode, wrapped_state[0])
+        _encode_group_task(
+            group, out_dir, chunk_rows, mode, wrapped_state[0],
+            text_filters=text_filters,
+        )
         return group.num_rows
 
     done = [
@@ -600,8 +636,15 @@ def encode_transcripts(
     dict_conv: bool | None = None,
     exchange: str | None = None,
     chunk_order: str = "conv",
+    text_filters: bool = False,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
+
+    With ``text_filters`` each chunk's manifest record additionally carries
+    a trigram Bloom filter over its text (``filters.py``), enabling
+    substring data skipping at decode (``decode_dataset(text_contains=…)``).
+    Off by default: building it costs one extra flat FSST decode per chunk
+    on the pre-encode path.
 
     Returns the aggregated manifest stats. Idempotent and resumable: with
     ``resume=True`` already-completed buckets are filtered out *before* the
@@ -717,7 +760,8 @@ def encode_transcripts(
     if exchange == "direct":
         # raw-task bucket-direct split+reduce (see _direct_exchange_encode)
         _direct_exchange_encode(
-            bucketed, num_buckets, out_dir, chunk_rows, mode, state_ref
+            bucketed, num_buckets, out_dir, chunk_rows, mode, state_ref,
+            text_filters=text_filters,
         )
         return load_manifest(out_dir)
     # scope the shuffle-strategy override to THIS dataset chain's captured
@@ -747,6 +791,7 @@ def encode_transcripts(
                     "mode": mode,
                     "state_ref": state_ref,
                     "chunk_order": chunk_order,
+                    "text_filters": text_filters,
                 },
                 batch_format="pyarrow",
                 concurrency=encoder_concurrency or (1, 8),
@@ -764,6 +809,7 @@ def encode_transcripts(
                     mode=mode,
                     state_ref=state_ref,
                     chunk_order=chunk_order,
+                    text_filters=text_filters,
                 ),
                 batch_format="pyarrow",
             )
@@ -802,6 +848,7 @@ def plan_chunks(
     turn_hi: int | None = None,
     ts_lo: int | None = None,
     ts_hi: int | None = None,
+    text_contains: str | None = None,
 ) -> list[dict]:
     """Zone-map pruning over the lineage manifest: each chunk record carries
     its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
@@ -873,6 +920,14 @@ def plan_chunks(
                     continue
                 if ts_hi is not None and slo > ts_hi:
                     continue
+            if text_contains is not None:
+                # trigram Bloom data skipping (filters.py): False only when
+                # the chunk provably lacks a trigram of the term; chunks
+                # encoded without filters (key absent -> None) always kept
+                from ..filters import filter_may_contain
+
+                if not filter_may_contain(c.get("tri_filter"), text_contains):
+                    continue
             keep.append(i)
         if keep:
             plan.append({"path": r["path"], "idx": keep})
@@ -884,13 +939,15 @@ class _SelectiveDecode:
     column byte ranges (seek I/O), applies the exact row predicate, projects
     to the requested columns."""
 
-    def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None):
+    def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None,
+                 text_contains=None):
         self.columns = columns
         self.conv_id = conv_id
         self.turn_lo = turn_lo
         self.turn_hi = turn_hi
         self.ts_lo = ts_lo
         self.ts_hi = ts_hi
+        self.text_contains = text_contains
         need = set(columns) if columns is not None else None
         if need is not None:
             if conv_id is not None:
@@ -899,6 +956,8 @@ class _SelectiveDecode:
                 need.add("turn_idx")
             if ts_lo is not None or ts_hi is not None:
                 need.add("ts")
+            if text_contains is not None:
+                need.add("text")
         self.read_cols = sorted(need) if need is not None else None
 
     def __call__(self, batch: pa.Table):
@@ -923,6 +982,9 @@ class _SelectiveDecode:
                 if self.ts_hi is not None:
                     m = pc.less_equal(t.column("ts").cast(pa.int64()), self.ts_hi)
                     mask = m if mask is None else pc.and_(mask, m)
+                if self.text_contains is not None:
+                    m = pc.match_substring(t.column("text"), self.text_contains)
+                    mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))  # null ts never matches
                 if self.columns is not None:
@@ -939,6 +1001,7 @@ def decode_dataset(
     turn_hi: int | None = None,
     ts_lo=None,
     ts_hi=None,
+    text_contains: str | None = None,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -952,6 +1015,10 @@ def decode_dataset(
       maps (``plan_chunks``), then apply the exact row filter to the
       survivors. ts bounds accept int epoch-us, datetime, pandas/numpy
       timestamps or ISO strings; the range is inclusive on both ends.
+    - ``text_contains``: substring predicate on ``text`` — chunks encoded
+      with ``text_filters=True`` are pruned via their manifest trigram
+      Bloom filters (terms < 3 bytes and filter-less chunks never prune),
+      survivors get the exact vectorized ``match_substring`` row filter.
 
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
@@ -961,7 +1028,8 @@ def decode_dataset(
     ts_lo = _ts_us_scalar(ts_lo)
     ts_hi = _ts_us_scalar(ts_hi)
     if (columns is None and conv_id is None and turn_lo is None
-            and turn_hi is None and ts_lo is None and ts_hi is None):
+            and turn_hi is None and ts_lo is None and ts_hi is None
+            and text_contains is None):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
@@ -969,14 +1037,28 @@ def decode_dataset(
         return paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         )
-    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi)
+    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
+                       text_contains)
     if not plan:
-        # prune eliminated everything: empty dataset (schema-less is fine
-        # for a no-match lookup)
+        # prune eliminated everything: empty dataset. Use the canonical
+        # transcript dtypes when every requested column is canonical so a
+        # downstream groupby/aggregate still sees its columns; otherwise
+        # fall back to schema-less (fine for a no-match point lookup).
+        canon = {
+            "conv_id": pa.string(), "turn_idx": pa.int32(),
+            "role": pa.string(), "text": pa.string(),
+            "tool": pa.string(), "ts": pa.timestamp("us"),
+        }
+        cols = columns if columns is not None else list(canon)
+        if all(c in canon for c in cols):
+            return ray.data.from_arrow(
+                pa.table({c: pa.array([], type=canon[c]) for c in cols})
+            )
         return ray.data.from_items([]).map_batches(lambda t: t)
     items = ray.data.from_items(plan)
     return items.map_batches(
-        _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi),
+        _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
+                         text_contains),
         batch_format="pyarrow",
         batch_size=1,
     )

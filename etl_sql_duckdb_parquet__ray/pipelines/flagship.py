@@ -86,24 +86,23 @@ def conv_stats(encoded_dir: str):
 
 
 def text_search(encoded_dir: str, term: str):
-    """Substring search over the encoded corpus: decode only (role, text),
-    vectorized ``match_substring`` per batch, per-role match counts. Only
-    (role, flag) partials reach the exchange."""
-    import pyarrow.compute as pc
-
+    """Substring search over the encoded corpus: chunk-level trigram Bloom
+    filters in the manifest prune chunks that provably lack the term
+    (when the corpus was encoded with ``text_filters=True``; survivors and
+    filter-less chunks get the exact vectorized ``match_substring`` row
+    filter inside the selective decode), then per-role match counts — only
+    (role) rows of matching turns leave the decode stage."""
     from ray.data.aggregate import Count
 
-    ds = decode_dataset(encoded_dir, columns=["role", "text"])
-
-    def match(t: pa.Table) -> pa.Table:
-        hit = pc.match_substring(t.column("text"), term)
-        return pa.table({"role": t.column("role")}).filter(pc.fill_null(hit, False))
-
-    out = (
-        ds.map_batches(match, batch_format="pyarrow").groupby("role").aggregate(Count())
+    ds = decode_dataset(encoded_dir, columns=["role"], text_contains=term)
+    out = ds.groupby("role").aggregate(Count())
+    # the aggregate is tiny (<= #roles rows) — collect it. A no-match search
+    # yields ZERO blocks, and Ray drops empty blocks' schema entirely, so a
+    # lazy Dataset cannot carry the (role, n_hits) schema; pandas can.
+    df = out.to_pandas()
+    if df.shape[1] == 2:
+        df.columns = ["role", "n_hits"]
+        return df
+    return pd.DataFrame(
+        {"role": pd.Series(dtype=object), "n_hits": pd.Series(dtype="int64")}
     )
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["role", "n_hits"])
-
-    return out.map_batches(rename, batch_format="pyarrow")

@@ -5,6 +5,7 @@ import glob
 import io
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -1086,3 +1087,139 @@ def test_pushdown_equivalence_randomized(ray_session, tmp_path, chunk_order):
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, exp2)
+
+
+# ---------------------------------------------------------------------------
+# trigram Bloom filters — substring data skipping (filters.py)
+# ---------------------------------------------------------------------------
+
+def test_trigram_filter_never_false_prunes():
+    """Exactness property: EVERY substring (len >= 3) of the indexed bytes
+    must test positive — a false prune would silently drop rows."""
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__ray.filters import (
+        build_trigram_filter, filter_may_contain,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = bytes(rng.integers(32, 127, 5000, dtype=np.uint8))
+    filt = build_trigram_filter(corpus)
+    for _ in range(300):
+        lo = int(rng.integers(0, len(corpus) - 20))
+        ln = int(rng.integers(3, 20))
+        assert filter_may_contain(filt, corpus[lo:lo + ln])
+    # short terms and missing filters never prune
+    assert filter_may_contain(filt, "ab")
+    assert filter_may_contain(None, "anything at all")
+    # an absent trigram prunes (the corpus is printable ASCII; \x01 bytes
+    # cannot occur)
+    assert not filter_may_contain(filt, b"\x01\x01\x01")
+
+
+def test_trigram_filter_adaptive_sizing():
+    from etl_sql_duckdb_parquet__ray.filters import (
+        MAX_BITS, MIN_BITS, build_trigram_filter,
+    )
+
+    small = build_trigram_filter(b"abcabcabc")  # 3 distinct trigrams
+    assert small["m"] == MIN_BITS
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    big = build_trigram_filter(bytes(rng.integers(0, 256, 200000, dtype=np.uint8)))
+    assert big["m"] <= MAX_BITS
+    assert build_trigram_filter(b"ab") is None
+
+
+@pytest.mark.parametrize("pre", [True, False])
+def test_text_filter_pushdown_prunes_and_stays_exact(ray_session, tmp_path, pre):
+    """Both encode paths (map-side pre-FSST and plain) must write chunk
+    trigram filters that (a) prune every chunk for an absent term and
+    (b) never lose a matching row for a present term."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, encode_transcripts, plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(8000, seed=5)
+    out = str(tmp_path / f"tf-{pre}")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=1024,
+        resume=False, pre_encode=pre, text_filters=True,
+    )
+    # every chunk record carries a filter
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    recs = load_manifest(out)
+    n_chunks = sum(len(r["chunks"]) for r in recs)
+    assert n_chunks > 4
+    assert all("tri_filter" in c for r in recs for c in r["chunks"])
+    # absent term: the manifest alone proves no chunk can match
+    assert plan_chunks(out, text_contains="zq#absent#qz") == []
+    # present term: exact row set vs a pandas reference
+    src = t.to_pandas()
+    term = next(s[4:12] for s in src["text"] if s and len(s) > 14)
+    got = (
+        decode_dataset(out, columns=["conv_id", "turn_idx", "text"],
+                       text_contains=term)
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        src[src["text"].fillna("").str.contains(term, regex=False)]
+        [["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # and the pruning is real: fewer chunks planned than the full scan
+    pruned = sum(len(p["idx"]) for p in plan_chunks(out, text_contains=term))
+    assert pruned <= n_chunks
+
+
+def test_text_contains_exact_without_filters(ray_session, tmp_path):
+    """A manifest encoded WITHOUT filters must still answer text_contains
+    exactly (no pruning, row filter only)."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, encode_transcripts, plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(4000, seed=9)
+    out = str(tmp_path / "nofilt")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=1024,
+        resume=False,
+    )
+    n_all = sum(len(p["idx"]) for p in plan_chunks(out))
+    # absent term cannot prune without filters — full plan survives
+    assert sum(
+        len(p["idx"]) for p in plan_chunks(out, text_contains="zq#absent#qz")
+    ) == n_all
+    src = t.to_pandas()
+    term = next(s[2:9] for s in src["text"] if s and len(s) > 10)
+    got = decode_dataset(out, columns=["conv_id", "turn_idx"],
+                         text_contains=term).to_pandas()
+    exp = src[src["text"].fillna("").str.contains(term, regex=False)]
+    assert len(got) == len(exp)
+
+
+def test_text_search_empty_result_keeps_schema(ray_session, tmp_path):
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import encode_transcripts
+    from etl_sql_duckdb_parquet__ray.pipelines.flagship import text_search
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    out = str(tmp_path / "ts-empty")
+    encode_transcripts(
+        ray.data.from_arrow(generate_transcripts(2000, seed=2)), out,
+        num_buckets=2, resume=False, text_filters=True,
+    )
+    df = text_search(out, "zq#absent#qz")  # returns a pandas DataFrame
+    assert list(df.columns) == ["role", "n_hits"]
+    assert len(df) == 0
