@@ -74,11 +74,14 @@ def cmd_decode(args) -> int:
         ts_lo=args.ts_lo,
         ts_hi=args.ts_hi,
         text_contains=args.text_contains,
+        role_eq=args.role_eq,
+        tool_eq=args.tool_eq,
     )
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None
                     or args.ts_lo is not None or args.ts_hi is not None
-                    or args.text_contains is not None)
+                    or args.text_contains is not None
+                    or args.role_eq is not None or args.tool_eq is not None)
     if pushdown:
         # selective decode: STREAM the write (a projection over the full
         # dataset must not pin everything in the object store), then count
@@ -258,6 +261,14 @@ def main(argv=None) -> int:
         help="substring predicate on text; prunes chunks via manifest "
              "trigram filters when the corpus was encoded with "
              "--text-filters",
+    )
+    dec.add_argument(
+        "--role-eq", default=None,
+        help="equality predicate on role; prunes via per-chunk value sets",
+    )
+    dec.add_argument(
+        "--tool-eq", default=None,
+        help="equality predicate on tool; prunes via per-chunk value sets",
     )
     dec.set_defaults(fn=cmd_decode)
 

@@ -425,6 +425,21 @@ class BucketEncoder:
                 smm = pc.min_max(part.column("ts").cast(pa.int64()))
                 if smm["min"].is_valid:
                     extra["ts_range"] = [smm["min"].as_py(), smm["max"].as_py()]
+            # low-cardinality value-set zone maps: the distinct role/tool
+            # values of the chunk (sorted, nulls excluded — equality never
+            # matches NULL in SQL) when few enough to be worth storing; a
+            # role_eq/tool_eq lookup prunes chunks whose set lacks the
+            # value. High-cardinality chunks just omit the key (no pruning).
+            vsets = {}
+            for vcol in ("role", "tool"):
+                if vcol in part.column_names:
+                    u = pc.unique(part.column(vcol)).drop_null()
+                    if len(u) <= 32:
+                        vsets[vcol] = sorted(u.to_pylist())
+            if vsets:
+                extra_vals = vsets
+            else:
+                extra_vals = None
             filt = None
             if self.text_filters:
                 # substring data skipping: Bloom over the chunk's distinct
@@ -454,6 +469,8 @@ class BucketEncoder:
             meta_rec = {**extra, "rows": summary["rows"], "codecs": summary["codecs"]}
             if filt is not None:
                 meta_rec["tri_filter"] = filt
+            if extra_vals is not None:
+                meta_rec["val_sets"] = extra_vals
             chunk_meta.append(meta_rec)
         path = bucket_data_path(self.out_dir, bucket)
         nbytes = write_chunk_file(path, chunks)
@@ -849,6 +866,8 @@ def plan_chunks(
     ts_lo: int | None = None,
     ts_hi: int | None = None,
     text_contains: str | None = None,
+    role_eq: str | None = None,
+    tool_eq: str | None = None,
 ) -> list[dict]:
     """Zone-map pruning over the lineage manifest: each chunk record carries
     its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
@@ -928,6 +947,18 @@ def plan_chunks(
 
                 if not filter_may_contain(c.get("tri_filter"), text_contains):
                     continue
+            vsets = c.get("val_sets")  # absent on older manifests
+            if vsets is not None:
+                # distinct-value zone maps for low-cardinality columns: an
+                # equality lookup prunes chunks whose value set provably
+                # lacks the value (a column omitted from val_sets had too
+                # many distinct values — no pruning for it)
+                if (role_eq is not None and "role" in vsets
+                        and role_eq not in vsets["role"]):
+                    continue
+                if (tool_eq is not None and "tool" in vsets
+                        and tool_eq not in vsets["tool"]):
+                    continue
             keep.append(i)
         if keep:
             plan.append({"path": r["path"], "idx": keep})
@@ -940,7 +971,7 @@ class _SelectiveDecode:
     to the requested columns."""
 
     def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None,
-                 text_contains=None):
+                 text_contains=None, role_eq=None, tool_eq=None):
         self.columns = columns
         self.conv_id = conv_id
         self.turn_lo = turn_lo
@@ -948,6 +979,8 @@ class _SelectiveDecode:
         self.ts_lo = ts_lo
         self.ts_hi = ts_hi
         self.text_contains = text_contains
+        self.role_eq = role_eq
+        self.tool_eq = tool_eq
         need = set(columns) if columns is not None else None
         if need is not None:
             if conv_id is not None:
@@ -958,6 +991,10 @@ class _SelectiveDecode:
                 need.add("ts")
             if text_contains is not None:
                 need.add("text")
+            if role_eq is not None:
+                need.add("role")
+            if tool_eq is not None:
+                need.add("tool")
         self.read_cols = sorted(need) if need is not None else None
 
     def __call__(self, batch: pa.Table):
@@ -985,6 +1022,12 @@ class _SelectiveDecode:
                 if self.text_contains is not None:
                     m = pc.match_substring(t.column("text"), self.text_contains)
                     mask = m if mask is None else pc.and_(mask, m)
+                if self.role_eq is not None:
+                    m = pc.equal(t.column("role"), self.role_eq)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if self.tool_eq is not None:
+                    m = pc.equal(t.column("tool"), self.tool_eq)
+                    mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))  # null ts never matches
                 if self.columns is not None:
@@ -1002,6 +1045,8 @@ def decode_dataset(
     ts_lo=None,
     ts_hi=None,
     text_contains: str | None = None,
+    role_eq: str | None = None,
+    tool_eq: str | None = None,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -1019,6 +1064,10 @@ def decode_dataset(
       with ``text_filters=True`` are pruned via their manifest trigram
       Bloom filters (terms < 3 bytes and filter-less chunks never prune),
       survivors get the exact vectorized ``match_substring`` row filter.
+    - ``role_eq`` / ``tool_eq``: equality on the low-cardinality columns —
+      chunks are pruned via the manifest's per-chunk distinct-value sets
+      (``val_sets``, stored when <= 32 distinct values), survivors get the
+      exact equality row filter (NULL never matches).
 
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
@@ -1029,7 +1078,8 @@ def decode_dataset(
     ts_hi = _ts_us_scalar(ts_hi)
     if (columns is None and conv_id is None and turn_lo is None
             and turn_hi is None and ts_lo is None and ts_hi is None
-            and text_contains is None):
+            and text_contains is None and role_eq is None
+            and tool_eq is None):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
@@ -1038,7 +1088,7 @@ def decode_dataset(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         )
     plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                       text_contains)
+                       text_contains, role_eq, tool_eq)
     if not plan:
         # prune eliminated everything: empty dataset. Use the canonical
         # transcript dtypes when every requested column is canonical so a
@@ -1058,7 +1108,7 @@ def decode_dataset(
     items = ray.data.from_items(plan)
     return items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                         text_contains),
+                         text_contains, role_eq, tool_eq),
         batch_format="pyarrow",
         batch_size=1,
     )

@@ -1223,3 +1223,58 @@ def test_text_search_empty_result_keeps_schema(ray_session, tmp_path):
     df = text_search(out, "zq#absent#qz")  # returns a pandas DataFrame
     assert list(df.columns) == ["role", "n_hits"]
     assert len(df) == 0
+
+
+def test_value_set_zone_maps_prune_and_stay_exact(ray_session, tmp_path):
+    """Per-chunk distinct-value sets for role/tool: a tool value confined
+    to one conversation prunes to that conversation's chunks, row results
+    are exact, and an absent value plans zero chunks."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, encode_transcripts, plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(6000, seed=13)
+    # plant a rare tool value into one conversation's rows
+    cid = np.asarray(t.column("conv_id").cast(pa.large_string()))
+    target = cid[0]
+    tool = t.column("tool").to_pylist()
+    planted = 0
+    for i in range(len(tool)):
+        if cid[i] == target:
+            tool[i] = "rare-tool-x"
+            planted += 1
+    t = t.set_column(
+        t.schema.get_field_index("tool"), "tool", pa.array(tool, type=pa.string())
+    )
+    out = str(tmp_path / "vset")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=512,
+        resume=False,
+    )
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    recs = load_manifest(out)
+    n_all = sum(len(r["chunks"]) for r in recs)
+    assert all(
+        "val_sets" in c and "role" in c["val_sets"] and "tool" in c["val_sets"]
+        for r in recs for c in r["chunks"]
+    )
+    kept = sum(
+        len(p["idx"]) for p in plan_chunks(out, tool_eq="rare-tool-x")
+    )
+    assert 0 < kept < n_all
+    got = decode_dataset(out, columns=["conv_id", "turn_idx"],
+                         tool_eq="rare-tool-x").to_pandas()
+    assert len(got) == planted
+    assert set(got["conv_id"]) == {target}
+    # absent value: zero chunks planned
+    assert plan_chunks(out, tool_eq="no-such-tool") == []
+    # role filter: exact row count (role cycles through every chunk — no
+    # pruning, but the row filter must still be exact)
+    src = t.to_pandas()
+    got_role = decode_dataset(out, columns=["conv_id"], role_eq="system").to_pandas()
+    assert len(got_role) == (src["role"] == "system").sum()
