@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad_by_flag": price_mad_by_flag,
         "corpus_bigrams": corpus_bigrams_docs,
         "value_histogram": A.value_histogram,
+        "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
@@ -1556,5 +1557,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events, mm
             WHERE value IS NOT NULL
             GROUP BY 1
+        """,
+        # unpivot mirror: the literal UNION ALL the operator replaces
+        "lineitem_metrics_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem
         """,
     }

@@ -1037,6 +1037,24 @@ def order_only_customers_except(sf_dir: str):
     )
 
 
+def lineitem_metrics_unpivot(sf_dir: str):
+    """UNPIVOT (melt): lineitem's four numeric metric columns to long
+    (l_orderkey, l_linenumber, metric, value) rows —
+    `stages/relational.py:unpivot`, a shuffle-free map. Oracle: the
+    literal 4-way UNION ALL."""
+    from ..stages.relational import unpivot
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+    return unpivot(
+        ds, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def value_histogram(sf_dir: str, nbins: int = 16):
     """Fixed-width histogram of events.value (profiling A-family; the
     reference's profiler summarizes but never bins). Two streaming passes:

@@ -457,6 +457,38 @@ def range_join(
     return both.groupby(on).map_groups(per_key, batch_format="pyarrow")
 
 
+def unpivot(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+):
+    """UNPIVOT / ``pandas.melt`` — wide metric columns to long
+    (id..., metric, value) rows. Embarrassingly parallel: one
+    ``map_batches`` that concatenates a per-metric projection of the batch
+    (id columns zero-copy repeated per metric, values cast to a common
+    type); no shuffle, no driver work, output rows = n x len(value_cols).
+    Reference analog: the pandas ETL's wide-to-long reshapes (melt)."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    vt = value_type or pa.float64()
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: t.column(c) for c in id_cols}
+            cols[var_name] = pa.array(
+                np.full(t.num_rows, vc, dtype=object), type=pa.string()
+            )
+            cols[value_name] = t.column(vc).cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def case_when(batch: pa.Table, column: str, cases: list[tuple], default, out_col: str) -> pa.Table:
     """Nested CASE WHEN over one column: cases = [(op, threshold, label)]
     evaluated in order (reference Q3 qc_status, ``sql/queries.sql:33-38``)."""
