@@ -263,6 +263,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vals = exact_quantiles(ds, "l_extendedprice", qs)
         return pd.DataFrame({"q": qs, "value": vals})
 
+    def price_quantiles_cont(sf_dir: str):
+        # EXACT INTERPOLATED distributed quantiles — DuckDB's own weighted
+        # interpolation form, hash-checked against quantile_cont
+        import pandas as pd
+
+        from etl_sql_duckdb_parquet__ray.stages.profile import quantile_cont
+
+        qs = [0.25, 0.5, 0.75, 0.95]
+        ds = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+        vals = quantile_cont(ds, "l_extendedprice", qs)
+        return pd.DataFrame({"q": qs, "value": vals})
+
     def customer_running_total(sf_dir: str):
         return A.customer_running_total(sf_dir)
 
@@ -513,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_docs": term_search_docs,
         "sample_docs_per_lang": sample_docs_per_lang,
         "price_quantiles": price_quantiles,
+        "price_quantiles_cont": price_quantiles_cont,
         "customer_running_total": customer_running_total,
         "price_quantiles_by_flag": price_quantiles_by_flag,
         "events_by_segment_skewjoin": events_by_segment_skewjoin,
@@ -1221,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
             UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
             UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem
+        """,
+        # price_quantiles_cont mirror: interpolated quantiles; the engine
+        # uses DuckDB's weighted interpolation form for double bit-parity
+        "price_quantiles_cont": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL SELECT 0.95, quantile_cont(l_extendedprice, 0.95) FROM lineitem
         """,
         # customer_running_total mirror: cumulative window sum in integer
         # cents, frame ordered by (date, orderkey) — deterministic because

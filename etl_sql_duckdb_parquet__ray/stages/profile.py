@@ -303,10 +303,17 @@ def exact_quantiles(
     qs: list[float],
     bins: int = 8192,
     collect_cap: int = 5_000_000,
+    ranks_for_n=None,
 ) -> list[float]:
     """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics: the
     element at 0-based rank ``max(ceil(q*n)-1, 0)``) without ever sorting
     or collecting the column.
+
+    With ``ranks_for_n`` (a callable ``n -> list[int]`` of 0-based ranks)
+    the function instead resolves arbitrary order statistics and returns
+    ``{"kind": "ok", "n": n, "values": [...]}`` (or ``{"kind": "empty"}`` /
+    ``{"kind": "const", "value": v}`` for degenerate columns) — the
+    building block :func:`quantile_cont` interpolates on.
 
     Shape: the :func:`approx_quantiles` histogram locates the bin holding
     each target rank; a final pruned pass collects ONLY the values inside
@@ -352,21 +359,35 @@ def exact_quantiles(
 
     col = ds.select_columns([column])
     agg = col.map_batches(_mm, batch_format="pyarrow").aggregate(Min("mn"), Max("mx"))
-    lo_v, hi_v = float(agg["min(mn)"]), float(agg["max(mx)"])
+    # an all-null / empty column aggregates to None (no _mm rows at all)
+    mn_raw, mx_raw = agg["min(mn)"], agg["max(mx)"]
+    lo_v = float(mn_raw) if mn_raw is not None else float("nan")
+    hi_v = float(mx_raw) if mx_raw is not None else float("nan")
     if not np.isfinite(lo_v):
-        return [float("nan") for _ in qs]
+        return (
+            [float("nan") for _ in qs] if ranks_for_n is None
+            else {"kind": "empty"}
+        )
     if hi_v <= lo_v:
-        return [lo_v for _ in qs]
+        return (
+            [lo_v for _ in qs] if ranks_for_n is None
+            else {"kind": "const", "value": lo_v}
+        )
 
     edges = np.linspace(lo_v, hi_v, bins + 1)
     counts = _hist_counts(col, edges)
     cum = np.cumsum(counts)
     n = int(cum[-1])
-    # 0-based target ranks, quantile_disc semantics (same float product
-    # C++ computes, so the rank agrees with the oracle bit-for-bit)
-    ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
+    if ranks_for_n is not None:
+        # generalized mode: caller supplies the 0-based order-statistic
+        # ranks as a function of n (quantile_cont needs floor/ceil pairs)
+        ranks = ranks_for_n(n)
+    else:
+        # 0-based target ranks, quantile_disc semantics (same float product
+        # C++ computes, so the rank agrees with the oracle bit-for-bit)
+        ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
 
-    out: list[float] = [float("nan")] * len(qs)
+    out: list[float] = [float("nan")] * len(ranks)
     # group targets by hit bin; np.histogram's last bin is closed on the
     # right, matching searchsorted on cum with side='right' over rank
     by_bin: dict[int, list[int]] = {}
@@ -404,6 +425,53 @@ def exact_quantiles(
         for i in idxs:
             within = ranks[i] - prev
             out[i] = float(np.partition(vals, within)[within])
+    if ranks_for_n is not None:
+        return {"kind": "ok", "n": n, "values": out}
+    return out
+
+
+def quantile_cont(
+    ds,
+    column: str,
+    qs: list[float],
+    bins: int = 8192,
+    collect_cap: int = 5_000_000,
+) -> list[float]:
+    """EXACT interpolated quantiles (DuckDB ``quantile_cont`` semantics):
+    for each q, with ``h = (n-1)*q``, linearly interpolate between the
+    order statistics at ``floor(h)`` and ``ceil(h)`` using DuckDB's own
+    weighted form ``(ceil(h)-h)*lo + (h-floor(h))*hi`` so doubles agree
+    bit-for-bit with the oracle. Same distributed shape as
+    :func:`exact_quantiles` — the histogram resolves BOTH bracketing ranks
+    in one pruned pass (they almost always share a bin)."""
+    import math
+
+    def ranks_for_n(n: int) -> list[int]:
+        rr = []
+        for q in qs:
+            h = (n - 1) * q
+            rr.append(int(math.floor(h)))
+            rr.append(int(math.ceil(h)))
+        return rr
+
+    res = exact_quantiles(
+        ds, column, qs, bins=bins, collect_cap=collect_cap,
+        ranks_for_n=ranks_for_n,
+    )
+    if res["kind"] == "empty":
+        return [float("nan") for _ in qs]
+    if res["kind"] == "const":
+        return [res["value"] for _ in qs]
+    n, vals = res["n"], res["values"]
+    out = []
+    for i, q in enumerate(qs):
+        h = (n - 1) * q
+        lo_r, hi_r = math.floor(h), math.ceil(h)
+        lo_v, hi_v = vals[2 * i], vals[2 * i + 1]
+        if lo_r == hi_r:
+            out.append(lo_v)
+        else:
+            out.append((hi_r - h) * lo_v + (h - lo_r) * hi_v)
     return out
 
 

@@ -444,3 +444,40 @@ def test_exact_quantiles_matches_numpy_and_refines(ray_session):
     # constant column
     const = ray.data.from_arrow(pa.table({"v": [7.0] * 100}))
     assert exact_quantiles(const, "v", [0.1, 0.9]) == [7.0, 7.0]
+
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    """quantile_cont must reproduce DuckDB's interpolated quantiles
+    bit-for-bit (same weighted interpolation form), including through the
+    refinement path and on constant / single-value columns."""
+    import duckdb
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import quantile_cont
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.normal(50.0, 2.0, 1500), rng.uniform(0, 1e5, 80), [50.0] * 40]
+    )
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": vals}))
+    want = [
+        con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+        for q in qs
+    ]
+    got = quantile_cont(ds, "v", qs, bins=64)
+    assert got == want
+    got_refined = quantile_cont(ds, "v", qs, bins=64, collect_cap=1)
+    assert got_refined == want
+    # constant and single-row columns
+    const = ray.data.from_arrow(pa.table({"v": [3.5] * 10}))
+    assert quantile_cont(const, "v", [0.2, 0.8]) == [3.5, 3.5]
+    one = ray.data.from_arrow(pa.table({"v": [9.0]}))
+    assert quantile_cont(one, "v", [0.5]) == [9.0]
+    # all-null column -> NaN per q
+    import math as _m
+
+    nulls = ray.data.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
+    assert all(_m.isnan(x) for x in quantile_cont(nulls, "v", [0.5]))
