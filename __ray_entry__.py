@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents")
         return dedup.dedup_corpus(ds, threshold=0.7).select_columns(["doc_id"])
 
+    def paragraph_dedup_docs(sf_dir: str):
+        # Dolma/CCNet-style unit dedup: 16-word blocks, keeper = global
+        # min (doc_id, unit_idx), docs reassembled from surviving blocks
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.paragraph_dedup(ds, unit_words=16)
+
     def simhash_docs(sf_dir: str):
         # hash_fn="md5" here so the oracle can reproduce the exact bits via
         # DuckDB's md5_number_lower (pandas SipHash is engine-internal and
@@ -487,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_rates_events": _q(A.null_rates_events),
         "validation_summary": _q(A.validation_summary),
         "dedup_exact_docs": _q(A.dedup_exact_docs),
+        "paragraph_dedup_docs": paragraph_dedup_docs,
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
@@ -680,6 +687,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # paragraph_dedup mirror: same 16-word blocks (1-based inclusive
+        # list slices), same composite keeper key, string_agg skips the
+        # dropped blocks' NULLs; a doc whose blocks all drop aggregates to
+        # NULL text_dedup on both sides
+        "paragraph_dedup_docs": """
+            WITH w AS (
+                SELECT doc_id, str_split(text, ' ') AS words
+                FROM documents WHERE text IS NOT NULL
+            ),
+            u AS (
+                SELECT doc_id, i.i AS unit_idx,
+                       array_to_string(
+                           words[i.i*16+1 : i.i*16+16], ' ') AS unit
+                FROM w, unnest(generate_series(
+                    0, CAST(CEIL(array_length(words)/16.0) AS BIGINT)-1
+                )) AS i(i)
+            ),
+            sel AS (
+                SELECT doc_id, unit_idx, unit,
+                       MIN(doc_id*1048576 + unit_idx)
+                           OVER (PARTITION BY unit) AS keeper
+                FROM u
+            )
+            SELECT doc_id,
+                   string_agg(
+                       CASE WHEN keeper = doc_id*1048576 + unit_idx
+                            THEN unit END, ' ' ORDER BY unit_idx
+                   ) AS text_dedup,
+                   COUNT(*) AS n_units,
+                   CAST(SUM(CASE WHEN keeper <> doc_id*1048576 + unit_idx
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM sel GROUP BY doc_id
         """,
         # Exhaustive word-trigram-Jaccard mirror of functions/dedup.py
         # (shingle_hashes: whitespace tokens -> distinct trigrams, distinct

@@ -853,3 +853,146 @@ def incremental_exact_dedup(new_ds, index_dir: str, max_broadcast: int = 2_000_0
             batch_format="pyarrow",
         )
     return hash_join(new_ds, firsts, on="doc_id", join_type="inner")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma/CCNet-style: drop repeated units across docs)
+# ---------------------------------------------------------------------------
+
+def _unit_rows(t: pa.Table, unit_words: int, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, unit_idx, h1, h2) per fixed-size word block. Only 28 B/row
+    hashes enter the dedup exchange — unit text never leaves the batch.
+    Split semantics mirror DuckDB ``str_split(text, ' ')`` exactly
+    (consecutive spaces yield empty words; NULL text yields no units)."""
+    ids = np.asarray(t.column(id_col))
+    txt = t.column(text_col).to_pylist()
+    out_id, out_idx, units = [], [], []
+    for d, s in zip(ids, txt):
+        if s is None:
+            continue
+        words = s.split(" ")
+        for i in range(0, len(words), unit_words):
+            out_id.append(d)
+            out_idx.append(i // unit_words)
+            units.append(" ".join(words[i:i + unit_words]))
+    ua = np.asarray(units, dtype=object)
+    h1 = pd.util.hash_array(ua, hash_key="paradedupkey___1")
+    h2 = pd.util.hash_array(ua, hash_key="paradedupkey___2")
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+            "unit_idx": pa.array(np.asarray(out_idx, dtype=np.int32)),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+        }
+    )
+
+
+def paragraph_dedup(docs_ds, unit_words: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Paragraph-level exact dedup across the corpus (the Dolma/CCNet unit
+    dedup): documents are split into fixed ``unit_words``-word blocks; every
+    block that already occurred anywhere else in the corpus (keeper = the
+    globally smallest ``(doc_id, unit_idx)``) is dropped, and documents are
+    reassembled from their surviving blocks.
+
+    Scale shape — three stages, text crosses ONE exchange:
+    1. map: (doc_id, unit_idx, 128-bit block hash) — 28 B/unit, no text;
+    2. groupby(hash): keeper = min composite key, emit only DROPPED
+       (doc_id, unit_idx) pairs (tiny — the duplicated fraction);
+    3. groupby(doc_id) over docs UNION dropped-pairs: re-split locally,
+       drop flagged blocks, rejoin. The full text moves once, hash-keyed.
+
+    Composite keeper key is ``doc_id * 2^20 + unit_idx`` (same expression
+    the SQL oracle uses): requires 0 <= doc_id < 2^43 and < 2^20 units per
+    document. Returns (doc_id, text_dedup, n_units, n_dropped);
+    ``text_dedup`` is NULL when every block was dropped (SQL ``string_agg``
+    over zero rows)."""
+    units = docs_ds.map_batches(
+        lambda t: _unit_rows(t, unit_words, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def dropped_in_group(g: pa.Table) -> pa.Table:
+        key = (
+            np.asarray(g.column("doc_id")) * (1 << 20)
+            + np.asarray(g.column("unit_idx"), dtype=np.int64)
+        )
+        keep = key != key.min()
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").filter(pa.array(keep)),
+                "unit_idx": g.column("unit_idx").filter(pa.array(keep)),
+            }
+        )
+
+    dropped = units.groupby(["h1", "h2"]).map_groups(
+        dropped_in_group, batch_format="pyarrow"
+    )
+
+    def pad_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column(id_col).cast(pa.int64()),
+                "text": t.column(text_col),
+                "unit_idx": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int32)
+                ),
+            }
+        )
+
+    def pad_dropped(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pa.nulls(t.num_rows, type=pa.string()),
+                "unit_idx": t.column("unit_idx"),
+            }
+        )
+
+    both = docs_ds.map_batches(pad_docs, batch_format="pyarrow").union(
+        dropped.map_batches(pad_dropped, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        idx = np.asarray(g.column("unit_idx"))
+        doc_rows = np.flatnonzero(idx == -1)
+        if len(doc_rows) == 0:
+            # dropped rows for a doc absent from docs_ds cannot happen
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text_dedup": pa.array([], pa.string()),
+                 "n_units": pa.array([], pa.int64()),
+                 "n_dropped": pa.array([], pa.int64())}
+            )
+        did = int(g.column("doc_id")[0].as_py())
+        s = g.column("text")[int(doc_rows[0])].as_py()
+        if s is None:
+            # NULL text -> no units -> absent from output (mirrors the SQL:
+            # generate_series over NULL emits no unit rows)
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text_dedup": pa.array([], pa.string()),
+                 "n_units": pa.array([], pa.int64()),
+                 "n_dropped": pa.array([], pa.int64())}
+            )
+        drop = set(int(x) for x in idx[idx >= 0])
+        words = s.split(" ")
+        kept_units = []
+        n_units = 0
+        for i in range(0, len(words), unit_words):
+            u = i // unit_words
+            n_units += 1
+            if u not in drop:
+                kept_units.append(" ".join(words[i:i + unit_words]))
+        txt = " ".join(kept_units) if kept_units else None
+        return pa.table(
+            {
+                "doc_id": pa.array([did], pa.int64()),
+                "text_dedup": pa.array([txt], pa.string()),
+                "n_units": pa.array([n_units], pa.int64()),
+                "n_dropped": pa.array([len(drop)], pa.int64()),
+            }
+        )
+
+    return both.groupby("doc_id").map_groups(rebuild, batch_format="pyarrow")

@@ -891,3 +891,49 @@ def test_heavy_hitters_uniform_counts_fall_back_to_exact(ray_session):
     got = heavy_hitter_terms(ds, k=10, capacity=32).to_pandas()
     exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["term"], got["n"])) == [(t, int(n)) for t, n in exp]
+
+
+def test_paragraph_dedup_planted_units(ray_session):
+    """Pinned unit-dedup semantics: keeper = global min (doc_id, unit_idx);
+    later occurrences drop; a doc whose only block is a duplicate gets
+    NULL text_dedup (string_agg over zero kept rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import paragraph_dedup
+
+    u = 4  # 4-word blocks for readability
+    P1 = "a b c d"
+    P2 = "e f g h"
+    P3 = "i j k l"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [f"{P1} {P2}", f"{P2} {P3}", P2, None], type=pa.string()
+            ),
+        }
+    )
+    out = (
+        paragraph_dedup(ray.data.from_arrow(docs), unit_words=u)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # NULL-text doc 4 has no units -> absent entirely
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out.loc[0, "text_dedup"] == f"{P1} {P2}"      # first holder keeps
+    assert out.loc[1, "text_dedup"] == P3                # P2 dropped
+    assert out.loc[2, "text_dedup"] is None or (
+        isinstance(out.loc[2, "text_dedup"], float)
+        and np.isnan(out.loc[2, "text_dedup"])
+    )  # only block was a dup
+    assert out["n_units"].tolist() == [2, 2, 1]
+    assert out["n_dropped"].tolist() == [0, 1, 1]
+    # partial last block: 6 words with u=4 -> units of 4 and 2 words
+    lone = pa.table(
+        {"doc_id": pa.array([9], type=pa.int64()),
+         "text": pa.array(["a b c d e f"], type=pa.string())}
+    )
+    out2 = paragraph_dedup(ray.data.from_arrow(lone), unit_words=u).to_pandas()
+    assert out2.loc[0, "text_dedup"] == "a b c d e f"
+    assert out2.loc[0, "n_units"] == 2 and out2.loc[0, "n_dropped"] == 0
