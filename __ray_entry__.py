@@ -158,6 +158,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents")
         return dedup.dedup_corpus(ds, threshold=0.7).select_columns(["doc_id"])
 
+    def doc_unigram_logprob(sf_dir: str):
+        # unigram LM score (perplexity proxy): corpus unigram distribution
+        # via one vocab-sized combiner exchange, broadcast once, vectorized
+        # per-doc mean ln(count/total)
+        from etl_sql_duckdb_parquet__ray.functions.text import unigram_logprob
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return unigram_logprob(ds)
+
     def paragraph_dedup_docs(sf_dir: str):
         # Dolma/CCNet-style unit dedup: 16-word blocks, keeper = global
         # min (doc_id, unit_idx), docs reassembled from surviving blocks
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_summary": _q(A.validation_summary),
         "dedup_exact_docs": _q(A.dedup_exact_docs),
         "paragraph_dedup_docs": paragraph_dedup_docs,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),
         "column_profile": _q(A.column_profile_lineitem),
@@ -687,6 +697,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # doc_unigram_logprob mirror: same whitespace tokenization, same
+        # double division/log; AVG vs the engine's cumsum-mean differ only
+        # in summation order (<< the gate's 1e-6 rounding)
+        "doc_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> '')) AS term
+                FROM documents
+            ),
+            freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq)
+            SELECT t.doc_id, AVG(LN(f.n / tot.total)) AS logprob,
+                   COUNT(*) AS n_tokens
+            FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         # paragraph_dedup mirror: same 16-word blocks (1-based inclusive
         # list slices), same composite keeper key, string_agg skips the

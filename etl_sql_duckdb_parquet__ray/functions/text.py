@@ -749,3 +749,98 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
         full.map_batches(shape, batch_format="pyarrow")
         .sort(["neg", "term"]).limit(k).drop_columns(["neg"])
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+class _UnigramScore:
+    """Actor-pool scorer: the broadcast (log-prob table, OOV log-prob) is
+    fetched ONCE per worker in ``__init__``; ``__call__`` scores a batch
+    with one vectorized pandas hash lookup over the flat token list and a
+    cumsum segment reduction — no per-token Python."""
+
+    def __init__(self, ref, id_col: str, text_col: str):
+        import ray
+
+        logp, oov = ray.get(ref)
+        self.logp = logp  # pd.Series: term -> ln(n/total)
+        self.oov = oov
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        toks = [s.split() if s else [] for s in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        keep = lens > 0  # zero-token docs are absent (SQL: no unnest rows)
+        flat = [w for ws in toks for w in ws]
+        vals = (
+            pd.Series(flat, dtype=object).map(self.logp)
+            .to_numpy(dtype=np.float64, na_value=self.oov)
+        )
+        cs = np.concatenate(([0.0], np.cumsum(vals)))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        ids = np.asarray(t.column(self.id_col))[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "logprob": pa.array(sums[keep] / lens[keep]),
+                "n_tokens": pa.array(lens[keep]),
+            }
+        )
+
+
+def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                    vocab_top: int | None = None, alpha: float = 0.5):
+    """Unigram language-model score per document — the cheap perplexity
+    proxy corpus-quality filters use (a doc of improbable tokens scores
+    low). ``logprob`` = mean over the doc's tokens of ``ln(count/total)``
+    from the corpus' own unigram distribution; tokens outside the kept
+    vocabulary (only possible with ``vocab_top``) get ``ln(alpha/total)``.
+
+    Scale shape: pass 1 is a combiner counts exchange (vocabulary-sized
+    partials per batch, one groupby-sum — never per-occurrence rows); the
+    vocabulary table is held driver-side and broadcast ONCE (``ray.put``;
+    natural-language vocabularies are ~1e7 terms ≈ 100s of MB — cut with
+    ``vocab_top`` at web scale, which also bounds the broadcast). Pass 2
+    is an actor-pool map with a vectorized lookup. Tokenization matches
+    the SQL mirror (whitespace split, empties dropped — same parity
+    precondition as ``corpus_bigrams``)."""
+    from collections import Counter
+
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            c.update((txt.as_py() or "").split())
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "n": pa.array(vs, pa.int64())})
+
+    freq = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term").sum("n").to_pandas()
+    )
+    freq.columns = ["term", "n"]
+    total = float(freq["n"].sum())
+    if vocab_top is not None and len(freq) > vocab_top:
+        freq = freq.nlargest(vocab_top, "n")
+    logp = pd.Series(
+        np.log(freq["n"].to_numpy(dtype=np.float64) / total),
+        index=freq["term"],
+    )
+    oov = float(np.log(alpha / total)) if total > 0 else float("nan")
+    ref = ray.put((logp, oov))
+    return docs_ds.map_batches(
+        _UnigramScore,
+        fn_constructor_args=(ref, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

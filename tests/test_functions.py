@@ -937,3 +937,36 @@ def test_paragraph_dedup_planted_units(ray_session):
     out2 = paragraph_dedup(ray.data.from_arrow(lone), unit_words=u).to_pandas()
     assert out2.loc[0, "text_dedup"] == "a b c d e f"
     assert out2.loc[0, "n_units"] == 2 and out2.loc[0, "n_dropped"] == 0
+
+
+def test_unigram_logprob_vocab_cut_and_oov(ray_session):
+    """vocab_top keeps the most frequent terms; out-of-vocabulary tokens
+    score ln(alpha/total); zero-token docs are absent."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.text import unigram_logprob
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                ["a a a b", "a rare", "", None], type=pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    out = (
+        unigram_logprob(ds, vocab_top=1, alpha=0.5)
+        .to_pandas().set_index("doc_id")
+    )
+    # corpus counts: a=4, b=1, rare=1 -> total=6; vocab_top=1 keeps only 'a'
+    total = 6.0
+    pa_ = math.log(4 / total)
+    oov = math.log(0.5 / total)
+    assert sorted(out.index) == [1, 2]
+    assert out.loc[1, "logprob"] == pytest.approx((3 * pa_ + oov) / 4, rel=1e-12)
+    assert out.loc[2, "logprob"] == pytest.approx((pa_ + oov) / 2, rel=1e-12)
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[2, "n_tokens"] == 2
