@@ -76,12 +76,14 @@ def cmd_decode(args) -> int:
         text_contains=args.text_contains,
         role_eq=args.role_eq,
         tool_eq=args.tool_eq,
+        conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
     )
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None
                     or args.ts_lo is not None or args.ts_hi is not None
                     or args.text_contains is not None
-                    or args.role_eq is not None or args.tool_eq is not None)
+                    or args.role_eq is not None or args.tool_eq is not None
+                    or args.conv_ids)
     if pushdown:
         # selective decode: STREAM the write (a projection over the full
         # dataset must not pin everything in the object store), then count
@@ -261,6 +263,11 @@ def main(argv=None) -> int:
         help="substring predicate on text; prunes chunks via manifest "
              "trigram filters when the corpus was encoded with "
              "--text-filters",
+    )
+    dec.add_argument(
+        "--conv-ids", default=None,
+        help="comma-separated batch of conversation point lookups "
+             "(one manifest read per distinct home bucket)",
     )
     dec.add_argument(
         "--role-eq", default=None,

@@ -868,6 +868,7 @@ def plan_chunks(
     text_contains: str | None = None,
     role_eq: str | None = None,
     tool_eq: str | None = None,
+    conv_ids: Sequence[str] | None = None,
 ) -> list[dict]:
     """Zone-map pruning over the lineage manifest: each chunk record carries
     its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
@@ -885,29 +886,41 @@ def plan_chunks(
     zone maps alone barely prune across buckets). Conversations in the
     salted hot set, and outputs without meta, fall back to the zone scan."""
     meta = load_run_meta(out_dir)
+    if conv_ids is not None:
+        if conv_id is not None:
+            raise ValueError("pass conv_id or conv_ids, not both")
+        conv_ids = sorted(set(conv_ids))
+    point_set = [conv_id] if conv_id is not None else conv_ids
     if (
-        conv_id is not None
+        point_set
         and meta
         and meta.get("hash") == "pd-siphash-default"
-        and conv_id not in meta.get("hot_convs", {})
+        and not any(c in meta.get("hot_convs", {}) for c in point_set)
     ):
-        # home-bucket shortcut: read ONE bucket record instead of the whole
-        # manifest (at 10^5 buckets a point lookup must not pay 10^5 JSON
-        # reads just to plan)
+        # home-bucket shortcut: read only the looked-up conversations' own
+        # bucket records instead of the whole manifest (at 10^5 buckets a
+        # point lookup must not pay 10^5 JSON reads just to plan). A batch
+        # of conv_ids reads one record per DISTINCT home bucket.
         import json
 
         from ..state.manifest import bucket_data_path, bucket_manifest_path
 
-        home = int(
-            conv_bucket(pa.array([conv_id]), int(meta["num_buckets"]))[0]
+        homes = sorted(
+            set(int(b) for b in conv_bucket(
+                pa.array(point_set), int(meta["num_buckets"])
+            ))
         )
-        mpath = bucket_manifest_path(out_dir, home)
-        if not os.path.exists(mpath):
-            return []  # bucket never completed -> no rows for this conv
-        with open(mpath) as f:
-            rec = json.load(f)
-        rec["path"] = bucket_data_path(out_dir, home)  # re-root (moved dirs)
-        records = [rec]
+        records = []
+        for home in homes:
+            mpath = bucket_manifest_path(out_dir, home)
+            if not os.path.exists(mpath):
+                continue  # bucket never completed -> no rows live there
+            with open(mpath) as f:
+                rec = json.load(f)
+            rec["path"] = bucket_data_path(out_dir, home)  # re-root
+            records.append(rec)
+        if not records:
+            return []
     else:
         records = load_manifest(out_dir)
         if not records:
@@ -925,6 +938,14 @@ def plan_chunks(
             if conv_id is not None:
                 lo, hi = c["conv_range"]
                 if not (lo <= conv_id <= hi):
+                    continue
+            if conv_ids is not None:
+                lo, hi = c["conv_range"]
+                # sorted lookup set: any conv in [lo, hi]?
+                import bisect
+
+                j = bisect.bisect_left(conv_ids, lo)
+                if j >= len(conv_ids) or conv_ids[j] > hi:
                     continue
             if turn_prunable:
                 tlo, thi = c["turn_range"]
@@ -971,9 +992,13 @@ class _SelectiveDecode:
     to the requested columns."""
 
     def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None,
-                 text_contains=None, role_eq=None, tool_eq=None):
+                 text_contains=None, role_eq=None, tool_eq=None, conv_ids=None):
         self.columns = columns
         self.conv_id = conv_id
+        self.conv_ids = (
+            pa.array(sorted(set(conv_ids)), type=pa.string())
+            if conv_ids is not None else None
+        )
         self.turn_lo = turn_lo
         self.turn_hi = turn_hi
         self.ts_lo = ts_lo
@@ -983,7 +1008,7 @@ class _SelectiveDecode:
         self.tool_eq = tool_eq
         need = set(columns) if columns is not None else None
         if need is not None:
-            if conv_id is not None:
+            if conv_id is not None or conv_ids is not None:
                 need.add("conv_id")
             if turn_lo is not None or turn_hi is not None:
                 need.add("turn_idx")
@@ -1007,6 +1032,9 @@ class _SelectiveDecode:
                 mask = None
                 if self.conv_id is not None:
                     mask = pc.equal(t.column("conv_id"), self.conv_id)
+                if self.conv_ids is not None:
+                    m = pc.is_in(t.column("conv_id"), value_set=self.conv_ids)
+                    mask = m if mask is None else pc.and_(mask, m)
                 if self.turn_lo is not None:
                     m = pc.greater_equal(t.column("turn_idx"), self.turn_lo)
                     mask = m if mask is None else pc.and_(mask, m)
@@ -1047,6 +1075,7 @@ def decode_dataset(
     text_contains: str | None = None,
     role_eq: str | None = None,
     tool_eq: str | None = None,
+    conv_ids: Sequence[str] | None = None,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -1064,6 +1093,9 @@ def decode_dataset(
       with ``text_filters=True`` are pruned via their manifest trigram
       Bloom filters (terms < 3 bytes and filter-less chunks never prune),
       survivors get the exact vectorized ``match_substring`` row filter.
+    - ``conv_ids``: a BATCH of conversation point lookups — plans one
+      manifest read per distinct home bucket (same deterministic-hash
+      shortcut as ``conv_id``), exact ``is_in`` row filter on survivors.
     - ``role_eq`` / ``tool_eq``: equality on the low-cardinality columns —
       chunks are pruned via the manifest's per-chunk distinct-value sets
       (``val_sets``, stored when <= 32 distinct values), survivors get the
@@ -1079,7 +1111,7 @@ def decode_dataset(
     if (columns is None and conv_id is None and turn_lo is None
             and turn_hi is None and ts_lo is None and ts_hi is None
             and text_contains is None and role_eq is None
-            and tool_eq is None):
+            and tool_eq is None and conv_ids is None):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
@@ -1088,7 +1120,7 @@ def decode_dataset(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         )
     plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                       text_contains, role_eq, tool_eq)
+                       text_contains, role_eq, tool_eq, conv_ids)
     if not plan:
         # prune eliminated everything: empty dataset. Use the canonical
         # transcript dtypes when every requested column is canonical so a
@@ -1108,7 +1140,7 @@ def decode_dataset(
     items = ray.data.from_items(plan)
     return items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                         text_contains, role_eq, tool_eq),
+                         text_contains, role_eq, tool_eq, conv_ids),
         batch_format="pyarrow",
         batch_size=1,
     )

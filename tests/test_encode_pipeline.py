@@ -1278,3 +1278,87 @@ def test_value_set_zone_maps_prune_and_stay_exact(ray_session, tmp_path):
     src = t.to_pandas()
     got_role = decode_dataset(out, columns=["conv_id"], role_eq="system").to_pandas()
     assert len(got_role) == (src["role"] == "system").sum()
+
+
+def test_multi_conv_batch_lookup(ray_session, tmp_path):
+    """conv_ids batch point lookup: plans only the distinct home buckets'
+    records, returns exactly the requested conversations' rows, and falls
+    back safely when a requested conversation is in the salted hot set."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, encode_transcripts, plan_chunks,
+    )
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(12000, seed=31)
+    out = str(tmp_path / "multi")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=8, chunk_rows=1024,
+        resume=False,
+    )
+    src = t.to_pandas()
+    convs = sorted(src["conv_id"].unique())
+    want = [convs[0], convs[7], convs[23], convs[101 % len(convs)]]
+    got = (
+        decode_dataset(out, conv_ids=want)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = (
+        src[src["conv_id"].isin(want)]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the plan touches at most len(want) bucket files (home buckets only)
+    plan = plan_chunks(out, conv_ids=want)
+    assert 0 < len(plan) <= len(want)
+    # conv_id and conv_ids are mutually exclusive
+    with pytest.raises(ValueError):
+        plan_chunks(out, conv_id=want[0], conv_ids=want)
+    # empty lookups plan nothing and decode to an empty typed dataset
+    assert plan_chunks(out, conv_ids=["conv-does-not-exist"]) == []
+    empty = decode_dataset(out, columns=["conv_id"],
+                           conv_ids=["conv-does-not-exist"]).to_pandas()
+    assert len(empty) == 0
+
+
+def test_multi_conv_lookup_with_hot_conversation(ray_session, tmp_path):
+    """A salted hot conversation in the batch forces the zone-scan
+    fallback; results stay exact across its salted chunks."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, encode_transcripts,
+    )
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_run_meta
+
+    small = generate_transcripts(60, seed=3)
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * 4000),
+            "turn_idx": pa.array(range(4000), type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * 2000),
+            "text": pa.array([f"turn {i}" for i in range(4000)]),
+            "tool": pa.array([None] * 4000, type=pa.string()),
+            "ts": pa.array(range(4000), type=pa.timestamp("us")),
+        }
+    )
+    both = pa.concat_tables([small, hot])
+    out = str(tmp_path / "hotmulti")
+    encode_transcripts(
+        ray.data.from_arrow(both), out, num_buckets=4, chunk_rows=1024,
+        resume=False, hot_convs={"conv-hot": 4000},
+    )
+    assert "conv-hot" in (load_run_meta(out) or {}).get("hot_convs", {})
+    other = small.column("conv_id")[0].as_py()
+    got = (
+        decode_dataset(out, conv_ids=["conv-hot", other])
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = (
+        both.to_pandas()
+        .query("conv_id in ('conv-hot', @other)")
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
