@@ -351,6 +351,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role"], ts_lo=lo, ts_hi=hi,
         )
 
+    def transcript_token_totals(sf_dir: str):
+        # schema evolution over the ENCODED corpus: derive a per-turn token
+        # count as a sidecar column (main files untouched, resumable), then
+        # aggregate per conversation off a 2-column projection decode
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset, derive_column,
+        )
+        from ray.data.aggregate import Count, Sum
+
+        out = _encoded_transcripts_dir(sf_dir)
+
+        def n_tokens(chunk):
+            # self-contained imports: the closure ships to Ray workers that
+            # never import this (dynamically loaded) driver module
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # SQL-parity tokenization: \s+ split, empties dropped
+            toks = pc.split_pattern_regex(
+                pc.coalesce(chunk.column("text"), ""), r"\s+"
+            ).combine_chunks()
+            n_all = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+            flat = pc.list_flatten(toks)
+            emp = np.asarray(pc.equal(flat, "")).astype(np.int64)
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            cs = np.concatenate(([0], np.cumsum(emp)))
+            n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+            return pa.array((n_all - n_emp).astype(np.int32))
+
+        derive_column(out, "n_tokens", n_tokens, ["text"])
+        ds = decode_dataset(out, columns=["conv_id", "n_tokens"])
+
+        def widen(t):
+            import pyarrow as pa
+
+            return t.set_column(
+                t.schema.get_field_index("n_tokens"), "n_tokens",
+                t.column("n_tokens").cast(pa.int64()),
+            )
+
+        agg = (
+            ds.map_batches(widen, batch_format="pyarrow")
+            .groupby("conv_id").aggregate(Sum("n_tokens"), Count())
+        )
+
+        def rename(t):
+            return t.rename_columns(["conv_id", "total_tokens", "n_turns"])
+
+        return agg.map_batches(rename, batch_format="pyarrow")
+
     def transcript_conv_stats(sf_dir: str):
         # catalog-style stats straight off the ENCODED corpus: encode the
         # derived transcripts once, then aggregate over a 3-column
@@ -560,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "transcript_conv_stats": transcript_conv_stats,
+        "transcript_token_totals": transcript_token_totals,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
         "heavy_hitter_terms": heavy_hitter_terms_docs,
@@ -1592,6 +1647,24 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts, event_id) AS rn
                 FROM events) t
             GROUP BY 1
+        """,
+        # transcript_token_totals mirror: token totals over the same
+        # transcript derivation (text = COALESCE(props,'')), \s+ split with
+        # empties dropped — the engine computes the per-turn counts as a
+        # derived SIDECAR column on the encoded corpus
+        "transcript_token_totals": """
+            WITH tx AS (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0')
+                           AS conv_id,
+                       COALESCE(props, '') AS text
+                FROM events
+            )
+            SELECT conv_id,
+                   CAST(SUM(len(list_filter(
+                       string_split_regex(text, '\\s+'), w -> w <> ''
+                   ))) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS n_turns
+            FROM tx GROUP BY conv_id
         """,
         # transcript_ts_window mirror: the 30-60% epoch-us window over the
         # same transcript derivation, integer bound arithmetic identical to

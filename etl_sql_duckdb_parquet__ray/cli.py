@@ -132,6 +132,46 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_derive(args) -> int:
+    """Built-in derived-column kinds over an encoded corpus (sidecar
+    files; arbitrary kernels are available via the Python API)."""
+    _ray()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.encode import derive_column
+
+    def token_count(chunk):
+        toks = pc.split_pattern_regex(
+            pc.coalesce(chunk.column("text"), ""), r"\s+"
+        ).combine_chunks()
+        n_all = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        emp = np.asarray(pc.equal(pc.list_flatten(toks), "")).astype(np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(emp)))
+        n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+        return pa.array((n_all - n_emp).astype(np.int32))
+
+    def char_count(chunk):
+        return pc.coalesce(
+            pc.utf8_length(chunk.column("text")), pa.scalar(0, pa.int32())
+        ).cast(pa.int32())
+
+    kinds = {
+        "token_count": (token_count, ["text"]),
+        "char_count": (char_count, ["text"]),
+    }
+    fn, cols = kinds[args.kind]
+    df = derive_column(args.input, args.name, fn, cols)
+    print(json.dumps({
+        "column": args.name, "kind": args.kind,
+        "rows": int(df["rows"].sum()), "bytes_out": int(df["bytes_out"].sum()),
+        "buckets": len(df),
+    }))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     _ray()
     import ray
@@ -286,6 +326,19 @@ def main(argv=None) -> int:
     cp.add_argument("--out", required=True)
     cp.add_argument("--buckets", type=int, default=32)
     cp.set_defaults(fn=cmd_compact)
+
+    dv = sub.add_parser(
+        "derive",
+        help="add a derived sidecar column to an encoded corpus "
+             "(schema evolution — main files untouched)",
+    )
+    dv.add_argument("--input", required=True, help="encoded dir")
+    dv.add_argument("--name", required=True, help="new column name")
+    dv.add_argument(
+        "--kind", default="token_count",
+        choices=["token_count", "char_count"],
+    )
+    dv.set_defaults(fn=cmd_derive)
 
     ab = sub.add_parser(
         "ann-build", help="build a persisted ANN index over an embeddings dir"

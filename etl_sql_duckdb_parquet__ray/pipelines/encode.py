@@ -986,6 +986,99 @@ def plan_chunks(
     return plan
 
 
+def sidecar_paths(main_path: str, col: str) -> tuple[str, str]:
+    """(data, record) paths of a derived-column sidecar next to a bucket
+    data file. Named ``column-<col>-<bucket>.bin`` — deliberately NOT the
+    ``bucket-`` prefix, which the manifest's completeness scan parses."""
+    d = os.path.dirname(main_path)
+    num = os.path.basename(main_path)[len("bucket-"):-len(".bin")]
+    stem = os.path.join(d, f"column-{col}-{num}")
+    return stem + ".bin", stem + ".json"
+
+
+def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
+                  out_type: pa.DataType | None = None):
+    """Schema evolution WITHOUT rewriting the corpus: compute a new derived
+    column over an encoded output and store it as per-bucket SIDECAR chunk
+    files (same chunk framing/codecs, one column), aligned 1:1 with the
+    main files' chunks. ``decode_dataset(columns=[..., name])`` then reads
+    the sidecar spans next to the main spans — existing payloads are never
+    touched, readers that don't ask for the column never see it.
+
+    Scale shape: one task per bucket (embarrassingly parallel, no shuffle);
+    each task streams its bucket chunk-by-chunk — decode only
+    ``input_columns`` (projection pushdown), apply ``fn`` (a vectorized
+    ``pa.Table -> array`` kernel), re-encode through the standard codec
+    selector. Resumable: a bucket whose sidecar record already exists is
+    skipped, so a killed run re-pays only unfinished buckets.
+
+    Returns a summary table (bucket, rows, bytes_out)."""
+    import json as _json
+
+    import ray
+
+    records = load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    items = ray.data.from_items(
+        [{"bucket": r["bucket"], "path": r["path"]} for r in records]
+    )
+    input_columns = list(input_columns)
+
+    def worker(batch: pa.Table):
+        from ..chunk import (
+            chunk_spans, encode_chunk, read_chunk_columns, write_chunk_file,
+        )
+
+        for row in batch.to_pylist():
+            main = row["path"]
+            side_bin, side_json = sidecar_paths(main, name)
+            if os.path.exists(side_bin) and os.path.exists(side_json):
+                yield pa.table({
+                    "bucket": pa.array([row["bucket"]], pa.int32()),
+                    "rows": pa.array([0], pa.int64()),
+                    "bytes_out": pa.array([0], pa.int64()),
+                })
+                continue
+            blobs, metas, rows = [], [], 0
+            for span in chunk_spans(main):
+                t = read_chunk_columns(main, span, input_columns)
+                arr = fn(t)
+                if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                    arr = pa.array(arr)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if out_type is not None:
+                    arr = arr.cast(out_type)
+                if len(arr) != t.num_rows:
+                    raise ValueError(
+                        f"derive fn returned {len(arr)} values for "
+                        f"{t.num_rows} rows"
+                    )
+                blob, summary = encode_chunk(pa.table({name: arr}))
+                blobs.append(blob)
+                metas.append({"rows": summary["rows"],
+                              "codecs": summary["codecs"]})
+                rows += summary["rows"]
+            nbytes = write_chunk_file(side_bin, blobs)
+            tmp = f"{side_json}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump({"column": name, "bytes_out": nbytes,
+                            "chunks": metas}, f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, side_json)
+            yield pa.table({
+                "bucket": pa.array([row["bucket"]], pa.int32()),
+                "rows": pa.array([rows], pa.int64()),
+                "bytes_out": pa.array([nbytes], pa.int64()),
+            })
+
+    return items.map_batches(
+        worker, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+
+
 class _SelectiveDecode:
     """Per-chunk selective decode: reads only the planned chunks' selected
     column byte ranges (seek I/O), applies the exact row predicate, projects
@@ -1027,8 +1120,28 @@ class _SelectiveDecode:
 
         for row in batch.to_pylist():
             spans = chunk_spans(row["path"])
+            main_cols = self.read_cols
+            side: dict[str, list] = {}
+            if self.read_cols is not None:
+                # derived-column sidecars (see derive_column): any requested
+                # column with a sidecar file next to the bucket reads from
+                # there; its chunk spans align 1:1 with the main file's
+                for c in self.read_cols:
+                    sp = sidecar_paths(row["path"], c)[0]
+                    if os.path.exists(sp):
+                        side[c] = chunk_spans(sp)
+                if side:
+                    main_cols = [c for c in self.read_cols if c not in side]
             for i in row["idx"]:
-                t = read_chunk_columns(row["path"], spans[i], self.read_cols)
+                t = None
+                if main_cols or not side:
+                    t = read_chunk_columns(row["path"], spans[i], main_cols)
+                for c, sspans in side.items():
+                    st = read_chunk_columns(
+                        sidecar_paths(row["path"], c)[0], sspans[i], [c]
+                    )
+                    # an all-derived projection starts from the sidecar
+                    t = st if t is None else t.append_column(c, st.column(c))
                 mask = None
                 if self.conv_id is not None:
                     mask = pc.equal(t.column("conv_id"), self.conv_id)

@@ -1362,3 +1362,68 @@ def test_multi_conv_lookup_with_hot_conversation(ray_session, tmp_path):
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_derive_column_sidecar_roundtrip_and_resume(ray_session, tmp_path):
+    """Schema evolution: derive a per-turn token count over an encoded
+    corpus as a sidecar column — main files untouched, decode merges it,
+    reruns skip completed sidecars, and base decodes don't see it."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, derive_column, encode_transcripts, sidecar_paths,
+    )
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    t = generate_transcripts(6000, seed=17)
+    out = str(tmp_path / "evolve")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=1024,
+        resume=False,
+    )
+    main_files = {
+        r["path"]: os.path.getmtime(r["path"]) for r in load_manifest(out)
+    }
+
+    def n_tokens(chunk: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(
+            pc.coalesce(chunk.column("text"), ""), r"\s+"
+        )
+        n = pc.list_value_length(toks).cast(pa.int32())
+        # str.split() semantics: empty text -> 0 tokens (regex split of ''
+        # yields [''])
+        empty = pc.equal(pc.coalesce(chunk.column("text"), ""), "")
+        return pc.if_else(empty, pa.scalar(0, pa.int32()), n).combine_chunks()
+
+    summary = derive_column(out, "n_tokens", n_tokens, ["text"])
+    assert summary["rows"].sum() == 6000
+    # main data files untouched
+    for p, m in main_files.items():
+        assert os.path.getmtime(p) == m
+    # decode merges main + sidecar; values match a pandas reference
+    got = (
+        decode_dataset(out, columns=["conv_id", "turn_idx", "text", "n_tokens"])
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    src = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = src["text"].fillna("").map(lambda s: len(s.split()) if s else 0)
+    assert got["n_tokens"].tolist() == exp.tolist()
+    assert got["text"].tolist() == src["text"].tolist()
+    # derived-only projection (+ a predicate on a main column)
+    only = decode_dataset(out, columns=["n_tokens"], turn_lo=0, turn_hi=3)
+    assert only.count() == int((src["turn_idx"] <= 3).sum())
+    # base decode (columns=None) keeps the original schema
+    base = decode_dataset(out).schema().names
+    assert "n_tokens" not in base
+    # rerun skips every completed sidecar (bytes_out 0 = skipped)
+    again = derive_column(out, "n_tokens", n_tokens, ["text"])
+    assert (again["bytes_out"] == 0).all()
+    side_bin, side_json = sidecar_paths(
+        next(iter(main_files)), "n_tokens"
+    )
+    assert os.path.exists(side_bin) and os.path.exists(side_json)
+    # manifest scan is not confused by sidecar files
+    assert len(load_manifest(out)) == 4
