@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bigrams": corpus_bigrams_docs,
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
+        "events_prop_k_stats": A.events_prop_k_stats,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_token_totals": transcript_token_totals,
         "transcript_text_search": transcript_text_search,
@@ -1719,6 +1720,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events, mm
             WHERE value IS NOT NULL
             GROUP BY 1
+        """,
+        # events_prop_k_stats mirror: DuckDB's REAL json parser vs the
+        # engine's vectorized regex probe — Count(k) counts non-null
+        # extractions on both sides
+        "events_prop_k_stats": """
+            SELECT event_type,
+                   COUNT(k) AS n_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (
+                SELECT event_type,
+                       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                FROM events
+            ) GROUP BY event_type
         """,
         # unpivot mirror: the literal UNION ALL the operator replaces
         "lineitem_metrics_unpivot": """

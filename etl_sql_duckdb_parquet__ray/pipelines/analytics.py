@@ -1037,6 +1037,36 @@ def order_only_customers_except(sf_dir: str):
     )
 
 
+def events_prop_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON ``props`` column with one vectorized RE2 kernel
+    (`stages/normalize.py:extract_json_field`), then aggregate per
+    event_type. The oracle uses DuckDB's real JSON parser — agreement
+    proves the hot-path regex probe is exact on this corpus."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.normalize import extract_json_field
+
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        k = extract_json_field(t.column("props"), "k", kind="int")
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    out = (
+        ds.map_batches(ext, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count("k"), Sum("k"), Min("k"), Max("k"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["event_type", "n_k", "sum_k", "min_k", "max_k"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def lineitem_metrics_unpivot(sf_dir: str):
     """UNPIVOT (melt): lineitem's four numeric metric columns to long
     (l_orderkey, l_linenumber, metric, value) rows —

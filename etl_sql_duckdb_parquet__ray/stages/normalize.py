@@ -90,3 +90,27 @@ def normalize_dataset(ds, spec: dict[str, dict]):
     return ds.map_batches(
         lambda t: normalize_table(t, spec), batch_format="pyarrow"
     )
+
+
+def extract_json_field(arr, key: str, kind: str = "int"):
+    """Vectorized extraction of a scalar field from a flat-JSON string
+    column (semi-structured payloads like ``events.props``) — one RE2
+    ``extract_regex`` kernel, no per-row parsing. ``kind``: "int" (-> int64,
+    null when absent/non-integer) or "string" (unescaped content between
+    the quotes; escape sequences are NOT decoded — callers needing full
+    JSON semantics should parse, this is the hot-path scalar probe).
+    NULL input and missing keys both yield NULL."""
+    import re as _re
+
+    k = _re.escape(key)
+    if kind == "int":
+        pat = rf'"{k}"\s*:\s*(?P<v>-?\d+)'
+    elif kind == "string":
+        pat = rf'"{k}"\s*:\s*"(?P<v>(?:[^"\\]|\\.)*)"'
+    else:
+        raise ValueError(f"kind must be 'int' or 'string', got {kind!r}")
+    ex = pc.extract_regex(arr, pattern=pat)
+    vals = pc.struct_field(ex, 0)
+    if kind == "int":
+        return vals.cast(pa.int64())
+    return vals

@@ -970,3 +970,31 @@ def test_unigram_logprob_vocab_cut_and_oov(ray_session):
     assert out.loc[1, "logprob"] == pytest.approx((3 * pa_ + oov) / 4, rel=1e-12)
     assert out.loc[2, "logprob"] == pytest.approx((pa_ + oov) / 2, rel=1e-12)
     assert out.loc[1, "n_tokens"] == 4 and out.loc[2, "n_tokens"] == 2
+
+
+def test_extract_json_field_kinds_and_nulls():
+    """Pinned extraction semantics: int and string kinds, missing keys,
+    NULL input, escaped quotes inside string values."""
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.stages.normalize import extract_json_field
+
+    arr = pa.array(
+        [
+            '{"k": 42, "s": "hi"}',
+            '{"k": -7}',
+            '{"other": 1}',
+            None,
+            '{"s": "a \\"quoted\\" bit"}',
+            '{"k": "not-an-int"}',
+        ],
+        type=pa.string(),
+    )
+    ints = extract_json_field(arr, "k", kind="int").to_pylist()
+    assert ints == [42, -7, None, None, None, None]
+    strs = extract_json_field(arr, "s", kind="string").to_pylist()
+    assert strs[0] == "hi"
+    assert strs[4] == 'a \\"quoted\\" bit'  # raw span, escapes not decoded
+    assert strs[1] is None and strs[3] is None
+    with pytest.raises(ValueError):
+        extract_json_field(arr, "k", kind="float")
