@@ -869,6 +869,7 @@ def plan_chunks(
     role_eq: str | None = None,
     tool_eq: str | None = None,
     conv_ids: Sequence[str] | None = None,
+    col_ranges: dict | None = None,
 ) -> list[dict]:
     """Zone-map pruning over the lineage manifest: each chunk record carries
     its ``(conv_id, turn_idx)`` min/max (written at encode time), so a point
@@ -927,6 +928,20 @@ def plan_chunks(
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
     plan = []
     for r in records:
+        # per-chunk numeric zone maps of derived SIDECAR columns (see
+        # derive_column): loaded once per bucket, aligned 1:1 with the main
+        # chunks. A col_ranges column without a sidecar (or a sidecar chunk
+        # without a range — all-null) never prunes; the exact row filter
+        # still applies.
+        side_ranges: dict[str, list] = {}
+        if col_ranges:
+            import json as _json
+
+            for cname in col_ranges:
+                sjson = sidecar_paths(r["path"], cname)[1]
+                if os.path.exists(sjson):
+                    with open(sjson) as f:
+                        side_ranges[cname] = _json.load(f)["chunks"]
         # manifests written before zone_v=2 recorded turn_range as
         # [first_row_turn, last_row_turn] of the sorted chunk — not a valid
         # min/max zone map (turn_idx restarts per conversation), so turn
@@ -979,6 +994,25 @@ def plan_chunks(
                     continue
                 if (tool_eq is not None and "tool" in vsets
                         and tool_eq not in vsets["tool"]):
+                    continue
+            if col_ranges:
+                pruned = False
+                for cname, (vlo, vhi) in col_ranges.items():
+                    chunks_meta = side_ranges.get(cname)
+                    rng = (
+                        chunks_meta[i].get("range")
+                        if chunks_meta is not None and i < len(chunks_meta)
+                        else None
+                    )
+                    if rng is None:
+                        continue
+                    if vlo is not None and rng[1] < vlo:
+                        pruned = True
+                        break
+                    if vhi is not None and rng[0] > vhi:
+                        pruned = True
+                        break
+                if pruned:
                     continue
             keep.append(i)
         if keep:
@@ -1057,8 +1091,14 @@ def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
                     )
                 blob, summary = encode_chunk(pa.table({name: arr}))
                 blobs.append(blob)
-                metas.append({"rows": summary["rows"],
-                              "codecs": summary["codecs"]})
+                meta = {"rows": summary["rows"], "codecs": summary["codecs"]}
+                # numeric zone map: lets decode_dataset(col_ranges=...)
+                # prune whole chunks on the derived column
+                if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                    mm = pc.min_max(arr)
+                    if mm["min"].is_valid:
+                        meta["range"] = [mm["min"].as_py(), mm["max"].as_py()]
+                metas.append(meta)
                 rows += summary["rows"]
             nbytes = write_chunk_file(side_bin, blobs)
             tmp = f"{side_json}.tmp.{os.getpid()}"
@@ -1085,7 +1125,9 @@ class _SelectiveDecode:
     to the requested columns."""
 
     def __init__(self, columns, conv_id, turn_lo, turn_hi, ts_lo=None, ts_hi=None,
-                 text_contains=None, role_eq=None, tool_eq=None, conv_ids=None):
+                 text_contains=None, role_eq=None, tool_eq=None, conv_ids=None,
+                 col_ranges=None):
+        self.col_ranges = col_ranges
         self.columns = columns
         self.conv_id = conv_id
         self.conv_ids = (
@@ -1113,6 +1155,8 @@ class _SelectiveDecode:
                 need.add("role")
             if tool_eq is not None:
                 need.add("tool")
+            if col_ranges:
+                need.update(col_ranges)
         self.read_cols = sorted(need) if need is not None else None
 
     def __call__(self, batch: pa.Table):
@@ -1169,6 +1213,15 @@ class _SelectiveDecode:
                 if self.tool_eq is not None:
                     m = pc.equal(t.column("tool"), self.tool_eq)
                     mask = m if mask is None else pc.and_(mask, m)
+                if self.col_ranges:
+                    for cname, (vlo, vhi) in self.col_ranges.items():
+                        col = t.column(cname)
+                        if vlo is not None:
+                            m = pc.greater_equal(col, vlo)
+                            mask = m if mask is None else pc.and_(mask, m)
+                        if vhi is not None:
+                            m = pc.less_equal(col, vhi)
+                            mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))  # null ts never matches
                 if self.columns is not None:
@@ -1189,6 +1242,7 @@ def decode_dataset(
     role_eq: str | None = None,
     tool_eq: str | None = None,
     conv_ids: Sequence[str] | None = None,
+    col_ranges: dict | None = None,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -1213,6 +1267,10 @@ def decode_dataset(
       chunks are pruned via the manifest's per-chunk distinct-value sets
       (``val_sets``, stored when <= 32 distinct values), survivors get the
       exact equality row filter (NULL never matches).
+    - ``col_ranges``: ``{column: (lo, hi)}`` inclusive numeric bounds
+      (either side None = unbounded). Derived SIDECAR columns carry
+      per-chunk min/max zone maps (``derive_column``) and prune whole
+      chunks; any other requested column just gets the exact row filter.
 
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
@@ -1224,7 +1282,8 @@ def decode_dataset(
     if (columns is None and conv_id is None and turn_lo is None
             and turn_hi is None and ts_lo is None and ts_hi is None
             and text_contains is None and role_eq is None
-            and tool_eq is None and conv_ids is None):
+            and tool_eq is None and conv_ids is None
+            and col_ranges is None):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
@@ -1233,7 +1292,7 @@ def decode_dataset(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         )
     plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                       text_contains, role_eq, tool_eq, conv_ids)
+                       text_contains, role_eq, tool_eq, conv_ids, col_ranges)
     if not plan:
         # prune eliminated everything: empty dataset. Use the canonical
         # transcript dtypes when every requested column is canonical so a
@@ -1253,7 +1312,8 @@ def decode_dataset(
     items = ray.data.from_items(plan)
     return items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                         text_contains, role_eq, tool_eq, conv_ids),
+                         text_contains, role_eq, tool_eq, conv_ids,
+                         col_ranges),
         batch_format="pyarrow",
         batch_size=1,
     )

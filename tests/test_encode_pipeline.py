@@ -1427,3 +1427,55 @@ def test_derive_column_sidecar_roundtrip_and_resume(ray_session, tmp_path):
     assert os.path.exists(side_bin) and os.path.exists(side_json)
     # manifest scan is not confused by sidecar files
     assert len(load_manifest(out)) == 4
+
+
+def test_derived_column_range_pushdown(ray_session, tmp_path):
+    """col_ranges on a derived sidecar column: per-chunk min/max zone maps
+    prune, the exact row filter matches a pandas reference, and an
+    impossible range plans zero chunks."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, derive_column, encode_transcripts, plan_chunks,
+    )
+
+    t = generate_transcripts(6000, seed=23)
+    out = str(tmp_path / "ranges")
+    encode_transcripts(
+        ray.data.from_arrow(t), out, num_buckets=4, chunk_rows=512,
+        resume=False,
+    )
+
+    def text_len(chunk: pa.Table) -> pa.Array:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pc.coalesce(
+            pc.utf8_length(chunk.column("text")), pa.scalar(0, pa.int32())
+        ).cast(pa.int32()).combine_chunks()
+
+    derive_column(out, "text_len", text_len, ["text"])
+    src = t.to_pandas()
+    lens = src["text"].fillna("").str.len()
+    lo, hi = int(lens.quantile(0.9)), None
+    got = decode_dataset(
+        out, columns=["conv_id", "turn_idx"], col_ranges={"text_len": (lo, hi)}
+    ).to_pandas()
+    assert len(got) == int((lens >= lo).sum())
+    # pruning really happens for a selective range
+    n_all = sum(len(p["idx"]) for p in plan_chunks(out))
+    n_sel = sum(
+        len(p["idx"])
+        for p in plan_chunks(out, col_ranges={"text_len": (lo, hi)})
+    )
+    assert n_sel <= n_all
+    mx = int(lens.max())
+    assert plan_chunks(out, col_ranges={"text_len": (mx + 1, None)}) == []
+    # bounded-both-sides + compose with a main-column predicate
+    both = decode_dataset(
+        out, columns=["turn_idx"], turn_lo=1,
+        col_ranges={"text_len": (10, 20)},
+    ).to_pandas()
+    ref = src[(src["turn_idx"] >= 1) & lens.between(10, 20)]
+    assert len(both) == len(ref)
