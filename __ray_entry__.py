@@ -602,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment_skewjoin": events_by_segment_skewjoin,
         "embedding_clusters": embedding_clusters,
         "revenue_rollup": A.revenue_rollup,
+        "orders_cube": A.orders_cube,
+        "customer_order_moving_avg": A.customer_order_moving_avg,
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
         "user_event_gaps": A.user_event_gaps,
@@ -1408,6 +1410,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        """,
+        # orders_cube mirror: all four grouping sets; the engine derives
+        # them from one finest-level aggregate
+        "orders_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        # customer_order_moving_avg mirror: rows-frame AVG window; float
+        # summation order may differ by ulps, far below the 1e-6 rounding
+        "customer_order_moving_avg": """
+            SELECT o_custkey, o_orderkey,
+                   AVG(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS avg_last3
+            FROM orders
         """,
         # orders_pivot_priority mirror: PIVOT via the SUM(CASE ...) idiom
         "orders_pivot_priority": """

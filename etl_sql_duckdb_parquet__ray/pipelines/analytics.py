@@ -810,6 +810,84 @@ def revenue_rollup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
+    sets derived from ONE finest-level shuffle (same optimization as
+    revenue_rollup, plus the column-marginal set ROLLUP lacks). NULL
+    markers mapped to 'ALL'."""
+    ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "total_x100": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    finest = _rename(
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("total_x100"), Count()),
+        ["o_orderstatus", "o_orderpriority", "revenue_x100", "n_orders"],
+    ).to_pandas()  # |statuses| x |priorities| rows
+
+    vals = ["revenue_x100", "n_orders"]
+    by_status = (
+        finest.groupby("o_orderstatus", as_index=False)[vals].sum()
+        .assign(o_orderpriority="ALL")
+    )
+    by_prio = (
+        finest.groupby("o_orderpriority", as_index=False)[vals].sum()
+        .assign(o_orderstatus="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+            "revenue_x100": [finest["revenue_x100"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "revenue_x100", "n_orders"]
+    out = pd.concat(
+        [finest[cols], by_status[cols], by_prio[cols], grand[cols]],
+        ignore_index=True,
+    )
+    out["revenue_x100"] = out["revenue_x100"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def customer_order_moving_avg(sf_dir: str):
+    """Rows-frame window: per customer, the moving average of the last 3
+    orders' prices ordered by (o_orderdate, o_orderkey) — one hash
+    exchange on the customer, vectorized cumsum-difference inside the
+    group (AVG OVER ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    ds = read_table(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        v = g["o_totalprice"].to_numpy(dtype=np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        n = len(v)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        avg = (cs[np.arange(n) + 1] - cs[lo]) / (np.arange(n) - lo + 1)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"],
+                "o_orderkey": g["o_orderkey"],
+                "avg_last3": avg,
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
 _PRIORITY_PIVOT = [
     ("1-URGENT", "n_urgent"),
     ("2-HIGH", "n_high"),
