@@ -167,6 +167,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return unigram_logprob(ds)
 
+    def incremental_minhash_docs(sf_dir: str):
+        # persisted MinHash index on the even-doc_id half of the corpus,
+        # then near-dedup the odd half against it (estimated-Jaccard
+        # verify off the stored signatures — rows-only check: the op is
+        # approximate by nature, like the other LSH entries)
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.functions.dedup import (
+            build_minhash_index, incremental_minhash_dedup,
+        )
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        even = ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        odd = ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+            ),
+            batch_format="pyarrow",
+        )
+        idx = tempfile.mkdtemp(prefix="mhidx-", dir="/tmp")
+        build_minhash_index(even, idx)
+        return incremental_minhash_dedup(odd, idx, threshold=0.7).select_columns(
+            ["doc_id"]
+        )
+
     def paragraph_dedup_docs(sf_dir: str):
         # Dolma/CCNet-style unit dedup: 16-word blocks, keeper = global
         # min (doc_id, unit_idx), docs reassembled from surviving blocks
@@ -557,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_summary": _q(A.validation_summary),
         "dedup_exact_docs": _q(A.dedup_exact_docs),
         "paragraph_dedup_docs": paragraph_dedup_docs,
+        "incremental_minhash_docs": incremental_minhash_docs,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),

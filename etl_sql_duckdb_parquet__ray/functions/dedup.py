@@ -22,6 +22,8 @@ The reference has no near-dedup (SURVEY.md §2.9); its exact dedup
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -119,20 +121,30 @@ class MinHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sh = shingle_hashes(batch["text"], self.shingle_n)
         sigs = np.stack([minhash_signature(s, self.a, self.b) for s in sh])
-        n = len(batch)
-        # one hash over all (doc, band) segments at once: view each
-        # rows-wide segment as a struct record and hash the flat array
-        flat = np.ascontiguousarray(sigs).reshape(n * self.bands, self.rows)
-        buckets = pd.util.hash_array(
-            flat.view([("", np.uint64)] * self.rows).ravel()
+        return band_rows_from_sigs(
+            batch["doc_id"].to_numpy(), sigs, self.bands
         )
-        return pd.DataFrame(
-            {
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
-                "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
-                "bucket": buckets.astype(np.int64),
-            }
-        )
+
+
+def band_rows_from_sigs(doc_ids: np.ndarray, sigs: np.ndarray,
+                        bands: int) -> pd.DataFrame:
+    """(doc_id, band, bucket) rows from an (n, num_perm) signature matrix —
+    ONE vectorized hash over all band segments (each rows-wide segment
+    viewed as a struct record). Shared by the one-shot LSH stage and the
+    persisted-index build/probe paths so bucketing is bit-identical."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    flat = np.ascontiguousarray(sigs).reshape(n * bands, rows)
+    buckets = pd.util.hash_array(
+        flat.view([("", np.uint64)] * rows).ravel()
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(np.asarray(doc_ids), bands),
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "bucket": buckets.astype(np.int64),
+        }
+    )
 
 
 def _bucket_candidates(g: pd.DataFrame, max_bucket: int = 256) -> pd.DataFrame:
@@ -996,3 +1008,218 @@ def paragraph_dedup(docs_ds, unit_words: int = 16, id_col: str = "doc_id",
         )
 
     return both.groupby("doc_id").map_groups(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup against a persisted MinHash index (corpus growth)
+# ---------------------------------------------------------------------------
+
+class _MinhashSigs:
+    """Actor-pool signature stage for the persisted index: (doc_id,
+    sig: fixed_size_list<uint64>[num_perm]). Permutation params built once
+    per actor — MUST match the probe side, which is why the index dir
+    records them in its meta."""
+
+    def __init__(self, num_perm: int, shingle_n: int):
+        self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        sh = shingle_hashes(batch["text"], self.shingle_n)
+        sigs = np.stack([minhash_signature(s, self.a, self.b) for s in sh])
+        flat = pa.array(sigs.reshape(-1).view(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy().astype(np.int64)
+                ),
+                "sig": pa.FixedSizeListArray.from_arrays(flat, self.num_perm),
+            }
+        )
+
+
+def build_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
+                        bands: int = 16, shingle_n: int = 3) -> str:
+    """Persist the corpus' MinHash state for incremental near-dup:
+
+    - ``sigs/``: one parquet row per doc, (doc_id, num_perm x uint64)
+      — 8*num_perm B/doc of cheap columnar storage, streamed (never
+      shuffled) by probes;
+    - ``bands/``: (doc_id, band, bucket) LSH rows, 16 B/row, the collision
+      structure probes test membership against;
+    - ``_meta.json``: the MinHash parameters — a probe with different
+      params would bucket into a different space, so the probe side always
+      reads them from here.
+
+    Two streaming passes: the signature pass does the shingling work once;
+    the band pass is pure vectorized hashing over the small sigs table."""
+    import json
+    import ray  # noqa: F401
+
+    os.makedirs(index_dir, exist_ok=True)
+    sigs = docs_ds.map_batches(
+        _MinhashSigs,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    sigs.write_parquet(os.path.join(index_dir, "sigs"))
+
+    import ray.data as rd
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"))
+        s = np.asarray(t.column("sig").combine_chunks().flatten()).view(
+            np.uint64
+        ).reshape(len(ids), num_perm)
+        return pa.Table.from_pandas(
+            band_rows_from_sigs(ids, s, bands), preserve_index=False
+        )
+
+    rd.read_parquet(os.path.join(index_dir, "sigs")).map_batches(
+        to_bands, batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "bands"))
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle_n": shingle_n}, f)
+    return index_dir
+
+
+def incremental_minhash_dedup(new_ds, index_dir: str,
+                              threshold: float = 0.7,
+                              max_candidates: int = 5_000_000):
+    """Near-dedup a NEW tick of documents against a persisted MinHash
+    index WITHOUT reprocessing the corpus: a new doc is dropped when its
+    ESTIMATED Jaccard (signature agreement fraction — the CCNet trade:
+    no exact re-verify, since the old texts would have to be re-read) to
+    any indexed doc reaches ``threshold``.
+
+    Scale shape (small tick vs huge corpus): the tick's band keys and
+    signatures are broadcast once (``ray.put``); the index ``bands/`` and
+    ``sigs/`` tables are STREAMED through ``map_batches`` with vectorized
+    ``np.isin`` prefilters — no exchange sized by the corpus, no corpus
+    texts touched. Candidate (new, old) signature comparisons are bounded
+    by ``max_candidates`` (LSH collisions of a tick — a blowup past that
+    means the tick itself is boilerplate and needs in-tick dedup first).
+
+    Returns the surviving rows of ``new_ds``."""
+    import json
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    num_perm, bands = meta["num_perm"], meta["bands"]
+
+    # collect the tick's signatures (the tick is the SMALL side by
+    # contract; 8*num_perm B/doc)
+    sig_batches = [
+        b for b in new_ds.map_batches(
+            _MinhashSigs,
+            fn_constructor_kwargs={
+                "num_perm": num_perm, "shingle_n": meta["shingle_n"],
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    new_sigs = pa.concat_tables(sig_batches)
+    new_ids = np.asarray(new_sigs.column("doc_id"))
+    sig_mat = np.asarray(
+        new_sigs.column("sig").combine_chunks().flatten()
+    ).view(np.uint64).reshape(len(new_ids), num_perm)
+    new_bands = band_rows_from_sigs(new_ids, sig_mat, bands)
+    # (band, bucket) composite key for one-array membership tests
+    def _bb_key(band, bucket):
+        return (np.asarray(band, dtype=np.int64) << np.int64(48)) ^ (
+            np.asarray(bucket, dtype=np.int64) & np.int64((1 << 48) - 1)
+        )
+
+    new_keys = _bb_key(new_bands["band"], new_bands["bucket"])
+    key_to_new: dict = {}
+    for k, d in zip(new_keys, new_bands["doc_id"].to_numpy()):
+        key_to_new.setdefault(int(k), []).append(int(d))
+    keys_ref = ray.put(np.unique(new_keys))
+    map_ref = ray.put(key_to_new)
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        k = _bb_key(t.column("band"), t.column("bucket"))
+        hit = np.isin(k, keys)
+        if not hit.any():
+            return pa.table({"new_doc": pa.array([], pa.int64()),
+                             "old_doc": pa.array([], pa.int64())})
+        kmap = ray.get(map_ref)
+        old = np.asarray(t.column("doc_id"))[hit]
+        kk = k[hit]
+        new_l, old_l = [], []
+        for o, key in zip(old, kk):
+            for nd in kmap[int(key)]:
+                new_l.append(nd)
+                old_l.append(int(o))
+        return pa.table({"new_doc": pa.array(new_l, pa.int64()),
+                         "old_doc": pa.array(old_l, pa.int64())})
+
+    cand = (
+        rd.read_parquet(os.path.join(index_dir, "bands"))
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby(["new_doc", "old_doc"]).count()
+    )
+    cand_tbl = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow"))
+    ) if cand.count() else pa.table(
+        {"new_doc": pa.array([], pa.int64()),
+         "old_doc": pa.array([], pa.int64())}
+    )
+    n_cand = cand_tbl.num_rows
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"{n_cand} LSH candidates exceed max_candidates="
+            f"{max_candidates}; in-tick dedup the batch first"
+        )
+    if n_cand == 0:
+        return new_ds
+    old_needed = np.unique(np.asarray(cand_tbl.column("old_doc")))
+    old_ref = ray.put(old_needed)
+
+    def gather_old(t: pa.Table) -> pa.Table:
+        need = ray.get(old_ref)
+        ids = np.asarray(t.column("doc_id"))
+        hit = np.isin(ids, need)
+        return t.filter(pa.array(hit))
+
+    old_sigs = pa.concat_tables(
+        list(
+            rd.read_parquet(os.path.join(index_dir, "sigs"))
+            .map_batches(gather_old, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    old_ids = np.asarray(old_sigs.column("doc_id"))
+    old_mat = np.asarray(
+        old_sigs.column("sig").combine_chunks().flatten()
+    ).view(np.uint64).reshape(len(old_ids), num_perm)
+    new_pos = {int(d): i for i, d in enumerate(new_ids)}
+    old_pos = {int(d): i for i, d in enumerate(old_ids)}
+    ndx = np.array(
+        [new_pos[int(d)] for d in np.asarray(cand_tbl.column("new_doc"))],
+        dtype=np.int64,
+    )
+    odx = np.array(
+        [old_pos[int(d)] for d in np.asarray(cand_tbl.column("old_doc"))],
+        dtype=np.int64,
+    )
+    est = (sig_mat[ndx] == old_mat[odx]).mean(axis=1)
+    dup_new = np.unique(
+        np.asarray(cand_tbl.column("new_doc"))[est >= threshold]
+    )
+    if not len(dup_new):
+        return new_ds
+    dup_arr = pa.array(dup_new, type=pa.int64())
+    return new_ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t.column("doc_id"), value_set=dup_arr))
+        ),
+        batch_format="pyarrow",
+    )

@@ -998,3 +998,61 @@ def test_extract_json_field_kinds_and_nulls():
     assert strs[1] is None and strs[3] is None
     with pytest.raises(ValueError):
         extract_json_field(arr, "k", kind="float")
+
+
+def test_incremental_minhash_dedup_against_persisted_index(ray_session, tmp_path):
+    """Build a MinHash index on a base corpus, then probe a new tick:
+    near-copies of indexed docs drop, fresh docs survive, and the one-shot
+    MinHasher's buckets agree with the index build (shared band hashing)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import (
+        build_minhash_index, incremental_minhash_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def doc(n=80):
+        return " ".join(rng.choice(vocab, n))
+
+    base_texts = [doc() for _ in range(40)]
+    base = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(base_texts, type=pa.string()),
+        }
+    )
+    idx = str(tmp_path / "mh-index")
+    build_minhash_index(ray.data.from_arrow(base), idx)
+
+    # tick: an exact copy, a near copy (minor tail edit), two fresh docs
+    near = base_texts[5].rsplit(" ", 2)[0] + " w1 w2"
+    tick = pa.table(
+        {
+            "doc_id": pa.array([100, 101, 102, 103], type=pa.int64()),
+            "text": pa.array(
+                [base_texts[3], near, doc(), doc()], type=pa.string()
+            ),
+        }
+    )
+    out = incremental_minhash_dedup(
+        ray.data.from_arrow(tick), idx, threshold=0.7
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert 100 not in kept          # exact copy of an indexed doc
+    assert 101 not in kept          # near copy
+    assert {102, 103} <= kept       # fresh docs survive
+    # a tick with nothing similar passes through untouched
+    fresh = pa.table(
+        {
+            "doc_id": pa.array([200, 201], type=pa.int64()),
+            "text": pa.array([doc(), doc()], type=pa.string()),
+        }
+    )
+    out2 = incremental_minhash_dedup(
+        ray.data.from_arrow(fresh), idx, threshold=0.7
+    ).to_pandas()
+    assert set(out2["doc_id"]) == {200, 201}
