@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -235,6 +236,71 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Catalog view of an encoded corpus from METADATA ONLY (manifest +
+    one chunk header + sidecar records — no payload decode): schema,
+    zone-map/filter coverage, derived sidecar columns, partitioning."""
+    import glob as _glob
+
+    from .chunk import chunk_spans
+    from .state.manifest import load_manifest, load_run_meta
+
+    recs = load_manifest(args.encoded)
+    if not recs:
+        print(json.dumps({"error": "no completed buckets"}))
+        return 1
+    import struct as _struct
+
+    with open(recs[0]["path"], "rb") as f:
+        spans = chunk_spans(recs[0]["path"])
+        f.seek(spans[0][0])
+        (hlen,) = _struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen))
+    chunks = [c for r in recs for c in r["chunks"]]
+    side = {}
+    for p in _glob.glob(os.path.join(args.encoded, "column-*.json")):
+        base = os.path.basename(p)[len("column-"):-len(".json")]
+        cname = base.rsplit("-", 1)[0]
+        side.setdefault(cname, 0)
+        side[cname] += 1
+    meta = load_run_meta(args.encoded) or {}
+    out = {
+        "buckets": len(recs),
+        "rows": sum(r["rows"] for r in recs),
+        "bytes_out": sum(r["bytes_out"] for r in recs),
+        "chunks": len(chunks),
+        "columns": [c["name"] for c in header["columns"]],
+        "codecs_first_chunk": {
+            c["name"]: c["meta"]["codec"] for c in header["columns"]
+        },
+        "derived_sidecar_columns": {
+            k: {"buckets": v} for k, v in sorted(side.items())
+        },
+        "zone_maps": {
+            "conv_range": all("conv_range" in c for c in chunks),
+            "turn_range_true_minmax": all(
+                r.get("zone_v", 1) >= 2 for r in recs
+            ),
+            "ts_range_pct": round(
+                100.0 * sum("ts_range" in c for c in chunks) / len(chunks), 1
+            ),
+            "tri_filter_pct": round(
+                100.0 * sum("tri_filter" in c for c in chunks) / len(chunks), 1
+            ),
+            "val_sets_pct": round(
+                100.0 * sum("val_sets" in c for c in chunks) / len(chunks), 1
+            ),
+        },
+        "partitioning": {
+            "num_buckets": meta.get("num_buckets"),
+            "hash": meta.get("hash"),
+            "hot_convs": len(meta.get("hot_convs") or {}),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .state.manifest import load_manifest, manifest_stats
 
@@ -372,6 +438,14 @@ def main(argv=None) -> int:
     rp.add_argument("--html", default=None, help="html output path")
     rp.add_argument("--keys", default=None, help="comma-separated dup-key columns")
     rp.set_defaults(fn=cmd_report)
+
+    dsc = sub.add_parser(
+        "describe",
+        help="catalog view of an encoded corpus (metadata only: schema, "
+             "codecs, zone-map/filter coverage, sidecar columns)",
+    )
+    dsc.add_argument("--encoded", required=True)
+    dsc.set_defaults(fn=cmd_describe)
 
     st = sub.add_parser("stats", help="manifest statistics")
     st.add_argument("--encoded", required=True)
