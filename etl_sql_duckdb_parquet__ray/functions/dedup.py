@@ -1166,11 +1166,11 @@ def incremental_minhash_dedup(new_ds, index_dir: str,
         .map_batches(probe, batch_format="pyarrow")
         .groupby(["new_doc", "old_doc"]).count()
     )
-    cand_tbl = pa.concat_tables(
-        list(cand.iter_batches(batch_format="pyarrow"))
-    ) if cand.count() else pa.table(
-        {"new_doc": pa.array([], pa.int64()),
-         "old_doc": pa.array([], pa.int64())}
+    cand_batches = list(cand.iter_batches(batch_format="pyarrow"))
+    cand_tbl = (
+        pa.concat_tables(cand_batches) if cand_batches
+        else pa.table({"new_doc": pa.array([], pa.int64()),
+                       "old_doc": pa.array([], pa.int64())})
     )
     n_cand = cand_tbl.num_rows
     if n_cand > max_candidates:
