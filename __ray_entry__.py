@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": embedding_clusters,
         "revenue_rollup": A.revenue_rollup,
         "orders_cube": A.orders_cube,
+        "top_supplier_per_brand": A.top_supplier_per_brand,
         "customer_order_moving_avg": A.customer_order_moving_avg,
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
@@ -1451,6 +1452,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        # top_supplier_per_brand mirror: grouped argmax over the 3-table
+        # join, exact integer cents, ties to the smallest suppkey
+        "top_supplier_per_brand": """
+            SELECT p_brand, s_suppkey, revenue_x100, s_name
+            FROM (
+                SELECT p_brand, l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                           AS revenue_x100,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) DESC,
+                                    l_suppkey
+                       ) AS rn
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_brand, l_suppkey
+            ) t JOIN supplier USING (s_suppkey)
+            WHERE rn = 1
         """,
         # customer_order_moving_avg mirror: rows-frame AVG window; float
         # summation order may differ by ulps, far below the 1e-6 rounding

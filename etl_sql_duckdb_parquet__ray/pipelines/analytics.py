@@ -810,6 +810,55 @@ def revenue_rollup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def top_supplier_per_brand(sf_dir: str):
+    """Grouped argmax across a 3-table join: for every part brand, the
+    supplier with the highest lineitem revenue (exact integer cents;
+    ties -> smallest s_suppkey). part and supplier broadcast (small
+    dims), ONE combiner groupby on (brand, supplier), per-brand argmax in
+    the group worker — the TPC-H-Q2-ish 'best supplier per part family'
+    shape, covering the two dimension tables the rest of the registry
+    doesn't touch."""
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_brand"])
+    sup = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    ds = read_table(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_x100": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    joined = broadcast_join(
+        ds.map_batches(to_cents, batch_format="pyarrow"), part,
+        keys="l_partkey", right_keys="p_partkey",
+    )
+    per = _rename(
+        joined.groupby(["p_brand", "l_suppkey"]).aggregate(Sum("rev_x100")),
+        ["p_brand", "l_suppkey", "revenue_x100"],
+    )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        rev = np.asarray(g.column("revenue_x100"))
+        sk = np.asarray(g.column("l_suppkey"))
+        order = np.lexsort((sk, -rev))  # max revenue, then min suppkey
+        i = int(order[0])
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand").slice(i, 1),
+                "s_suppkey": g.column("l_suppkey").slice(i, 1),
+                "revenue_x100": g.column("revenue_x100").slice(i, 1),
+            }
+        )
+
+    best = per.groupby("p_brand").map_groups(argmax, batch_format="pyarrow")
+    return broadcast_join(best, sup, keys="s_suppkey", right_keys="s_suppkey")
+
+
 def orders_cube(sf_dir: str):
     """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
     sets derived from ONE finest-level shuffle (same optimization as
