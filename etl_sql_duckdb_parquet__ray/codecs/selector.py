@@ -16,6 +16,7 @@ import pyarrow as pa
 
 from .base import Codec, StringBlob
 from .dictionary import DictCodec
+from .floats import ByteStreamSplitCodec
 from .fsst import FsstCodec, FsstZstdCodec
 from .integer import DeltaCodec, DeltaDeltaCodec, ForBitpackCodec
 from .rle import RleCodec, run_boundaries
@@ -33,6 +34,7 @@ REGISTRY: dict[str, Codec] = {
         DictCodec(),
         FsstCodec(),
         FsstZstdCodec(),
+        ByteStreamSplitCodec(),
     ]
 }
 
@@ -145,7 +147,9 @@ def candidates_for(
             cands += ["fsst_zstd", "fsst"]
         return cands
     if np.issubdtype(values.dtype, np.floating):
-        cands = ["zstd"]
+        # bss: byte-plane transpose + zstd — wins when values share
+        # exponent/high-mantissa bytes (scores, prices, sensor floats)
+        cands = ["zstd", "bss"]
         if stats["card_ratio"] <= 0.5:
             cands += ["dict"]
         if stats["mean_run"] >= 1.5:

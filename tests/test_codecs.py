@@ -276,3 +276,51 @@ def test_fsst_multimember_group_longest_match():
     mixed = b"xyzCxyzB!xyzAqrstxyzDab?a" * 40
     codes = roundtrip(mixed)
     assert codes[:8] == [2, 1, 255, 0, 3, 4, 255, 5]
+
+
+def test_bss_roundtrip_and_wins_on_structured_floats():
+    """Byte-stream-split: bit-identical roundtrip (incl. NaN/inf/-0.0),
+    and decisively smaller than plain zstd on exponent-sharing floats."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.codecs import decode_column, encode_column
+    from etl_sql_duckdb_parquet__ray.codecs.floats import ByteStreamSplitCodec
+    from etl_sql_duckdb_parquet__ray.codecs.selector import REGISTRY
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [
+            rng.uniform(100.0, 200.0, 5000),  # shared exponent band
+            [np.nan, np.inf, -np.inf, -0.0, 0.0],
+        ]
+    )
+    c = ByteStreamSplitCodec()
+    payload, meta = c.encode(vals)
+    back = c.decode(payload, meta, len(vals))
+    assert back.tobytes() == vals.tobytes()  # bit identity, incl. NaN/-0.0
+    # smaller than zstd on this distribution
+    z, _ = REGISTRY["zstd"].encode(vals)
+    assert len(payload) < len(z)
+    # through the generic column path with nulls
+    arr = pa.array(
+        list(rng.uniform(1000.0, 1001.0, 2000)) + [None, 3.5], type=pa.float64()
+    )
+    p2, m2 = encode_column(arr, "bss")
+    out = decode_column(p2, m2)
+    assert out.equals(arr)
+    # empty column
+    p3, m3 = encode_column(pa.array([], type=pa.float64()), "bss")
+    assert decode_column(p3, m3).equals(pa.array([], type=pa.float64()))
+
+
+def test_selector_picks_bss_for_exponent_band_floats():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.codecs.selector import select_codec
+
+    rng = np.random.default_rng(6)
+    vals = rng.uniform(1e6, 1e6 + 1000, 20000)
+    name = select_codec(vals, pa.float64())
+    assert name == "bss"
