@@ -260,6 +260,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(synth_media_table(512))
         return media_features(media)
 
+    def multimodal_thumbnails(sf_dir: str):
+        # real decode -> nearest-neighbor resize -> re-encode (images) and
+        # frame-RMS envelopes (audio); binary outputs -> rows-only check
+        import ray
+
+        from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+            media_transform,
+        )
+
+        media = ray.data.from_arrow(synth_media_table(512))
+        return media_transform(media, thumb=16)
+
     def redact_docs(sf_dir: str):
         # the PII-scrub shape over the synthetic corpus: redact two real
         # corpus words so the transform is actually exercised (the PII
@@ -588,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q(A.dedup_exact_docs),
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "incremental_minhash_docs": incremental_minhash_docs,
+        "multimodal_thumbnails": multimodal_thumbnails,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
         "lang_token_totals": _q(A.lang_token_totals),

@@ -293,3 +293,94 @@ def media_features(ds, batch_size: int = 64, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# transform kernels: resize / frame-sample (pure numpy, actor-pool stage)
+# ---------------------------------------------------------------------------
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (one fancy-gather — the decode
+    lane of a thumbnail stage; production impl swaps in PIL/cv2 bilinear
+    with the same (H, W, 3) -> (out_h, out_w, 3) contract)."""
+    h, w, _ = px.shape
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return px[ri[:, None], ci[None, :], :]
+
+
+def audio_frame_rms(samples: np.ndarray, rate: int, frame_ms: int = 20,
+                    hop_ms: int = 10) -> np.ndarray:
+    """Per-frame RMS envelope (float64, full-scale units) over sliding
+    windows — the frame-sample primitive of audio featurization. Vectorized
+    via a cumsum of squares; frames shorter than frame_len at the tail are
+    dropped (standard STFT convention)."""
+    x = samples.astype(np.float64) / 32768.0
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    frame = max(int(rate * frame_ms / 1000), 1)
+    hop = max(int(rate * hop_ms / 1000), 1)
+    if len(x) < frame:
+        return np.empty(0, dtype=np.float64)
+    cs = np.concatenate(([0.0], np.cumsum(x * x)))
+    starts = np.arange(0, len(x) - frame + 1, hop)
+    return np.sqrt((cs[starts + frame] - cs[starts]) / frame)
+
+
+class MediaTransformer:
+    """Actor-pool transform stage over REAL payloads: images are decoded,
+    nearest-neighbor-resized to ``thumb x thumb`` and re-encoded as PPM
+    (the thumbnail lane); audio is decoded and reduced to a per-frame RMS
+    envelope (the frame-sample lane). Same small-batch / arrow-zero-copy
+    shape as the feature stage; formats needing codec libraries raise with
+    the production call shape (see RealDecoder)."""
+
+    def __init__(self, thumb: int = 16, frame_ms: int = 20, hop_ms: int = 10):
+        self.thumb = thumb
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, envs = [], []
+        for p in batch.column("payload"):
+            payload = p.as_py()
+            if payload[:2] in (b"P6", b"BM"):
+                px = (
+                    decode_ppm(payload) if payload[:2] == b"P6"
+                    else decode_bmp(payload)
+                )
+                outs.append(encode_ppm(resize_image(px, self.thumb, self.thumb)))
+                envs.append([])
+            elif payload[:4] == b"RIFF":
+                samples, rate = decode_wav(payload)
+                outs.append(b"")
+                envs.append(
+                    audio_frame_rms(samples, rate, self.frame_ms, self.hop_ms)
+                    .tolist()
+                )
+            else:
+                raise NotImplementedError(
+                    "only WAV(PCM16)/PPM(P6)/BMP(24-bit) decodable without "
+                    "codec libraries (production: PIL / soundfile)"
+                )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "thumbnail": pa.array(outs, type=pa.large_binary()),
+                "rms_envelope": pa.array(envs, type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def media_transform(ds, thumb: int = 16, batch_size: int = 64,
+                    concurrency=(1, 4)):
+    """Thumbnail + frame-sample pipeline over a media Dataset (small
+    batches — large binary payloads — actor pool, arrow in/out)."""
+    return ds.map_batches(
+        MediaTransformer,
+        fn_constructor_kwargs={"thumb": thumb},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1056,3 +1056,45 @@ def test_incremental_minhash_dedup_against_persisted_index(ray_session, tmp_path
         ray.data.from_arrow(fresh), idx, threshold=0.7
     ).to_pandas()
     assert set(out2["doc_id"]) == {200, 201}
+
+
+def test_media_transform_thumbnails_and_envelopes(ray_session):
+    """Real decode -> resize -> re-encode thumbnails (dims provable by
+    re-decoding) and audio frame-RMS envelopes (length matches hop math,
+    constant-amplitude signal gives its exact RMS)."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        audio_frame_rms, decode_ppm, encode_wav, media_transform,
+        resize_image, synth_media_table,
+    )
+
+    t = synth_media_table(48, seed=11)
+    out = media_transform(
+        ray.data.from_arrow(t), thumb=8
+    ).to_pandas().set_index("media_id")
+    src = t.to_pandas().set_index("media_id")
+    for mid, row in out.iterrows():
+        if row["kind"] == "image":
+            px = decode_ppm(row["thumbnail"])
+            assert px.shape == (8, 8, 3)
+            assert len(row["rms_envelope"]) == 0
+        else:
+            n = src.loc[mid, "sample_rate"] and len(row["rms_envelope"])
+            rate = int(src.loc[mid, "sample_rate"])
+            # hop math: frames = floor((n_samples - frame)/hop) + 1
+            frame, hop = rate * 20 // 1000, rate * 10 // 1000
+            # recompute from the true payload
+            from etl_sql_duckdb_parquet__ray.functions.multimodal import decode_wav
+            samples, r = decode_wav(src.loc[mid, "payload"])
+            exp = 0 if len(samples) < frame else (len(samples) - frame) // hop + 1
+            assert len(row["rms_envelope"]) == exp
+    # kernel-level pins
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    r = resize_image(px, 2, 3)
+    assert r.shape == (2, 3, 3)
+    assert (r[0, 0] == px[0, 0]).all()
+    const = np.full(1600, 16384, dtype=np.int16)  # half full-scale
+    env = audio_frame_rms(const, 16000)
+    assert np.allclose(env, 0.5)
