@@ -115,3 +115,39 @@ def test_chunk_roundtrip_property(pairs):
     )
     blob, _ = encode_chunk(t)
     assert decode_chunk(blob).equals(t)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=2000),
+    st.integers(0, 1990),
+    st.integers(3, 24),
+)
+def test_trigram_filter_never_false_prunes_property(corpus, lo, ln):
+    """EXACTNESS INVARIANT of substring data skipping: for ANY byte corpus
+    and ANY substring of it (len >= 3), the Bloom filter must test
+    positive — a false prune would silently drop matching rows."""
+    from etl_sql_duckdb_parquet__ray.filters import (
+        build_trigram_filter, filter_may_contain,
+    )
+
+    filt = build_trigram_filter(corpus)
+    if filt is None:
+        return  # < 3 bytes: nothing indexable, never prunes (tested unit)
+    term = corpus[lo : lo + ln]
+    assert filter_may_contain(filt, term)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, width=64), min_size=0, max_size=500))
+def test_bss_bit_identity_property(vals):
+    """Byte-stream-split is lossless on arbitrary doubles (NaN payloads,
+    infinities, subnormals, -0.0)."""
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__ray.codecs.floats import ByteStreamSplitCodec
+
+    v = np.array(vals, dtype=np.float64)
+    c = ByteStreamSplitCodec()
+    payload, meta = c.encode(v)
+    assert c.decode(payload, meta, len(v)).tobytes() == v.tobytes()
