@@ -447,6 +447,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(rename, batch_format="pyarrow")
 
+    def transcript_tool_usage(sf_dir: str):
+        # role-equality pushdown over the ENCODED corpus: decode only the
+        # tool-role turns (per-chunk val_sets prune + exact row filter),
+        # count per tool value
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import decode_dataset
+        from ray.data.aggregate import Count
+
+        out = _encoded_transcripts_dir(sf_dir)
+        ds = decode_dataset(out, columns=["tool"], role_eq="tool")
+        agg = ds.groupby("tool").aggregate(Count())
+
+        def rename(t):
+            return t.rename_columns(["tool", "n_turns"])
+
+        return agg.map_batches(rename, batch_format="pyarrow")
+
     def transcript_conv_stats(sf_dir: str):
         # catalog-style stats straight off the ENCODED corpus: encode the
         # derived transcripts once, then aggregate over a 3-column
@@ -663,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prop_k_stats": A.events_prop_k_stats,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_token_totals": transcript_token_totals,
+        "transcript_tool_usage": transcript_tool_usage,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
         "heavy_hitter_terms": heavy_hitter_terms_docs,
@@ -1752,6 +1769,20 @@ def oracle_sql() -> dict[str, str]:
                    ))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_turns
             FROM tx GROUP BY conv_id
+        """,
+        # transcript_tool_usage mirror: only every 4th turn is a tool turn
+        # in the derivation (role cycle), tool = event_type there; NULL
+        # tools never group (engine side: role_eq pushdown then groupby)
+        "transcript_tool_usage": """
+            SELECT tool, COUNT(*) AS n_turns FROM (
+                SELECT CASE WHEN (rn - 1) % 4 = 3 THEN event_type END AS tool,
+                       (rn - 1) % 4 AS r
+                FROM (
+                    SELECT event_type,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                    FROM events) t
+            ) WHERE r = 3 GROUP BY tool
         """,
         # transcript_ts_window mirror: the 30-60% epoch-us window over the
         # same transcript derivation, integer bound arithmetic identical to

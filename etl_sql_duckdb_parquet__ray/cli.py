@@ -78,13 +78,21 @@ def cmd_decode(args) -> int:
         role_eq=args.role_eq,
         tool_eq=args.tool_eq,
         conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
+        col_ranges={
+            name: (
+                float(lo) if "." in lo else int(lo) if lo != "" else None,
+                float(hi) if "." in hi else int(hi) if hi != "" else None,
+            )
+            for spec in (args.col_range or [])
+            for name, lo, hi in [spec.split(":", 2)]
+        } or None,
     )
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None
                     or args.ts_lo is not None or args.ts_hi is not None
                     or args.text_contains is not None
                     or args.role_eq is not None or args.tool_eq is not None
-                    or args.conv_ids)
+                    or args.conv_ids or args.col_range)
     if pushdown:
         # selective decode: STREAM the write (a projection over the full
         # dataset must not pin everything in the object store), then count
@@ -369,6 +377,12 @@ def main(argv=None) -> int:
         help="substring predicate on text; prunes chunks via manifest "
              "trigram filters when the corpus was encoded with "
              "--text-filters",
+    )
+    dec.add_argument(
+        "--col-range", action="append", default=None, metavar="COL:LO:HI",
+        help="inclusive numeric range on a column (empty side = unbounded; "
+             "repeatable); derived sidecar columns prune whole chunks via "
+             "their zone maps",
     )
     dec.add_argument(
         "--conv-ids", default=None,
