@@ -664,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": A.revenue_rollup,
         "orders_cube": A.orders_cube,
         "top_supplier_per_brand": A.top_supplier_per_brand,
+        "customer_order_history": A.customer_order_history,
+        "revenue_by_region": A.revenue_by_region,
         "customer_order_moving_avg": A.customer_order_moving_avg,
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
@@ -1500,6 +1502,27 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p_brand, l_suppkey
             ) t JOIN supplier USING (s_suppkey)
             WHERE rn = 1
+        """,
+        # revenue_by_region mirror: 4-way chain, identical IEEE per-row
+        # product then exact integer sums (same contract as revenue_by_nation)
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_x10000,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        # customer_order_history mirror: deterministic ordered STRING_AGG
+        "customer_order_history": """
+            SELECT o_custkey,
+                   STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY o_orderdate, o_orderkey) AS order_keys,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
         """,
         # customer_order_moving_avg mirror: rows-frame AVG window; float
         # summation order may differ by ulps, far below the 1e-6 rounding

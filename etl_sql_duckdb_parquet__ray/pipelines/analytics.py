@@ -810,6 +810,73 @@ def revenue_rollup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def revenue_by_region(sf_dir: str):
+    """4-way join chain (lineitem ⋈ supplier ⋈ nation ⋈ region) folded
+    into ONE broadcast lookup: the three dimension tables pre-join
+    driver-side (they're tiny by star-schema construction) into a
+    (s_suppkey -> r_name) map shipped once; the fact table then pays a
+    single probe per batch — with this, every one of the 10 testdata
+    tables appears in an oracled registry query."""
+    sup = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_arrow(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    lookup = (
+        sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"])
+        .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+        .select(["s_suppkey", "r_name"])
+    )
+    ds = read_table(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+            pa.scalar(10000.0),
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_x10000": pc.round(r).cast(pa.int64()),
+            }
+        )
+
+    joined = broadcast_join(
+        ds.map_batches(rev, batch_format="pyarrow"), lookup,
+        keys="l_suppkey", right_keys="s_suppkey",
+    )
+    return _rename(
+        joined.groupby("r_name").aggregate(Sum("rev_x10000"), Count()),
+        ["r_name", "revenue_x10000", "n_items"],
+    )
+
+
+def customer_order_history(sf_dir: str):
+    """Ordered ARRAY_AGG / STRING_AGG per group: each customer's order
+    keys concatenated in (o_orderdate, o_orderkey) order — one hash
+    exchange on the customer, vectorized sort + join inside the group
+    (the SQL `STRING_AGG(x, ',' ORDER BY ...)` surface; a list-typed
+    array_agg is the same code with the join dropped)."""
+    ds = read_table(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "order_keys": [",".join(map(str, g["o_orderkey"]))],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
 def top_supplier_per_brand(sf_dir: str):
     """Grouped argmax across a 3-table join: for every part brand, the
     supplier with the highest lineitem revenue (exact integer cents;
