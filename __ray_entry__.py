@@ -408,23 +408,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _encoded_transcripts_dir(sf_dir)
 
         def n_tokens(chunk):
-            # self-contained imports: the closure ships to Ray workers that
-            # never import this (dynamically loaded) driver module
-            import numpy as np
-            import pyarrow as pa
-            import pyarrow.compute as pc
+            # the shared SQL-parity kernel (self-contained import: the
+            # closure ships to Ray workers that never import this
+            # dynamically-loaded driver module)
+            from etl_sql_duckdb_parquet__ray.functions.text import (
+                token_count_kernel,
+            )
 
-            # SQL-parity tokenization: \s+ split, empties dropped
-            toks = pc.split_pattern_regex(
-                pc.coalesce(chunk.column("text"), ""), r"\s+"
-            ).combine_chunks()
-            n_all = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-            flat = pc.list_flatten(toks)
-            emp = np.asarray(pc.equal(flat, "")).astype(np.int64)
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            cs = np.concatenate(([0], np.cumsum(emp)))
-            n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
-            return pa.array((n_all - n_emp).astype(np.int32))
+            return token_count_kernel(chunk.column("text"))
 
         derive_column(out, "n_tokens", n_tokens, ["text"])
         ds = decode_dataset(out, columns=["conv_id", "n_tokens"])

@@ -60,6 +60,38 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _parse_col_ranges(specs) -> dict | None:
+    """COL:LO:HI specs -> {col: (lo, hi)}. Accepts ints, floats and
+    scientific notation; an empty side is unbounded; a missing HI field
+    means unbounded. Malformed specs exit with a usable message instead
+    of a traceback."""
+    if not specs:
+        return None
+
+    def num(s: str):
+        if s == "":
+            return None
+        try:
+            f = float(s)
+        except ValueError:
+            raise SystemExit(
+                f"--col-range: {s!r} is not a number (spec format COL:LO:HI)"
+            )
+        return int(f) if f.is_integer() and "e" not in s.lower() and "." not in s else f
+
+    out = {}
+    for spec in specs:
+        parts = spec.split(":", 2)
+        if len(parts) < 2:
+            raise SystemExit(
+                f"--col-range: {spec!r} must be COL:LO:HI (empty side = unbounded)"
+            )
+        name, lo = parts[0], parts[1]
+        hi = parts[2] if len(parts) == 3 else ""
+        out[name] = (num(lo), num(hi))
+    return out
+
+
 def cmd_decode(args) -> int:
     _ray()
     from .pipelines.encode import decode_dataset
@@ -78,14 +110,7 @@ def cmd_decode(args) -> int:
         role_eq=args.role_eq,
         tool_eq=args.tool_eq,
         conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
-        col_ranges={
-            name: (
-                float(lo) if "." in lo else int(lo) if lo != "" else None,
-                float(hi) if "." in hi else int(hi) if hi != "" else None,
-            )
-            for spec in (args.col_range or [])
-            for name, lo, hi in [spec.split(":", 2)]
-        } or None,
+        col_ranges=_parse_col_ranges(args.col_range),
     )
     pushdown = bool(args.columns or args.conv_id is not None
                     or args.turn_lo is not None or args.turn_hi is not None
@@ -152,15 +177,9 @@ def cmd_derive(args) -> int:
     from .pipelines.encode import derive_column
 
     def token_count(chunk):
-        toks = pc.split_pattern_regex(
-            pc.coalesce(chunk.column("text"), ""), r"\s+"
-        ).combine_chunks()
-        n_all = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        emp = np.asarray(pc.equal(pc.list_flatten(toks), "")).astype(np.int64)
-        offs = np.asarray(toks.offsets, dtype=np.int64)
-        cs = np.concatenate(([0], np.cumsum(emp)))
-        n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
-        return pa.array((n_all - n_emp).astype(np.int32))
+        from .functions.text import token_count_kernel
+
+        return token_count_kernel(chunk.column("text"))
 
     def char_count(chunk):
         return pc.coalesce(
@@ -265,6 +284,8 @@ def cmd_describe(args) -> int:
         (hlen,) = _struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hlen))
     chunks = [c for r in recs for c in r["chunks"]]
+    n_chunks = max(len(chunks), 1)  # pct denominators; 0-chunk manifests
+    # still describe (counts all zero) instead of dividing by zero
     side = {}
     for p in _glob.glob(os.path.join(args.encoded, "column-*.json")):
         base = os.path.basename(p)[len("column-"):-len(".json")]
@@ -290,13 +311,13 @@ def cmd_describe(args) -> int:
                 r.get("zone_v", 1) >= 2 for r in recs
             ),
             "ts_range_pct": round(
-                100.0 * sum("ts_range" in c for c in chunks) / len(chunks), 1
+                100.0 * sum("ts_range" in c for c in chunks) / n_chunks, 1
             ),
             "tri_filter_pct": round(
-                100.0 * sum("tri_filter" in c for c in chunks) / len(chunks), 1
+                100.0 * sum("tri_filter" in c for c in chunks) / n_chunks, 1
             ),
             "val_sets_pct": round(
-                100.0 * sum("val_sets" in c for c in chunks) / len(chunks), 1
+                100.0 * sum("val_sets" in c for c in chunks) / n_chunks, 1
             ),
         },
         "partitioning": {

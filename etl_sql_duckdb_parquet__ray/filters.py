@@ -74,12 +74,9 @@ def filter_may_contain(filt: dict | None, term: str | bytes) -> bool:
     tb = term.encode("utf-8", "surrogatepass") if isinstance(term, str) else term
     if len(tb) < 3:
         return True  # too short to index — no pruning possible
-    b = np.frombuffer(tb, dtype=np.uint8)
-    tri = (
-        (b[:-2].astype(np.uint32) << np.uint32(16))
-        | (b[1:-1].astype(np.uint32) << np.uint32(8))
-        | b[2:].astype(np.uint32)
-    )
+    # same packing as the build side (uniqueness is irrelevant for the
+    # membership test; sharing the code keeps build/probe bit-identical)
+    tri = trigram_values(tb)
     m = int(filt["m"])
     bits = np.frombuffer(base64.b64decode(filt["b64"]), dtype=np.uint8)
     for h in _bit_positions(tri, m):

@@ -1026,6 +1026,16 @@ class _MinhashSigs:
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            # zero-row blocks reach stateless stages after upstream filters
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array(
+                        [], pa.list_(pa.uint64(), self.num_perm)
+                    ),
+                }
+            )
         sh = shingle_hashes(batch["text"], self.shingle_n)
         sigs = np.stack([minhash_signature(s, self.a, self.b) for s in sh])
         flat = pa.array(sigs.reshape(-1).view(np.uint64))
@@ -1124,7 +1134,11 @@ def incremental_minhash_dedup(new_ds, index_dir: str,
             concurrency=(1, 8),
         ).iter_batches(batch_format="pyarrow")
     ]
+    if not sig_batches:
+        return new_ds  # empty tick: nothing to dedup
     new_sigs = pa.concat_tables(sig_batches)
+    if new_sigs.num_rows == 0:
+        return new_ds
     new_ids = np.asarray(new_sigs.column("doc_id"))
     sig_mat = np.asarray(
         new_sigs.column("sig").combine_chunks().flatten()
@@ -1143,27 +1157,37 @@ def incremental_minhash_dedup(new_ds, index_dir: str,
     keys_ref = ray.put(np.unique(new_keys))
     map_ref = ray.put(key_to_new)
 
-    def probe(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        k = _bb_key(t.column("band"), t.column("bucket"))
-        hit = np.isin(k, keys)
-        if not hit.any():
-            return pa.table({"new_doc": pa.array([], pa.int64()),
-                             "old_doc": pa.array([], pa.int64())})
-        kmap = ray.get(map_ref)
-        old = np.asarray(t.column("doc_id"))[hit]
-        kk = k[hit]
-        new_l, old_l = [], []
-        for o, key in zip(old, kk):
-            for nd in kmap[int(key)]:
-                new_l.append(nd)
-                old_l.append(int(o))
-        return pa.table({"new_doc": pa.array(new_l, pa.int64()),
-                         "old_doc": pa.array(old_l, pa.int64())})
+    class _Probe:
+        """Actor-pool stage: the broadcast tick keys/map are fetched ONCE
+        per actor (same pattern as _UnigramScore) — not re-deserialized
+        per streamed index batch."""
+
+        def __init__(self, keys_ref, map_ref):
+            self.keys = ray.get(keys_ref)
+            self.kmap = ray.get(map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = _bb_key(t.column("band"), t.column("bucket"))
+            hit = np.isin(k, self.keys)
+            if not hit.any():
+                return pa.table({"new_doc": pa.array([], pa.int64()),
+                                 "old_doc": pa.array([], pa.int64())})
+            old = np.asarray(t.column("doc_id"))[hit]
+            kk = k[hit]
+            new_l, old_l = [], []
+            for o, key in zip(old, kk):
+                for nd in self.kmap[int(key)]:
+                    new_l.append(nd)
+                    old_l.append(int(o))
+            return pa.table({"new_doc": pa.array(new_l, pa.int64()),
+                             "old_doc": pa.array(old_l, pa.int64())})
 
     cand = (
         rd.read_parquet(os.path.join(index_dir, "bands"))
-        .map_batches(probe, batch_format="pyarrow")
+        .map_batches(
+            _Probe, fn_constructor_args=(keys_ref, map_ref),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
         .groupby(["new_doc", "old_doc"]).count()
     )
     cand_batches = list(cand.iter_batches(batch_format="pyarrow"))

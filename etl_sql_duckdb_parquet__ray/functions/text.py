@@ -844,3 +844,21 @@ def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def token_count_kernel(col) -> pa.Array:
+    """Per-value whitespace token count with SQL-mirror parity
+    (``len(list_filter(string_split_regex(COALESCE(x, ''), '\\s+'),
+    w -> w <> ''))``): one RE2 split, empties subtracted via a cumsum
+    segment reduction — no per-row Python. Shared by the CLI derive
+    kernel and the registry's sidecar derivation so the two can never
+    drift."""
+    toks = pc.split_pattern_regex(
+        pc.coalesce(col, ""), r"\s+"
+    ).combine_chunks()
+    n_all = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    emp = np.asarray(pc.equal(pc.list_flatten(toks), "")).astype(np.int64)
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(emp)))
+    n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+    return pa.array((n_all - n_emp).astype(np.int32))

@@ -473,6 +473,20 @@ class BucketEncoder:
                 meta_rec["val_sets"] = extra_vals
             chunk_meta.append(meta_rec)
         path = bucket_data_path(self.out_dir, bucket)
+        # a (re)written bucket invalidates any derived-column sidecars that
+        # described its OLD chunks — leaving them would silently attach a
+        # previous corpus' values (or stale zone maps) to the new rows
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.out_dir, f"column-*-{bucket:05d}.bin")
+        ) + _glob.glob(
+            os.path.join(self.out_dir, f"column-*-{bucket:05d}.json")
+        ):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         nbytes = write_chunk_file(path, chunks)
         record = {
             "bucket": bucket,
@@ -1166,19 +1180,26 @@ class _SelectiveDecode:
             spans = chunk_spans(row["path"])
             main_cols = self.read_cols
             side: dict[str, list] = {}
-            if self.read_cols is not None:
-                # derived-column sidecars (see derive_column): any requested
-                # column with a sidecar file next to the bucket reads from
-                # there; its chunk spans align 1:1 with the main file's
-                for c in self.read_cols:
-                    sp = sidecar_paths(row["path"], c)[0]
-                    if os.path.exists(sp):
-                        side[c] = chunk_spans(sp)
-                if side:
-                    main_cols = [c for c in self.read_cols if c not in side]
+            # derived-column sidecars (see derive_column): any requested or
+            # range-filtered column with a sidecar file next to the bucket
+            # reads from there; its chunk spans align 1:1 with the main
+            # file's. With columns=None the sidecar columns are loaded ONLY
+            # to evaluate col_ranges and dropped from the output (base
+            # decode keeps the original schema).
+            probe_cols = set(self.read_cols or [])
+            if self.read_cols is None and self.col_ranges:
+                probe_cols = set(self.col_ranges)
+            for c in probe_cols:
+                sp = sidecar_paths(row["path"], c)[0]
+                if os.path.exists(sp):
+                    side[c] = chunk_spans(sp)
+            if side and self.read_cols is not None:
+                main_cols = [c for c in self.read_cols if c not in side]
             for i in row["idx"]:
                 t = None
-                if main_cols or not side:
+                # None = ALL main columns (base decode); [] with sidecars =
+                # an all-derived projection that starts from the sidecar
+                if main_cols is None or main_cols or not side:
                     t = read_chunk_columns(row["path"], spans[i], main_cols)
                 for c, sspans in side.items():
                     st = read_chunk_columns(
@@ -1226,6 +1247,12 @@ class _SelectiveDecode:
                     t = t.filter(pc.fill_null(mask, False))  # null ts never matches
                 if self.columns is not None:
                     t = t.select(self.columns)
+                elif side:
+                    # base decode: filter-only sidecar columns don't join
+                    # the output schema
+                    t = t.drop_columns(
+                        [c for c in side if c in t.column_names]
+                    )
                 if t.num_rows:
                     yield t
 

@@ -1479,3 +1479,56 @@ def test_derived_column_range_pushdown(ray_session, tmp_path):
     ).to_pandas()
     ref = src[(src["turn_idx"] >= 1) & lens.between(10, 20)]
     assert len(both) == len(ref)
+
+
+def test_col_ranges_without_columns_and_stale_sidecar_invalidation(
+    ray_session, tmp_path
+):
+    """Two review regressions: (a) col_ranges on a derived column must work
+    with columns=None (filter-only sidecar load, base output schema);
+    (b) re-encoding a directory must invalidate sidecars describing the
+    OLD corpus instead of silently attaching them to the new rows."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset, derive_column, encode_transcripts, sidecar_paths,
+    )
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    t = generate_transcripts(3000, seed=41)
+    out = str(tmp_path / "rev")
+    encode_transcripts(ray.data.from_arrow(t), out, num_buckets=2,
+                       chunk_rows=512, resume=False)
+
+    def text_len(chunk: pa.Table) -> pa.Array:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pc.coalesce(
+            pc.utf8_length(chunk.column("text")), pa.scalar(0, pa.int32())
+        ).cast(pa.int32()).combine_chunks()
+
+    derive_column(out, "text_len", text_len, ["text"])
+    src = t.to_pandas()
+    lens = src["text"].fillna("").str.len()
+    lo = int(lens.quantile(0.5))
+    # (a) columns=None + derived col_ranges: rows exact, base schema kept
+    got = decode_dataset(out, col_ranges={"text_len": (lo, None)}).to_pandas()
+    assert len(got) == int((lens >= lo).sum())
+    assert "text_len" not in got.columns
+    assert set(got.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    # (b) re-encode a DIFFERENT corpus into the same dir: sidecars must die
+    t2 = generate_transcripts(5000, seed=42)
+    encode_transcripts(ray.data.from_arrow(t2), out, num_buckets=2,
+                       chunk_rows=512, resume=False)
+    for r in load_manifest(out):
+        sbin, sjson = sidecar_paths(r["path"], "text_len")
+        assert not os.path.exists(sbin) and not os.path.exists(sjson)
+    # a fresh derive over the new corpus is exact again
+    derive_column(out, "text_len", text_len, ["text"])
+    lens2 = t2.to_pandas()["text"].fillna("").str.len()
+    lo2 = int(lens2.quantile(0.5))
+    got2 = decode_dataset(
+        out, columns=["turn_idx"], col_ranges={"text_len": (lo2, None)}
+    ).count()
+    assert got2 == int((lens2 >= lo2).sum())
