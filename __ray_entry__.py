@@ -150,6 +150,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out, columns=["conv_id", "turn_idx", "role"], turn_lo=2, turn_hi=40
         )
 
+    def transcript_delete_roundtrip(sf_dir: str):
+        # tombstone deletes (merge-on-read): encode, mark every conv_id
+        # ending in '0' deleted (one metadata write, no data rewrite),
+        # decode the full corpus — the broadcast anti-filter must hide
+        # exactly those conversations. Hash-checked against the roundtrip
+        # mirror with the same NOT LIKE predicate.
+        from etl_sql_duckdb_parquet__ray.pipelines.deletes import delete_convs
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset,
+            encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="rtd-", dir="/tmp")
+        ds = events_to_transcripts(sf_dir)
+        encode_transcripts(
+            ds, out, num_buckets=8, resume=False, encoder_concurrency=(1, 4),
+        )
+        doomed = [
+            c for c in decode_dataset(out, columns=["conv_id"])
+            .unique("conv_id") if c.endswith("0")
+        ]
+        delete_convs(out, doomed)
+        return decode_dataset(out)
+
     def minhash_dedup_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.minhash_dup_pairs(ds, threshold=0.7)
@@ -621,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep_docs,
         # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
+        "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
@@ -678,6 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": heavy_hitter_terms_docs,
         "funnel_click_purchase": A.funnel_click_purchase,
         "cohort_retention": A.cohort_retention,
+        "price_qty_regression": A.price_qty_regression,
+        "event_type_entropy": A.event_type_entropy,
     }
 
 
@@ -1174,6 +1204,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events) t
         """,
+        # roundtrip mirror minus the tombstoned conversations: conv_id =
+        # 'conv-' || lpad(user_id), so "ends in '0'" is user_id % 10 = 0
+        "transcript_delete_roundtrip": """
+            SELECT * FROM (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       CAST(rn - 1 AS INTEGER) AS turn_idx,
+                       CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                         WHEN 1 THEN 'assistant'
+                                         WHEN 2 THEN 'system'
+                                         ELSE 'tool' END AS role,
+                       COALESCE(props, '') AS text,
+                       CASE WHEN (rn - 1) % 4 = 3 THEN event_type END AS tool,
+                       ts
+                FROM (
+                    SELECT user_id, event_id, ts, event_type, props,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS rn
+                    FROM events) t1) t2
+            WHERE conv_id NOT LIKE '%0'
+        """,
         # projected + turn-filtered mirror of the same derivation: checks
         # the engine's selective-read path (projection pushdown + turn
         # zone-map pruning + exact row filter) value-for-value
@@ -1641,6 +1692,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT e.user_id) AS n_users
             FROM events e JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # price_qty_regression mirror: regr_slope/intercept per group from
+        # the same exact HUGEINT sufficient statistics (DuckDB's own
+        # regr_slope() accumulates incrementally in doubles — block-order
+        # dependent — so the mirror derives the fit from exact integer
+        # sums, the lineitem_correlation technique, and the final double
+        # expressions match the Ray side bit-for-bit)
+        "price_qty_regression": """
+            WITH c AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sy,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                           * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+                       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                           * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+                   (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+            FROM c ORDER BY l_returnflag
+        """,
+        # event_type_entropy mirror: exact integer counts, entropy floored
+        # to micro-bits (the percent-of-total basis-point determinism rule)
+        "event_type_entropy": """
+            WITH c AS (
+                SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM c)
+            SELECT CAST(t.k AS BIGINT) AS n_types,
+                   CAST(t.total AS BIGINT) AS n_events,
+                   CAST(FLOOR((LOG2(t.total) - SUM(c.n * LOG2(c.n)) / t.total)
+                              * 1000000) AS BIGINT) AS entropy_ubits
+            FROM c, t GROUP BY t.k, t.total
         """,
         # corpus_prep mirror: the composed flagship — langid + quality
         # filters, benchmark holdout, exact-gram decontamination, exact

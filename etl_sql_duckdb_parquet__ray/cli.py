@@ -151,8 +151,24 @@ def cmd_decode(args) -> int:
         )
         print(json.dumps({"rows": n}))
     else:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .pipelines.deletes import deletes_path
+
         ds.write_parquet(args.out)
-        print(json.dumps({"rows": manifest_stats(args.input)["rows"]}))
+        if os.path.exists(deletes_path(args.input)):
+            # tombstoned corpus: the manifest row count includes deleted
+            # conversations the decode just filtered — count what was written
+            n = sum(
+                pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+                for f in os.listdir(args.out)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = manifest_stats(args.input)["rows"]
+        print(json.dumps({"rows": n}))
     return 0
 
 
@@ -162,6 +178,31 @@ def cmd_compact(args) -> int:
     from .state.scheduler import compact
 
     compact(args.inputs.split(","), args.out, num_buckets=args.buckets)
+    print(json.dumps(manifest_stats(args.out)))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone conversations (metadata-only; reads hide them immediately,
+    `purge` rewrites without them)."""
+    from .pipelines.deletes import delete_convs
+
+    convs = (
+        [c.strip() for c in args.conv_ids.split(",") if c.strip()]
+        if args.conv_ids
+        else [line.strip() for line in open(args.conv_file) if line.strip()]
+    )
+    print(json.dumps(delete_convs(args.encoded, convs)))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physically rewrite the corpus without tombstoned conversations."""
+    _ray()
+    from .pipelines.deletes import purge_deleted
+    from .state.manifest import manifest_stats
+
+    purge_deleted(args.encoded, args.out, num_buckets=args.buckets)
     print(json.dumps(manifest_stats(args.out)))
     return 0
 
@@ -427,6 +468,23 @@ def main(argv=None) -> int:
     cp.add_argument("--out", required=True)
     cp.add_argument("--buckets", type=int, default=32)
     cp.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete", help="tombstone conversations (metadata-only delete)"
+    )
+    dl.add_argument("--encoded", required=True)
+    g = dl.add_mutually_exclusive_group(required=True)
+    g.add_argument("--conv-ids", dest="conv_ids", help="comma-separated conv_ids")
+    g.add_argument("--conv-file", dest="conv_file", help="file, one conv_id/line")
+    dl.set_defaults(fn=cmd_delete, conv_ids=None, conv_file=None)
+
+    pg = sub.add_parser(
+        "purge", help="rewrite the corpus without tombstoned conversations"
+    )
+    pg.add_argument("--encoded", required=True)
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--buckets", type=int, default=32)
+    pg.set_defaults(fn=cmd_purge)
 
     dv = sub.add_parser(
         "derive",

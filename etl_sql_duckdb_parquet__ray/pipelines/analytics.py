@@ -1385,3 +1385,120 @@ def cohort_retention(sf_dir: str):
         .aggregate(Count())
     )
     return _rename(out, ["cohort_day", "offset_day", "n_users"])
+
+
+def price_qty_regression(sf_dir: str):
+    """Per-group least-squares fit (SQL ``regr_slope``/``regr_intercept``
+    family — A6 grouped aggregates one step past the reference's report
+    queries, ``sql/queries.sql:1-149``): extendedprice-on-quantity per
+    returnflag. Sufficient statistics (n, Sx, Sy, Sxx, Sxy) are exact
+    integer cents summed per batch and shipped as base-2^31 limbs (the
+    :func:`~..stages.profile.numeric_correlation` trick), so one combiner
+    ``groupby().sum()`` over |flags| rows replaces any wide exchange and
+    the result is block-order independent. The closing doubles mirror
+    DuckDB's HUGEINT-to-DOUBLE arithmetic expression-for-expression, so
+    the oracle hash matches bit-for-bit."""
+    _MASK = (1 << 31) - 1
+    _LIMBS = 5
+    moments = ["sx", "sy", "sxx", "sxy"]
+
+    ds = read_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t.column("l_returnflag").to_pandas()
+        x = np.asarray(_cents(t.column("l_quantity")))
+        y = np.asarray(_cents(t.column("l_extendedprice")))
+        rows: dict[str, list] = {"l_returnflag": [], "n": []}
+        for m in moments:
+            for j in range(_LIMBS):
+                rows[f"{m}_l{j}"] = []
+        for flag, idx in flags.groupby(flags).groups.items():
+            ii = np.asarray(idx)
+            xs, ys = x[ii], y[ii]
+            # per-batch exact sums: elementwise products fit int64
+            # (|x|<=2^13 cents, |y|<=2^31 cents), so chunked int64
+            # reductions keep every partial exact.
+            exact = {
+                "sx": int(xs.sum()),
+                "sy": int(ys.sum()),
+                "sxx": sum(int(v) for v in np.add.reduceat(xs * xs, range(0, len(ii), 1 << 20))),
+                "sxy": sum(int(v) for v in np.add.reduceat(xs * ys, range(0, len(ii), 1 << 20))),
+            }
+            rows["l_returnflag"].append(flag)
+            rows["n"].append(len(ii))
+            for m in moments:
+                v = exact[m]
+                for j in range(_LIMBS):
+                    limb = v >> (31 * j)
+                    if j < _LIMBS - 1:
+                        limb &= _MASK
+                    rows[f"{m}_l{j}"].append(limb)
+        return pa.table(rows)
+
+    limb_cols = ["n"] + [f"{m}_l{j}" for m in moments for j in range(_LIMBS)]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .sum(limb_cols)
+    ).take_all()  # |distinct flags| rows — a combiner result, never the data
+
+    out = {"l_returnflag": [], "n": [], "slope": [], "intercept": []}
+    for r in sorted(agg, key=lambda r: r["l_returnflag"]):
+        n = int(r["sum(n)"])
+        tot = {
+            m: sum(int(r[f"sum({m}_l{j})"]) << (31 * j) for j in range(_LIMBS))
+            for m in moments
+        }
+        # DuckDB evaluation order: HUGEINT sub-expressions stay exact,
+        # each division casts both sides to DOUBLE (measured — see the
+        # lineitem_correlation oracle note in stages/profile.py).
+        num = n * tot["sxy"] - tot["sx"] * tot["sy"]
+        den = n * tot["sxx"] - tot["sx"] * tot["sx"]
+        # den == 0 (constant x) mirrors SQL double division: 0/0 → nan, k/0 → inf
+        slope = float(num) / float(den) if den else float(num) * float("inf") if num else float("nan")
+        intercept = (float(tot["sy"]) - slope * float(tot["sx"])) / float(n)
+        out["l_returnflag"].append(r["l_returnflag"])
+        out["n"].append(n)
+        out["slope"].append(slope)
+        out["intercept"].append(intercept)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "slope": pa.array(out["slope"], type=pa.float64()),
+            "intercept": pa.array(out["intercept"], type=pa.float64()),
+        }
+    )
+
+
+def event_type_entropy(sf_dir: str):
+    """Shannon entropy of a low-cardinality column's value distribution
+    (information-theoretic profiling — the A1/A3 family's sibling for
+    class balance / skew monitoring). One combiner ``groupby().count()``
+    shrinks the table to |distinct| exact integer counts; the closing
+    ``H = log2(N) - Σ c·log2(c) / N`` runs over that tiny result.
+    Determinism: counts are exact ints on both sides; the float entropy is
+    FLOORED to integer micro-bits (the event_type_share basis-point rule)
+    so last-ulp summation-order differences cannot flip the hash."""
+    import math
+
+    ds = read_table(sf_dir, "events", ["event_type"])
+    counts = ds.groupby("event_type").aggregate(Count()).take_all()
+    n_total = sum(int(r["count()"]) for r in counts)
+    # sorted by value so the Python sum order is fixed; DuckDB's SUM order
+    # is not, but at |distinct| terms the slack is ~1 ulp and the floor
+    # granularity is 1e-6 bits
+    acc = sum(
+        int(r["count()"]) * math.log2(int(r["count()"]))
+        for r in sorted(counts, key=lambda r: r["event_type"])
+    )
+    h = math.log2(n_total) - acc / n_total
+    return pa.table(
+        {
+            "n_types": pa.array([len(counts)], type=pa.int64()),
+            "n_events": pa.array([n_total], type=pa.int64()),
+            "entropy_ubits": pa.array([math.floor(h * 1_000_000)], type=pa.int64()),
+        }
+    )

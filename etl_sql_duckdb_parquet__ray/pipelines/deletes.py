@@ -1,0 +1,99 @@
+"""Tombstone deletes over an encoded corpus — targeted conversation removal
+without rewriting data (the lakehouse delete-vector pattern; the reference's
+only removal path is a full re-run of its DELETE+reload SQL,
+``sql/queries.sql`` teardown + ``src/etl/load.py``).
+
+Design for 10^12 turns:
+
+- ``delete_convs`` appends conv_ids to ONE small tombstone parquet
+  (``_deletes.parquet``) next to the manifest — an O(|deletes|) metadata
+  write, never a data rewrite. Writes are atomic (tmp + ``os.replace``,
+  the manifest's crash contract) and idempotent (merge + unique).
+- Every ``decode_dataset`` read applies the tombstones as a broadcast
+  anti-filter (``ray.put`` once, vectorized ``pc.is_in`` per batch) — the
+  same shape as ``broadcast_semi``. Point lookups of a deleted conv plan
+  its home bucket, then filter to zero rows: correctness never depends on
+  pruning.
+- ``purge_deleted`` physically drops the rows: one streaming
+  decode→re-encode into a fresh directory (the compaction path), after
+  which the tombstone file is gone. Until then reads pay one tiny
+  ``is_in`` per batch — the standard merge-on-read / copy-on-compact
+  trade.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+DELETES_FILE = "_deletes.parquet"
+
+
+def deletes_path(out_dir: str) -> str:
+    return os.path.join(out_dir, DELETES_FILE)
+
+
+def load_deleted_convs(out_dir: str) -> pa.Array:
+    """The corpus's deleted conv_id set (empty array when none)."""
+    p = deletes_path(out_dir)
+    if not os.path.exists(p):
+        return pa.array([], type=pa.string())
+    col = pq.read_table(p, columns=["conv_id"]).column("conv_id")
+    return col.combine_chunks()
+
+
+def delete_convs(out_dir: str, conv_ids: Sequence[str]) -> dict:
+    """Mark conversations deleted. Metadata-only: merges ``conv_ids`` into
+    the tombstone parquet atomically; data files are untouched. Returns
+    counts so callers/schedulers can log the mutation."""
+    if not os.path.isdir(out_dir):
+        raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
+    new = pa.array(sorted({str(c) for c in conv_ids}), type=pa.string())
+    existing = load_deleted_convs(out_dir)
+    merged = pc.unique(pa.concat_arrays([existing.cast(pa.string()), new]))
+    merged = merged.take(pc.sort_indices(merged))
+    path = deletes_path(out_dir)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table({"conv_id": merged}), tmp, compression="zstd")
+    os.replace(tmp, path)
+    return {
+        "n_requested": len(new),
+        "n_already": len(existing),
+        "n_total": len(merged),
+    }
+
+
+def tombstone_filter(ds, deleted: pa.Array, drop_cols: list[str] | None = None):
+    """Anti-filter a Dataset of decoded batches against the broadcast
+    tombstone set; optionally drop helper columns decoded only for the
+    filter (projection reads that did not select conv_id)."""
+    import ray
+
+    ref = ray.put(deleted)
+    drop = list(drop_cols or [])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        dead = ray.get(ref)
+        m = pc.invert(pc.is_in(batch.column("conv_id"), value_set=dead))
+        out = batch.filter(pc.fill_null(m, True))  # null conv never encoded
+        return out.drop_columns(drop) if drop else out
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def purge_deleted(out_dir: str, dest_dir: str, **encode_kw) -> dict:
+    """Physically rewrite the corpus without the tombstoned conversations
+    (merge-on-read → copy-on-compact): one streaming decode (tombstones
+    applied by ``decode_dataset``) re-encoded into ``dest_dir``. The new
+    corpus carries no ``_deletes.parquet``; the source dir is untouched
+    (swap/retire is the caller's call — keeps the operation resumable and
+    the old corpus readable until the new manifest is complete)."""
+    from .encode import decode_dataset, encode_transcripts
+
+    n_dead = len(load_deleted_convs(out_dir))
+    stats = encode_transcripts(decode_dataset(out_dir), dest_dir, **encode_kw)
+    return {"n_tombstoned_convs": n_dead, "encode": stats}

@@ -1301,8 +1301,31 @@ def decode_dataset(
 
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
+
+    Tombstones: when the corpus has a ``_deletes.parquet``
+    (``pipelines.deletes.delete_convs``), every path above additionally
+    anti-filters the deleted conversations (broadcast ``is_in`` per batch,
+    merge-on-read) — including projections that did not select conv_id.
     """
     import ray
+
+    from .deletes import load_deleted_convs, tombstone_filter
+
+    # tombstones (merge-on-read): every read path anti-filters against the
+    # corpus's deleted-conv set — a broadcast is_in per batch, so deleted
+    # conversations vanish from full scans, projections and point lookups
+    # alike until a purge/compaction physically drops them
+    deleted = load_deleted_convs(out_dir)
+    drop_helper: list[str] = []
+    if len(deleted) and columns is not None and "conv_id" not in columns:
+        # projection reads still need conv_id decoded to apply the filter
+        columns = ["conv_id"] + list(columns)
+        drop_helper = ["conv_id"]
+
+    def _with_tombstones(ds):
+        if not len(deleted):
+            return ds
+        return tombstone_filter(ds, deleted, drop_cols=drop_helper)
 
     ts_lo = _ts_us_scalar(ts_lo)
     ts_hi = _ts_us_scalar(ts_hi)
@@ -1315,9 +1338,9 @@ def decode_dataset(
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
         paths = ray.data.from_items([{"path": r["path"]} for r in records])
-        return paths.map_batches(
+        return _with_tombstones(paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
-        )
+        ))
     plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
                        text_contains, role_eq, tool_eq, conv_ids, col_ranges)
     if not plan:
@@ -1331,19 +1354,20 @@ def decode_dataset(
             "tool": pa.string(), "ts": pa.timestamp("us"),
         }
         cols = columns if columns is not None else list(canon)
+        cols = [c for c in cols if c not in drop_helper]
         if all(c in canon for c in cols):
             return ray.data.from_arrow(
                 pa.table({c: pa.array([], type=canon[c]) for c in cols})
             )
         return ray.data.from_items([]).map_batches(lambda t: t)
     items = ray.data.from_items(plan)
-    return items.map_batches(
+    return _with_tombstones(items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
                          text_contains, role_eq, tool_eq, conv_ids,
                          col_ranges),
         batch_format="pyarrow",
         batch_size=1,
-    )
+    ))
 
 
 def roundtrip_ok(input_ds, out_dir: str) -> bool:

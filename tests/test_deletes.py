@@ -1,0 +1,101 @@
+"""Tombstone deletes (merge-on-read) + physical purge over an encoded
+corpus: every decode path must hide deleted conversations, and the purge
+rewrite must drop them bit-identically."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+    delete_convs,
+    deletes_path,
+    load_deleted_convs,
+    purge_deleted,
+)
+from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+    decode_dataset,
+    encode_transcripts,
+)
+from etl_sql_duckdb_parquet__ray.sources.transcripts import generate_transcripts
+
+N_ROWS = 8000
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    import ray
+
+    table = generate_transcripts(N_ROWS, seed=7)
+    out = str(tmp_path_factory.mktemp("delcorpus") / "enc")
+    encode_transcripts(
+        ray.data.from_arrow(table), out, num_buckets=4, chunk_rows=1024
+    )
+    convs = sorted(set(table.column("conv_id").to_pylist()))
+    dead = convs[:3]
+    info = delete_convs(out, dead)
+    assert info["n_total"] == 3
+    return out, table, dead
+
+
+def _expected(table: pa.Table, dead) -> pa.Table:
+    mask = pc.invert(pc.is_in(table.column("conv_id"), value_set=pa.array(dead)))
+    return table.filter(mask)
+
+
+def test_full_decode_hides_deleted(corpus):
+    out, table, dead = corpus
+    got = decode_dataset(out).to_pandas()
+    assert set(got["conv_id"]).isdisjoint(dead)
+    assert len(got) == _expected(table, dead).num_rows
+
+
+def test_delete_is_idempotent_merge(corpus, tmp_path):
+    out, _, dead = corpus
+    info = delete_convs(out, dead[:1])  # re-delete: no growth
+    assert info["n_total"] == len(dead)
+    assert sorted(load_deleted_convs(out).to_pylist()) == sorted(dead)
+
+
+def test_projection_without_conv_id_still_filtered(corpus):
+    out, table, dead = corpus
+    got = decode_dataset(out, columns=["turn_idx", "role"]).to_pandas()
+    # helper conv_id column used for the filter must not leak out
+    assert list(got.columns) == ["turn_idx", "role"]
+    assert len(got) == _expected(table, dead).num_rows
+
+
+def test_point_lookup_of_deleted_conv_is_empty(corpus):
+    out, table, dead = corpus
+    assert decode_dataset(out, conv_id=dead[0]).count() == 0
+    live = next(
+        c for c in set(table.column("conv_id").to_pylist()) if c not in dead
+    )
+    exp = pc.sum(
+        pc.equal(table.column("conv_id"), live).cast(pa.int64())
+    ).as_py()
+    assert decode_dataset(out, conv_id=live).count() == exp
+
+
+def test_purge_rewrites_without_tombstones(corpus, tmp_path):
+    out, table, dead = corpus
+    dest = str(tmp_path / "purged")
+    info = purge_deleted(out, dest, num_buckets=4, chunk_rows=1024)
+    assert info["n_tombstoned_convs"] == len(dead)
+    assert not os.path.exists(deletes_path(dest))
+    got = (
+        decode_dataset(dest)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected(table, dead)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert pa.Table.from_pandas(got).equals(pa.Table.from_pandas(exp))
+    # source untouched: tombstone file still present, data still readable
+    assert os.path.exists(deletes_path(out))
