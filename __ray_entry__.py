@@ -177,6 +177,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         delete_convs(out, doomed)
         return decode_dataset(out)
 
+    def supplier_name_ed1_pairs(sf_dir: str):
+        # fuzzy self-join: distinct supplier-name pairs within edit
+        # distance 1 via SymSpell deletion-neighborhood blocking —
+        # exact-complete (unlike LSH), verified pairwise inside tiny
+        # key buckets, hash-checked against the literal levenshtein join
+        ds = read_table(sf_dir, "supplier", ["s_name"])
+        return dedup.ed1_self_join(ds, "s_name")
+
     def minhash_dedup_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.minhash_dup_pairs(ds, threshold=0.7)
@@ -651,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
+        "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -708,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": A.cohort_retention,
         "price_qty_regression": A.price_qty_regression,
         "event_type_entropy": A.event_type_entropy,
+        "supplier_balance_pctrank": A.supplier_balance_pctrank,
     }
 
 
@@ -1725,6 +1735,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((LOG2(t.total) - SUM(c.n * LOG2(c.n)) / t.total)
                               * 1000000) AS BIGINT) AS entropy_ubits
             FROM c, t GROUP BY t.k, t.total
+        """,
+        # supplier_name_ed1_pairs mirror: the literal levenshtein join over
+        # the distinct vocabulary (the engine's deletion-neighborhood
+        # blocking must be exact-complete, so the sets match exactly)
+        "supplier_name_ed1_pairs": """
+            WITH v AS (SELECT DISTINCT s_name AS s FROM supplier)
+            SELECT a.s AS a, b.s AS b FROM v a, v b
+            WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+              AND levenshtein(a.s, b.s) <= 1
+        """,
+        # supplier_balance_pctrank mirror: PERCENT_RANK with shared tie
+        # ranks over integer-cents keys (int/int double division — exact
+        # f64 on both sides)
+        "supplier_balance_pctrank": """
+            SELECT s_suppkey, s_nationkey,
+                   CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_x100,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY s_nationkey
+                       ORDER BY CAST(ROUND(s_acctbal*100) AS BIGINT)
+                   ) AS pct_rank
+            FROM supplier
         """,
         # corpus_prep mirror: the composed flagship — langid + quality
         # filters, benchmark holdout, exact-gram decontamination, exact

@@ -1247,3 +1247,92 @@ def incremental_minhash_dedup(new_ds, index_dir: str,
         ),
         batch_format="pyarrow",
     )
+
+
+def _within_ed1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check for two DISTINCT strings (equal-length
+    → ≤1 substitution; length-diff-1 → one gap; anything else False)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return False
+        return True
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is the shorter: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def ed1_self_join(ds, col: str):
+    """Fuzzy self-join: all DISTINCT value pairs within edit distance 1
+    (typo/variant detection over a name or term vocabulary — the
+    string-similarity sibling of the minhash/simhash near-dup family).
+
+    SymSpell deletion-neighborhood blocking: two strings with
+    ``ed(a,b) ≤ 1`` always share a key in ``{s} ∪ D1(s)`` (substitution →
+    delete the differing position from both; insert/delete → one IS the
+    other's deletion), so candidates are exact-complete — no recall loss,
+    unlike LSH. Stages, all partition-parallel:
+
+    1. distinct values (one combiner groupby — the vocabulary, not the
+       corpus, flows on);
+    2. per value emit ``len+1`` (deletion-key, value) rows — the exchange
+       carries ~(len+1)·(8+len) B per DISTINCT value;
+    3. per key-bucket: all-pairs exact ≤1 verify (buckets are tiny for
+       natural vocabularies; a pathological shared-deletion bucket
+       degrades to its own all-pairs, never the global one);
+    4. one (a,b) groupby dedups pairs that share several keys.
+
+    Scale note: this is a VOCABULARY operator (names, terms, titles).
+    For document-corpus near-dup use the minhash path."""
+    import hashlib
+
+    distinct = ds.groupby(col).count().select_columns([col])
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys, vals = [], []
+        for s in t.column(col).to_pylist():
+            if s is None:
+                continue
+            variants = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            for v in variants:
+                keys.append(
+                    int.from_bytes(
+                        hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                        "little",
+                        signed=True,
+                    )
+                )
+                vals.append(s)
+        return pa.table(
+            {"k": pa.array(keys, type=pa.int64()),
+             "s": pa.array(vals, type=pa.string())}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(set(g["s"]))
+        a_out, b_out = [], []
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                if _within_ed1(ss[i], ss[j]):
+                    a_out.append(ss[i])
+                    b_out.append(ss[j])
+        return pd.DataFrame({"a": a_out, "b": b_out})
+
+    pairs = (
+        distinct.map_batches(expand, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair can share several deletion keys: one tiny pair-level groupby
+    out = pairs.groupby(["a", "b"]).count()
+    return out.select_columns(["a", "b"])

@@ -1502,3 +1502,40 @@ def event_type_entropy(sf_dir: str):
             "entropy_ubits": pa.array([math.floor(h * 1_000_000)], type=pa.int64()),
         }
     )
+
+
+def supplier_balance_pctrank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY nation ORDER BY balance) — the
+    W-family's relative-rank member (RANK/percent-of-total siblings are
+    already covered). Hash-partition by nation, one vectorized sort per
+    group; ties share a rank (searchsorted-left), single-row partitions
+    rank 0.0, both pinned by the DuckDB window semantics. Integer-cents
+    ordering keys and an int/int double division keep the hash bit-exact."""
+    ds = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_nationkey": t.column("s_nationkey"),
+                "bal_x100": _cents(t.column("s_acctbal")),
+            }
+        )
+
+    def pctrank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bal_x100", "s_suppkey"], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g["bal_x100"].to_numpy()
+        n = len(v)
+        rank = np.searchsorted(v, v, side="left") + 1  # ties share (RANK)
+        g["pct_rank"] = (
+            (rank - 1) / np.float64(n - 1) if n > 1 else np.zeros(n)
+        )
+        return g[["s_suppkey", "s_nationkey", "bal_x100", "pct_rank"]]
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .map_groups(pctrank, batch_format="pandas")
+    )

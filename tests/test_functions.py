@@ -1098,3 +1098,51 @@ def test_media_transform_thumbnails_and_envelopes(ray_session):
     const = np.full(1600, 16384, dtype=np.int16)  # half full-scale
     env = audio_frame_rms(const, 16000)
     assert np.allclose(env, 0.5)
+
+
+def test_within_ed1_semantics():
+    from etl_sql_duckdb_parquet__ray.functions.dedup import _within_ed1
+
+    assert _within_ed1("abc", "abd")          # substitution
+    assert _within_ed1("abc", "abcd")         # insert at end
+    assert _within_ed1("abc", "xabc")         # insert at front
+    assert _within_ed1("abc", "ac")           # deletion
+    assert not _within_ed1("abc", "abxy")     # sub + insert
+    assert not _within_ed1("abc", "adc_")     # sub + insert
+    assert not _within_ed1("abc", "abcde")    # two inserts
+    assert not _within_ed1("axc", "ayd")      # two substitutions
+    assert _within_ed1("héllo", "hèllo")      # unicode substitution
+
+
+def test_ed1_self_join_planted(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import (
+        _within_ed1,
+        ed1_self_join,
+    )
+
+    vocab = [
+        "transformer", "transformers", "tranformer",   # chain of ed1
+        "attention", "attentoin",                      # transposition = ed2: NOT a pair
+        "gradient", "gradiant",                        # substitution
+        "isolated_token_zzz",
+        "transformer",                                 # duplicate value: distinct first
+    ]
+    ds = ray.data.from_arrow(pa.table({"term": pa.array(vocab)}))
+    got = {
+        tuple(r) for r in ed1_self_join(ds, "term").to_pandas().itertuples(index=False)
+    }
+    distinct = sorted(set(vocab))
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(distinct, 2)
+        if _within_ed1(a, b)
+    }
+    # brute-force reference must agree AND contain the planted pairs
+    assert ("gradiant", "gradient") in exp
+    assert got == exp
+    assert not any("attentoin" in p and "attention" in p for p in got)
