@@ -99,3 +99,33 @@ def test_purge_rewrites_without_tombstones(corpus, tmp_path):
     assert pa.Table.from_pandas(got).equals(pa.Table.from_pandas(exp))
     # source untouched: tombstone file still present, data still readable
     assert os.path.exists(deletes_path(out))
+
+
+def test_deletes_apply_through_sidecar_projection(corpus, tmp_path):
+    """Cross-feature seam: a derived SIDECAR column decode (projection that
+    never selected conv_id) must still hide tombstoned conversations."""
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import derive_column
+
+    out, table, dead = corpus
+    derive_column(
+        out, "text_len",
+        lambda cols: pa.compute.utf8_length(cols["text"]).cast(pa.int64()),
+        ["text"],
+    )
+    got = decode_dataset(out, columns=["text_len"]).to_pandas()
+    assert list(got.columns) == ["text_len"]
+    assert len(got) == _expected(table, dead).num_rows
+
+
+def test_compact_drops_tombstoned_convs(corpus, tmp_path):
+    """Compaction streams through decode_dataset, so tombstones are applied
+    and the merged output is physically clean (no _deletes file)."""
+    from etl_sql_duckdb_parquet__ray.state.scheduler import compact
+
+    out, table, dead = corpus
+    dest = str(tmp_path / "compacted")
+    compact([out], dest, num_buckets=2, chunk_rows=1024)
+    assert not os.path.exists(deletes_path(dest))
+    got = decode_dataset(dest).to_pandas()
+    assert set(got["conv_id"]).isdisjoint(dead)
+    assert len(got) == _expected(table, dead).num_rows
