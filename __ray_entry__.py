@@ -283,6 +283,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text.QualityScore, batch_format="pyarrow", concurrency=(1, 2)
         ).select_columns(["doc_id", "quality"])
 
+    def docs_quality_top_decile(sf_dir: str):
+        # percentile quality filter (the C4/Gopher-style "drop the bottom
+        # X% by score" corpus op): score every doc, resolve the exact 90th
+        # percentile with the distributed quantile machinery (one scalar to
+        # the driver, never the column), filter by the broadcast threshold
+        from etl_sql_duckdb_parquet__ray.stages.profile import exact_quantiles
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        scored = ds.map_batches(
+            text.QualityScore, batch_format="pyarrow", concurrency=(1, 2)
+        ).select_columns(["doc_id", "quality"])
+        scored = scored.materialize()  # scored twice: quantile pass + filter
+        thr = exact_quantiles(scored, "quality", [0.9])[0]
+        return scored.filter(
+            expr=f"quality >= {int(thr)}"
+        )
+
     def doc_fingerprints(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return ds.map_batches(
@@ -660,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
+        "docs_quality_top_decile": docs_quality_top_decile,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1735,6 +1753,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((LOG2(t.total) - SUM(c.n * LOG2(c.n)) / t.total)
                               * 1000000) AS BIGINT) AS entropy_ubits
             FROM c, t GROUP BY t.k, t.total
+        """,
+        # docs_quality_top_decile mirror: the doc_quality expression with a
+        # quantile_disc(0.9) threshold (integer scores — no float parity risk)
+        "docs_quality_top_decile": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS nc,
+                       CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS np,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS nt,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('a','an','and','as','at','be','by','for','from','have','in','is','it','of','on','or','that','the','this','to','was','with'))) AS DOUBLE) AS hits,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       CAST(FLOOR(100.0 * (
+                           0.3 * LEAST(GREATEST(nc / 500.0, 0.0), 1.0)
+                         + 0.2 * (1.0 - LEAST(GREATEST((np / GREATEST(nc, 1.0)) * 4.0, 0.0), 1.0))
+                         + 0.3 * LEAST(GREATEST((hits / GREATEST(toks, 1.0)) * 3.0, 0.0), 1.0)
+                         + 0.2 * (CASE WHEN nc / GREATEST(nt, 1.0) >= 3.0
+                                        AND nc / GREATEST(nt, 1.0) <= 10.0
+                                  THEN 1.0 ELSE 0.5 END)
+                       )) AS BIGINT) AS quality
+                FROM f
+            ), t AS (SELECT quantile_disc(quality, 0.9) AS thr FROM q)
+            SELECT doc_id, quality FROM q, t WHERE quality >= t.thr
         """,
         # supplier_name_ed1_pairs mirror: the literal levenshtein join over
         # the distinct vocabulary (the engine's deletion-neighborhood
