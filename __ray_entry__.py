@@ -185,6 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "supplier", ["s_name"])
         return dedup.ed1_self_join(ds, "s_name")
 
+    def supplier_name_variant_clusters(sf_dir: str):
+        # entity-resolution lite: every distinct name → the lexicographic
+        # min of its ed1 connected component (ed1_self_join edges +
+        # distributed components), singletons map to themselves —
+        # hash-checked against a recursive-CTE transitive closure
+        ds = read_table(sf_dir, "supplier", ["s_name"])
+        return dedup.variant_clusters(ds, "s_name")
+
     def minhash_dedup_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.minhash_dup_pairs(ds, threshold=0.7)
@@ -678,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
         "docs_quality_top_decile": docs_quality_top_decile,
+        "supplier_name_variant_clusters": supplier_name_variant_clusters,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1779,6 +1788,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM f
             ), t AS (SELECT quantile_disc(quality, 0.9) AS thr FROM q)
             SELECT doc_id, quality FROM q, t WHERE quality >= t.thr
+        """,
+        # supplier_name_variant_clusters mirror: transitive closure of the
+        # ed1 edge set via a recursive CTE, canonical = MIN over the
+        # reachable set (UNION dedups, so the walk terminates)
+        "supplier_name_variant_clusters": """
+            WITH RECURSIVE v AS (SELECT DISTINCT s_name AS s FROM supplier),
+            e AS (
+                SELECT a.s AS a, b.s AS b FROM v a, v b
+                WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+                  AND levenshtein(a.s, b.s) <= 1
+            ),
+            walk AS (
+                SELECT s AS name, s AS reach FROM v
+                UNION
+                SELECT walk.name,
+                       CASE WHEN e.a = walk.reach THEN e.b ELSE e.a END
+                FROM walk JOIN e ON e.a = walk.reach OR e.b = walk.reach
+            )
+            SELECT name, MIN(reach) AS canonical FROM walk GROUP BY name
         """,
         # supplier_name_ed1_pairs mirror: the literal levenshtein join over
         # the distinct vocabulary (the engine's deletion-neighborhood

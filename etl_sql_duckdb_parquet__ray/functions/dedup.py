@@ -1336,3 +1336,96 @@ def ed1_self_join(ds, col: str):
     # a pair can share several deletion keys: one tiny pair-level groupby
     out = pairs.groupby(["a", "b"]).count()
     return out.select_columns(["a", "b"])
+
+
+def variant_clusters(ds, col: str):
+    """Entity-resolution lite: map every DISTINCT value of ``col`` to the
+    lexicographic minimum of its edit-distance-1 connected component
+    (typo/variant canonicalization — `ed1_self_join` edges +
+    `distributed_components` transitive closure, both already
+    partition-parallel). Values with no ed1 neighbor map to themselves.
+
+    Node ids are 8-byte blake2b hashes of the value (the ed1 key scheme);
+    a hash collision would merge two clusters — ~n²/2^65, negligible for
+    any realistic vocabulary. Output: (name, canonical)."""
+    import hashlib
+
+    import ray.data
+
+    def h64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little",
+            signed=True,
+        )
+
+    pairs = ed1_self_join(ds, col)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        return pa.table(
+            {
+                "doc_a": pa.array([h64(x) for x in a], type=pa.int64()),
+                "doc_b": pa.array([h64(x) for x in b], type=pa.int64()),
+            }
+        )
+
+    comp = distributed_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+    )  # (node, label)
+
+    distinct = ds.groupby(col).count().select_columns([col])
+
+    def name_nodes(t: pa.Table) -> pa.Table:
+        names = t.column(col).to_pylist()
+        return pa.table(
+            {
+                "name": pa.array(names, type=pa.string()),
+                "node": pa.array([h64(s) for s in names], type=pa.int64()),
+            }
+        )
+
+    from ..stages.relational import hash_join
+
+    named = hash_join(
+        distinct.map_batches(name_nodes, batch_format="pyarrow"),
+        comp,
+        on="node",
+    )  # (name, node, label)
+
+    def cluster_min(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g["name"].min()
+        return pd.DataFrame({"name": g["name"], "canonical": canon})
+
+    clustered = (
+        named.groupby("label")
+        .map_groups(cluster_min, batch_format="pandas")
+        .select_columns(["name", "canonical"])
+        # normalize to arrow blocks: union() requires both sides to carry
+        # the same block type, and map_groups(pandas) emits pandas blocks
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    # singletons: emit (name, name) for EVERY distinct value, then one
+    # pair-level groupby keeps min(canonical) — the cluster minimum where
+    # one exists, the value itself otherwise
+    selfmap = distinct.map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column(col).cast(pa.string()),
+                "canonical": t.column(col).cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"name": [g["name"].iloc[0]], "canonical": [g["canonical"].min()]}
+        )
+
+    return (
+        clustered.union(selfmap)
+        .groupby("name")
+        .map_groups(keep_min, batch_format="pandas")
+    )
