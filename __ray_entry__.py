@@ -279,6 +279,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.embedding_dup_pairs(aug, threshold=0.95)
         return pairs.select_columns(["vec_a", "vec_b"])
 
+    def semantic_dedup_embeddings(sf_dir: str):
+        # SemDeDup: cluster-then-dedup. Same planted-copy positive control
+        # as embedding_dup_pairs (the raw corpus max cosine is ~0.48, so a
+        # bare run validates nothing); exact copies always co-assign to one
+        # cluster, so the brute-force oracle's pair set equals the
+        # within-cluster result and the query is hash-checked — a missed
+        # cross-cluster pair would surface as a driver mismatch.
+        import pyarrow.compute as pc
+
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def plant(t):
+            c = t.filter(pc.less(t.column("vec_id"), 10))
+            return c.set_column(
+                c.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(c.column("vec_id"), 1000000),
+            )
+
+        aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+        return similarity.semantic_dedup(aug, k=8, threshold=0.95)
+
     def langid_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return ds.map_batches(
@@ -687,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
         "docs_quality_top_decile": docs_quality_top_decile,
         "supplier_name_variant_clusters": supplier_name_variant_clusters,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1295,6 +1317,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM aug a JOIN copies b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # semantic_dedup mirror: dropped = every vec with a smaller-id
+        # cosine>=0.95 neighbor, brute force over the augmented set (exact
+        # copies co-assign, so within-cluster == global for this control)
+        "semantic_dedup_embeddings": """
+            WITH copies AS (
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 10
+            ), aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM copies
+            )
+            SELECT DISTINCT b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
         # Eval-set decontamination mirror of functions/corpus.py

@@ -569,3 +569,56 @@ def kmeans_clusters(ds_emb, k: int = 8, iters: int = 10, seed: int = 5):
         )
 
     return base.map_batches(assign, batch_format="pandas"), C
+
+
+def semantic_dedup(ds_emb, k: int = 8, threshold: float = 0.95,
+                   iters: int = 5, seed: int = 5):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding corpus, then drop near-duplicates WITHIN each cluster —
+    pairwise cosine is computed only inside clusters, turning the O(N²)
+    global self-join into k independent O((N/k)²) blocks. Returns the
+    DROPPED ``vec_id``s (deterministic keep-min-id variant: j is dropped
+    iff some i < j in its cluster has cosine ≥ threshold).
+
+    Scale shape: centroids from the distributed Lloyd's pass
+    (:func:`kmeans_clusters`); ONE assignment map over the corpus ships
+    (vec_id, cluster, f32-packed normalized vector) into a cluster
+    groupby; each group does one matmul. Contract: a CLUSTER must fit a
+    worker — size k to corpus/k ≈ 10-50k vectors (the paper's regime).
+    Near-dups split across clusters are missed (the SemDeDup trade;
+    exact copies always co-assign)."""
+    import ray
+
+    base = ds_emb.materialize()  # consumed by Lloyd iters + the final map
+    _, C = kmeans_clusters(base, k=k, iters=iters, seed=seed)
+    cref = ray.put(C)
+
+    def assign_pack(batch: pd.DataFrame) -> pd.DataFrame:
+        Cl = ray.get(cref)
+        ids, V = _stack(batch)
+        Vn = _normalize(V)
+        a = np.argmax(Vn @ Cl.T, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": a.astype(np.int64),
+                "vec": [v.astype(np.float32).tobytes() for v in Vn],
+            }
+        )
+
+    packed = base.map_batches(assign_pack, batch_format="pandas")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        M = (
+            np.frombuffer(b"".join(g["vec"]), dtype=np.float32)
+            .reshape(len(g), -1)
+            .astype(np.float64)
+        )
+        S = M @ M.T
+        dropped = np.triu(S >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({"vec_id": g["vec_id"].to_numpy()[dropped]})
+
+    return packed.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )
