@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_top_decile": docs_quality_top_decile,
         "supplier_name_variant_clusters": supplier_name_variant_clusters,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "orders_1997_revenue": A.orders_1997_revenue,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1787,6 +1788,17 @@ def oracle_sql() -> dict[str, str]:
                    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
                    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
             FROM c ORDER BY l_returnflag
+        """,
+        # orders_1997_revenue mirror: the WHERE clause the Ray side pushes
+        # into the parquet scan as a dataset expression
+        "orders_1997_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+                   COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_orderpriority
         """,
         # event_type_entropy mirror: exact integer counts, entropy floored
         # to micro-bits (the percent-of-total basis-point determinism rule)

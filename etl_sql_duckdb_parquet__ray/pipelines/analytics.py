@@ -1539,3 +1539,35 @@ def supplier_balance_pctrank(sf_dir: str):
         .groupby("s_nationkey")
         .map_groups(pctrank, batch_format="pandas")
     )
+
+
+def orders_1997_revenue(sf_dir: str):
+    """Read-predicate pushdown demo query: revenue by priority over one
+    order year, with the date predicate pushed INTO the parquet scan
+    (``read_table(row_filter=...)``) — at 100 TB a time-partitioned or
+    date-sorted table skips whole row groups on footer statistics, and
+    the surviving rows are filtered inside the read task before anything
+    enters the object store. One combiner groupby follows."""
+    import datetime
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    ds = read_table(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderdate"],
+        row_filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "total_x100": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("total_x100"), Count())
+    )
+    return _rename(out, ["o_orderpriority", "revenue_x100", "n_orders"])

@@ -21,13 +21,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None):
+def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None,
+               row_filter=None):
     """Column-pruned parquet read (prune at the read — only requested
-    columns leave storage)."""
+    columns leave storage). ``row_filter`` (a ``pyarrow.dataset``
+    expression, e.g. ``pc.field("d") >= lo``) is pushed into the scan:
+    row groups whose statistics exclude the predicate are skipped
+    entirely, survivors get the exact row-level filter inside the read
+    task — rows the pipeline will drop never enter the object store."""
     import ray
 
     return ray.data.read_parquet(
-        f"{sf_dir}/{name}.parquet", columns=list(columns) if columns else None
+        f"{sf_dir}/{name}.parquet",
+        columns=list(columns) if columns else None,
+        filter=row_filter,
     )
 
 
