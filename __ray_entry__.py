@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_variant_clusters": supplier_name_variant_clusters,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "orders_1997_revenue": A.orders_1997_revenue,
+        "customer_order_coverage": A.customer_order_coverage,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1799,6 +1800,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # customer_order_coverage mirror: FULL JOIN null-side counts
+        "customer_order_coverage": """
+            SELECT
+              COUNT(CASE WHEN c.c_custkey IS NOT NULL
+                          AND o.o_orderkey IS NOT NULL THEN 1 END) AS n_matched,
+              COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_customers_no_orders,
+              COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphan_orders
+            FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         # event_type_entropy mirror: exact integer counts, entropy floored
         # to micro-bits (the percent-of-total basis-point determinism rule)

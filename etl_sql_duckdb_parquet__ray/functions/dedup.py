@@ -1370,11 +1370,22 @@ def variant_clusters(ds, col: str):
             }
         )
 
-    comp = distributed_components(
-        pairs.map_batches(to_edges, batch_format="pyarrow")
-    )  # (node, label)
-
     distinct = ds.groupby(col).count().select_columns([col])
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    if edges.count() == 0:
+        # no ed1 neighbors anywhere: every value is its own canonical
+        # (distributed_components requires a non-empty edge set)
+        return distinct.map_batches(
+            lambda t: pa.table(
+                {
+                    "name": t.column(col).cast(pa.string()),
+                    "canonical": t.column(col).cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    comp = distributed_components(edges)  # (node, label)
 
     def name_nodes(t: pa.Table) -> pa.Table:
         names = t.column(col).to_pylist()

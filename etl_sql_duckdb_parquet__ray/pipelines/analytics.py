@@ -1571,3 +1571,52 @@ def orders_1997_revenue(sf_dir: str):
         .aggregate(Sum("total_x100"), Count())
     )
     return _rename(out, ["o_orderpriority", "revenue_x100", "n_orders"])
+
+
+def customer_order_coverage(sf_dir: str):
+    """FULL OUTER join coverage summary (closes the join-type matrix:
+    inner/left/anti/semi/asof/range are covered elsewhere) — one
+    hash-partitioned full_outer join of customers×orders, then per-batch
+    null-side counts summed globally: matched rows, customers with no
+    orders, orphan orders. The join is the only exchange; the result is
+    three scalars."""
+    from ..stages.relational import hash_join
+
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="full_outer",
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        c_ok = pc.is_valid(t.column("c_custkey"))
+        o_ok = pc.is_valid(t.column("o_orderkey"))
+        return pa.table(
+            {
+                "n_matched": pa.array(
+                    [pc.sum(pc.and_(c_ok, o_ok)).as_py() or 0], type=pa.int64()
+                ),
+                "n_customers_no_orders": pa.array(
+                    [pc.sum(pc.invert(o_ok)).as_py() or 0], type=pa.int64()
+                ),
+                "n_orphan_orders": pa.array(
+                    [pc.sum(pc.invert(c_ok)).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    agg = j.map_batches(counts, batch_format="pyarrow").sum(
+        ["n_matched", "n_customers_no_orders", "n_orphan_orders"]
+    )
+    return pa.table(
+        {
+            "n_matched": pa.array([int(agg["sum(n_matched)"])], type=pa.int64()),
+            "n_customers_no_orders": pa.array(
+                [int(agg["sum(n_customers_no_orders)"])], type=pa.int64()
+            ),
+            "n_orphan_orders": pa.array(
+                [int(agg["sum(n_orphan_orders)"])], type=pa.int64()
+            ),
+        }
+    )

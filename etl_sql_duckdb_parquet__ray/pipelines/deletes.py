@@ -49,7 +49,11 @@ def load_deleted_convs(out_dir: str) -> pa.Array:
 def delete_convs(out_dir: str, conv_ids: Sequence[str]) -> dict:
     """Mark conversations deleted. Metadata-only: merges ``conv_ids`` into
     the tombstone parquet atomically; data files are untouched. Returns
-    counts so callers/schedulers can log the mutation."""
+    counts so callers/schedulers can log the mutation.
+
+    Single-writer (the manifest contract): two concurrent ``delete_convs``
+    calls are each atomic but last-writer-wins — serialize deletes through
+    one process (e.g. the scheduler)."""
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
     new = pa.array(sorted({str(c) for c in conv_ids}), type=pa.string())

@@ -1146,3 +1146,27 @@ def test_ed1_self_join_planted(ray_session):
     assert ("gradiant", "gradient") in exp
     assert got == exp
     assert not any("attentoin" in p and "attention" in p for p in got)
+
+
+def test_variant_clusters_planted_and_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import variant_clusters
+
+    # chain: tranformer-transformer-transformers is ONE component with
+    # canonical min; isolated tokens map to themselves
+    vocab = ["transformer", "transformers", "tranformer", "gradient",
+             "gradiant", "isolated_token_zzz"]
+    ds = ray.data.from_arrow(pa.table({"term": pa.array(vocab)}))
+    got = dict(
+        variant_clusters(ds, "term").to_pandas().itertuples(index=False)
+    )
+    assert got["transformer"] == got["transformers"] == got["tranformer"] == "tranformer"
+    assert got["gradient"] == got["gradiant"] == "gradiant"
+    assert got["isolated_token_zzz"] == "isolated_token_zzz"
+
+    # no ed1 neighbors at all: the empty-edge-set guard self-maps everything
+    lone = ray.data.from_arrow(pa.table({"term": ["alpha", "gamma_long_token", "zz912"]}))
+    out = variant_clusters(lone, "term").to_pandas()
+    assert (out["name"] == out["canonical"]).all()
