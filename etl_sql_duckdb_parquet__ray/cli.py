@@ -334,11 +334,16 @@ def cmd_describe(args) -> int:
         side.setdefault(cname, 0)
         side[cname] += 1
     meta = load_run_meta(args.encoded) or {}
+    from .pipelines.deletes import load_deleted_convs
+
     out = {
         "buckets": len(recs),
         "rows": sum(r["rows"] for r in recs),
         "bytes_out": sum(r["bytes_out"] for r in recs),
         "chunks": len(chunks),
+        # manifest "rows" counts encoded rows; tombstoned conversations are
+        # hidden at read time until a purge physically drops them
+        "tombstoned_convs": len(load_deleted_convs(args.encoded)),
         "columns": [c["name"] for c in header["columns"]],
         "codecs_first_chunk": {
             c["name"]: c["meta"]["codec"] for c in header["columns"]

@@ -1316,6 +1316,17 @@ def decode_dataset(
     # conversations vanish from full scans, projections and point lookups
     # alike until a purge/compaction physically drops them
     deleted = load_deleted_convs(out_dir)
+    force_empty_plan = False
+    if len(deleted):
+        # point lookups of tombstoned conversations prune at the METADATA:
+        # the row filter would drop everything anyway, so skip planning
+        dead = set(deleted.to_pylist())
+        if conv_id is not None and conv_id in dead:
+            force_empty_plan = True
+        if conv_ids is not None:
+            conv_ids = [c for c in conv_ids if c not in dead]
+            if not conv_ids:
+                force_empty_plan = True
     drop_helper: list[str] = []
     if len(deleted) and columns is not None and "conv_id" not in columns:
         # projection reads still need conv_id decoded to apply the filter
@@ -1341,8 +1352,9 @@ def decode_dataset(
         return _with_tombstones(paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
         ))
-    plan = plan_chunks(out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
-                       text_contains, role_eq, tool_eq, conv_ids, col_ranges)
+    plan = [] if force_empty_plan else plan_chunks(
+        out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
+        text_contains, role_eq, tool_eq, conv_ids, col_ranges)
     if not plan:
         # prune eliminated everything: empty dataset. Use the canonical
         # transcript dtypes when every requested column is canonical so a
