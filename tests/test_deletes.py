@@ -129,3 +129,24 @@ def test_compact_drops_tombstoned_convs(corpus, tmp_path):
     got = decode_dataset(dest).to_pandas()
     assert set(got["conv_id"]).isdisjoint(dead)
     assert len(got) == _expected(table, dead).num_rows
+
+
+def test_purge_resume_is_idempotent(corpus, tmp_path):
+    """purge_deleted inherits the encode pipeline's resume contract: a
+    second purge into the same dest with resume=True skips every
+    completed bucket (no rewrite) and the output is unchanged."""
+    out, table, dead = corpus
+    dest = str(tmp_path / "purged2")
+    purge_deleted(out, dest, num_buckets=4, chunk_rows=1024)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(dest, f))
+        for f in os.listdir(dest) if f.endswith(".bin")
+    }
+    purge_deleted(out, dest, num_buckets=4, chunk_rows=1024, resume=True)
+    after = {
+        f: os.path.getmtime(os.path.join(dest, f))
+        for f in os.listdir(dest) if f.endswith(".bin")
+    }
+    assert mtimes == after  # nothing rewritten
+    got = decode_dataset(dest).to_pandas()
+    assert len(got) == _expected(table, dead).num_rows
