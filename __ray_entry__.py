@@ -519,6 +519,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(rename, batch_format="pyarrow")
 
+    def transcript_token_quantiles(sf_dir: str):
+        # exact per-turn token-count quantiles OVER the encoded corpus:
+        # one sidecar-only projection decode (payload bytes untouched)
+        # feeds the distributed quantile machinery — the catalog-style
+        # "length distribution" read a 100 TB corpus wants without a sort
+        import pyarrow as pa
+
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset, derive_column,
+        )
+        from etl_sql_duckdb_parquet__ray.stages.profile import exact_quantiles
+
+        out = _encoded_transcripts_dir(sf_dir)
+
+        def n_tokens(chunk):
+            from etl_sql_duckdb_parquet__ray.functions.text import (
+                token_count_kernel,
+            )
+
+            return token_count_kernel(chunk.column("text"))
+
+        derive_column(out, "n_tokens", n_tokens, ["text"])
+        ds = decode_dataset(out, columns=["n_tokens"]).map_batches(
+            lambda t: t.set_column(
+                0, "n_tokens", t.column("n_tokens").cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        qs = [0.5, 0.9, 0.99]
+        vals = exact_quantiles(ds, "n_tokens", qs)
+        return pa.table(
+            {
+                "q": pa.array(qs, type=pa.float64()),
+                "n_tokens": pa.array([int(v) for v in vals], type=pa.int64()),
+            }
+        )
+
     def transcript_tool_usage(sf_dir: str):
         # role-equality pushdown over the ENCODED corpus: decode only the
         # tool-role turns (per-chunk val_sets prune + exact row filter),
@@ -760,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prop_k_stats": A.events_prop_k_stats,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_token_totals": transcript_token_totals,
+        "transcript_token_quantiles": transcript_token_quantiles,
         "transcript_tool_usage": transcript_tool_usage,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
@@ -2029,6 +2067,21 @@ def oracle_sql() -> dict[str, str]:
                    ))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_turns
             FROM tx GROUP BY conv_id
+        """,
+        # transcript_token_quantiles mirror: the same token-count
+        # derivation, quantile_disc at each q (integer values — exact)
+        "transcript_token_quantiles": """
+            WITH tx AS (
+                SELECT len(list_filter(
+                    string_split_regex(COALESCE(props, ''), '\\s+'),
+                    w -> w <> '')) AS n_tokens
+                FROM events
+            )
+            SELECT 0.5 AS q, CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS n_tokens FROM tx
+            UNION ALL
+            SELECT 0.9, CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) FROM tx
+            UNION ALL
+            SELECT 0.99, CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) FROM tx
         """,
         # transcript_tool_usage mirror: only every 4th turn is a tool turn
         # in the derivation (role cycle), tool = event_type there; NULL
