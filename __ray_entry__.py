@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "orders_1997_revenue": A.orders_1997_revenue,
         "customer_order_coverage": A.customer_order_coverage,
+        "event_segment_chi2": A.event_segment_chi2,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1838,6 +1839,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # event_segment_chi2 mirror: chi-square from the same exact
+        # integer contingency cells (observed-cells convention on both
+        # sides), expected = HUGEINT product / HUGEINT total cast to
+        # double, statistic floored to micro-units
+        "event_segment_chi2": """
+            WITH cells AS (
+                SELECT e.event_type, c.c_mktsegment AS seg, COUNT(*) AS o
+                FROM events e JOIN customer c ON e.user_id = c.c_custkey
+                GROUP BY 1, 2
+            ),
+            rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+            ct AS (SELECT seg, SUM(o) AS c FROM cells GROUP BY 1),
+            nn AS (SELECT SUM(o) AS n FROM cells),
+            ex AS (
+                SELECT cells.o, rt.r * ct.c / nn.n AS e
+                FROM cells JOIN rt USING (event_type)
+                           JOIN ct USING (seg), nn
+            )
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST(((SELECT COUNT(*) FROM rt) - 1)
+                        * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+                   CAST(FLOOR(SUM((CAST(o AS DOUBLE) - e)
+                                  * (CAST(o AS DOUBLE) - e) / e)
+                              * 1000000) AS BIGINT) AS chi2_micro
+            FROM ex, nn GROUP BY nn.n
         """,
         # customer_order_coverage mirror: FULL JOIN null-side counts
         "customer_order_coverage": """

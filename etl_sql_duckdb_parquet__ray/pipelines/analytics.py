@@ -1620,3 +1620,45 @@ def customer_order_coverage(sf_dir: str):
             ),
         }
     )
+
+
+def event_segment_chi2(sf_dir: str):
+    """Pearson chi-square independence test of event_type × customer
+    market segment (the statistical-testing capability class: drift /
+    A-B checks over categorical columns). One broadcast enrichment join +
+    one combiner groupby shrink 100 TB to a |types|×|segments| integer
+    contingency table; the statistic is computed from those exact counts
+    with DuckDB-mirrored double arithmetic and FLOORED to micro-units
+    (the basis-point determinism rule — cell-sum order slack is ~1 ulp)."""
+    import math
+
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    joined = broadcast_join(ds, cust, keys="user_id", right_keys="c_custkey")
+    cells = (
+        joined.groupby(["event_type", "c_mktsegment"]).aggregate(Count())
+    ).take_all()  # |types| x |segments| rows — a combiner result
+
+    rows: dict[str, int] = {}
+    colsum: dict[str, int] = {}
+    n = 0
+    for r in cells:
+        o = int(r["count()"])
+        rows[r["event_type"]] = rows.get(r["event_type"], 0) + o
+        colsum[r["c_mktsegment"]] = colsum.get(r["c_mktsegment"], 0) + o
+        n += o
+    chi2 = 0.0
+    for r in sorted(cells, key=lambda r: (r["event_type"], r["c_mktsegment"])):
+        o = int(r["count()"])
+        # DuckDB parity: HUGEINT product, both division operands cast to
+        # double (the lineitem_correlation rule)
+        e = float(rows[r["event_type"]] * colsum[r["c_mktsegment"]]) / float(n)
+        chi2 += (float(o) - e) * (float(o) - e) / e
+    dof = (len(rows) - 1) * (len(colsum) - 1)
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "dof": pa.array([dof], type=pa.int64()),
+            "chi2_micro": pa.array([math.floor(chi2 * 1_000_000)], type=pa.int64()),
+        }
+    )
