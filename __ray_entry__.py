@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_1997_revenue": A.orders_1997_revenue,
         "customer_order_coverage": A.customer_order_coverage,
         "event_segment_chi2": A.event_segment_chi2,
+        "orders_daily_gapfilled": A.orders_daily_gapfilled,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1839,6 +1840,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # orders_daily_gapfilled mirror: generate_series day spine LEFT
+        # JOINed against the per-day counts, zeros for gap days
+        "orders_daily_gapfilled": """
+            WITH c AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ),
+            spine AS (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(day) FROM c), (SELECT MAX(day) FROM c)
+                )) AS day
+            )
+            SELECT spine.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+            FROM spine LEFT JOIN c USING (day)
         """,
         # event_segment_chi2 mirror: chi-square from the same exact
         # integer contingency cells (observed-cells convention on both

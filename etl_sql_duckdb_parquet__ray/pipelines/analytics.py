@@ -1662,3 +1662,31 @@ def event_segment_chi2(sf_dir: str):
             "chi2_micro": pa.array([math.floor(chi2 * 1_000_000)], type=pa.int64()),
         }
     )
+
+
+def orders_daily_gapfilled(sf_dir: str):
+    """Time-series resample with gap fill (generate_series + LEFT JOIN in
+    SQL): daily order counts with zero rows for days that had no orders.
+    One per-day combiner groupby shrinks the corpus to |days| rows; the
+    day spine is generated from the observed [min, max] and the zero
+    fill happens on that tiny result (driver-side finish, like every
+    other combiner-sized closing step)."""
+    ds = read_table(sf_dir, "orders", ["o_orderdate"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(_ts_us(t.column("o_orderdate")), US_PER_DAY)})
+
+    counts = (
+        ds.map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count())
+    ).take_all()  # |days| rows
+    have = {int(r["day"]): int(r["count()"]) for r in counts}
+    lo, hi = min(have), max(have)
+    spine = list(range(lo, hi + 1))
+    return pa.table(
+        {
+            "day": pa.array(spine, type=pa.int64()),
+            "n_orders": pa.array([have.get(d, 0) for d in spine], type=pa.int64()),
+        }
+    )
