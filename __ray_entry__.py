@@ -300,6 +300,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
         return similarity.semantic_dedup(aug, k=8, threshold=0.95)
 
+    def doc_ord_terms(sf_dir: str):
+        # EXPLODE/UNNEST: one row per matching token occurrence —
+        # vectorized Arrow split + list-offset gather, never per-row
+        # flat_map; mirrored by unnest(regexp_extract_all(...))
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.explode_matching_tokens(ds, "doc_id", "text", "ord")
+
     def langid_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return ds.map_batches(
@@ -750,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_coverage": A.customer_order_coverage,
         "event_segment_chi2": A.event_segment_chi2,
         "orders_daily_gapfilled": A.orders_daily_gapfilled,
+        "doc_ord_terms": doc_ord_terms,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1840,6 +1848,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # doc_ord_terms mirror: UNNEST(regexp_extract_all) — the text is
+        # \\s+-tokenized lowercase words, so whole-token matches containing
+        # the substring are exactly the regex's leftmost-greedy matches
+        "doc_ord_terms": """
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[a-z]*ord[a-z]*')) AS term
+            FROM documents
         """,
         # orders_daily_gapfilled mirror: generate_series day spine LEFT
         # JOINed against the per-day counts, zeros for gap days

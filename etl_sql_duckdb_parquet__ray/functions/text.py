@@ -862,3 +862,31 @@ def token_count_kernel(col) -> pa.Array:
     cs = np.concatenate(([0], np.cumsum(emp)))
     n_emp = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
     return pa.array((n_all - n_emp).astype(np.int32))
+
+
+def explode_matching_tokens(ds, id_col: str, text_col: str, substr: str):
+    """EXPLODE/UNNEST: one output row per token occurrence containing
+    ``substr`` — the reshape class `Dataset.flat_map` serves, done the
+    scale-right way: a vectorized ``map_batches`` (Arrow regex split →
+    ListArray offsets → parent-index gather) instead of per-row Python.
+    A batch fans out to a batch; the streaming executor handles the row
+    multiplication with backpressure."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column(text_col), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        keep = pc.match_substring(flat, substr)
+        keep = pc.and_(keep, pc.not_equal(flat, ""))
+        keep = pc.fill_null(keep, False)
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(parents.filter(keep)),
+                "term": flat.filter(keep),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
