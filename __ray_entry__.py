@@ -758,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_segment_chi2": A.event_segment_chi2,
         "orders_daily_gapfilled": A.orders_daily_gapfilled,
         "doc_ord_terms": doc_ord_terms,
+        "embedding_dim_stats": A.embedding_dim_stats,
         "dedup_corpus_docs": dedup_corpus_docs,
         "simhash_docs": simhash_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1848,6 +1849,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # embedding_dim_stats mirror: list_extract per dim, FLOOR (not
+        # ROUND — half-away vs half-even) of the identical f64 product
+        "embedding_dim_stats": """
+            SELECT dim,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(
+                       CAST(list_extract(embedding, dim) AS DOUBLE) * 1000000
+                   ) AS BIGINT)) AS BIGINT) AS sum_x1e6
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 8)) AS dim) dims
+            GROUP BY dim
         """,
         # doc_ord_terms mirror: UNNEST(regexp_extract_all) — the text is
         # \\s+-tokenized lowercase words, so whole-token matches containing

@@ -1690,3 +1690,38 @@ def orders_daily_gapfilled(sf_dir: str):
             "n_orders": pa.array([have.get(d, 0) for d in spine], type=pa.int64()),
         }
     )
+
+
+def embedding_dim_stats(sf_dir: str, n_dims: int = 8):
+    """List-column analytics: per-dimension statistics over a
+    ``list<float>`` column (feature-drift monitoring for an embedding
+    corpus). Each batch contributes ``n_dims`` partial rows (dim, n,
+    sum of FLOORED micro-units — floor, not round: DuckDB rounds
+    half-away, numpy half-even, floor agrees bit-for-bit on the
+    identical f64 products); one tiny groupby-sum combines. int64 sums
+    hold to ~10^12 rows at unit-scale values; the 5-limb pattern
+    (numeric_correlation) is the overflow path beyond that."""
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        V = np.stack(t.column("embedding").to_pandas().to_numpy())[:, :n_dims]
+        scaled = np.floor(V.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(range(1, n_dims + 1), type=pa.int64()),
+                "n": pa.array([len(V)] * n_dims, type=pa.int64()),
+                "sum_x1e6": pa.array(
+                    [int(scaled[:, j].sum()) for j in range(n_dims)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .sum(["n", "sum_x1e6"])
+    )
+    return _rename(out, ["dim", "n", "sum_x1e6"])
