@@ -101,3 +101,37 @@ def purge_deleted(out_dir: str, dest_dir: str, **encode_kw) -> dict:
     n_dead = len(load_deleted_convs(out_dir))
     stats = encode_transcripts(decode_dataset(out_dir), dest_dir, **encode_kw)
     return {"n_tombstoned_convs": n_dead, "encode": stats}
+
+
+def upsert_convs(out_dir: str, new_ds, tick_dir: str, **encode_kw) -> dict:
+    """MERGE / upsert at conversation granularity: replace every
+    conversation present in ``new_ds`` (and add the brand-new ones).
+
+    1. encode ``new_ds`` into ``tick_dir`` (own manifest, resumable);
+    2. tombstone its conv_ids in the BASE corpus (one metadata write).
+
+    Order matters for crash safety: the tick lands first, so a crash
+    between the steps leaves a bounded duplicate window (old + new both
+    visible) that re-running the idempotent tombstone write closes —
+    never a data-loss window. Read with :func:`read_upserted`; a later
+    ``compact([out_dir, tick_dir], fresh)`` folds the tick back into one
+    bucket layout (tombstones applied during its decode, so replaced
+    conversations are physically dropped)."""
+    from .encode import decode_dataset, encode_transcripts
+
+    stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
+    new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
+    info = delete_convs(out_dir, new_convs)
+    return {"n_upserted_convs": len(new_convs), "tombstones": info,
+            "encode": stats}
+
+
+def read_upserted(out_dir: str, tick_dirs: Sequence[str]):
+    """Union view of a base corpus and its upsert ticks (tombstones on the
+    base hide every replaced conversation)."""
+    from .encode import decode_dataset
+
+    ds = decode_dataset(out_dir)
+    for t in tick_dirs:
+        ds = ds.union(decode_dataset(t))
+    return ds

@@ -150,3 +150,64 @@ def test_purge_resume_is_idempotent(corpus, tmp_path):
     assert mtimes == after  # nothing rewritten
     got = decode_dataset(dest).to_pandas()
     assert len(got) == _expected(table, dead).num_rows
+
+
+def test_upsert_replaces_and_adds_convs(ray_session, tmp_path):
+    """MERGE/upsert lifecycle: new versions of existing conversations
+    replace them in the union view; brand-new conversations appear;
+    compaction folds the tick back into one physically-clean corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        read_upserted,
+        upsert_convs,
+    )
+    from etl_sql_duckdb_parquet__ray.state.scheduler import compact
+
+    table = generate_transcripts(4000, seed=11)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=4, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    convs = sorted(df["conv_id"].unique())
+    replaced = convs[:2]
+
+    # new versions: replaced convs with rewritten text, plus one new conv
+    newdf = df[df["conv_id"].isin(replaced)].copy()
+    newdf["text"] = "REWRITTEN " + newdf["text"]
+    extra = df[df["conv_id"] == convs[2]].copy()
+    extra["conv_id"] = "conv-zz-new"
+    newdf = pd.concat([newdf, extra], ignore_index=True)
+    new_tbl = pa.Table.from_pandas(newdf, preserve_index=False).cast(table.schema)
+
+    tick = str(tmp_path / "tick-1")
+    info = upsert_convs(
+        base, ray.data.from_arrow(new_tbl), tick,
+        num_buckets=2, chunk_rows=1024,
+    )
+    assert info["n_upserted_convs"] == 3
+
+    got = (
+        read_upserted(base, [tick]).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = (
+        pd.concat([df[~df["conv_id"].isin(replaced)], newdf], ignore_index=True)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+    # every replaced conv reads the NEW text only
+    assert got[got["conv_id"] == replaced[0]]["text"].str.startswith("REWRITTEN").all()
+
+    # compaction folds the tick in; result physically clean and identical
+    merged = str(tmp_path / "merged")
+    compact([base, tick], merged, num_buckets=4, chunk_rows=1024)
+    assert not os.path.exists(deletes_path(merged))
+    got2 = (
+        decode_dataset(merged).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp[got2.columns])
