@@ -151,3 +151,30 @@ def test_bss_bit_identity_property(vals):
     c = ByteStreamSplitCodec()
     payload, meta = c.encode(v)
     assert c.decode(payload, meta, len(v)).tobytes() == v.tobytes()
+
+
+def _levenshtein_ref(a: str, b: str) -> int:
+    """Textbook DP reference (test-only)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.text(alphabet="abc", min_size=0, max_size=8),
+)
+def test_within_ed1_matches_dp_reference(a, b):
+    """The ed1 fuzzy-join verifier agrees with a full DP Levenshtein on a
+    dense small-alphabet space (equal strings excluded — the join only
+    ever compares DISTINCT values)."""
+    from etl_sql_duckdb_parquet__ray.functions.dedup import _within_ed1
+
+    if a == b:
+        return
+    assert _within_ed1(a, b) == (_levenshtein_ref(a, b) <= 1)
