@@ -92,11 +92,39 @@ def _parse_col_ranges(specs) -> dict | None:
     return out
 
 
+def _refuse_nonempty_out(out_dir: str):
+    """None if ``out_dir`` has no parquet files, else an error payload:
+    row counts come from the written files' footers, so pre-existing
+    files from an earlier run would silently inflate the reported total."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    leftover = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    if leftover:
+        return {
+            "error": "output dir already contains parquet files",
+            "out": out_dir,
+            "existing_files": len(leftover),
+        }
+    return None
+
+
+def _count_written_rows(out_dir: str) -> int:
+    """Row total from the freshly-written parquet footers (no re-read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def cmd_decode(args) -> int:
     _ray()
     from .pipelines.encode import decode_dataset
-
-    from .state.manifest import manifest_stats
 
     ds = decode_dataset(
         args.input,
@@ -112,63 +140,18 @@ def cmd_decode(args) -> int:
         conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
         col_ranges=_parse_col_ranges(args.col_range),
     )
-    pushdown = bool(args.columns or args.conv_id is not None
-                    or args.turn_lo is not None or args.turn_hi is not None
-                    or args.ts_lo is not None or args.ts_hi is not None
-                    or args.text_contains is not None
-                    or args.role_eq is not None or args.tool_eq is not None
-                    or args.conv_ids or args.col_range)
-    if pushdown:
-        # selective decode: STREAM the write (a projection over the full
-        # dataset must not pin everything in the object store), then count
-        # rows from the written files' parquet metadata — no second
-        # execution. A no-match lookup still produces the output dir (empty)
-        # so downstream readers see an empty dataset, not FileNotFound.
-        import os
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(args.out, exist_ok=True)
-        leftover = [f for f in os.listdir(args.out) if f.endswith(".parquet")]
-        if leftover:
-            # refuse: counting rows from dir metadata would silently include
-            # an earlier run's files and report a wrong total as success
-            print(
-                json.dumps(
-                    {
-                        "error": "output dir already contains parquet files",
-                        "out": args.out,
-                        "existing_files": len(leftover),
-                    }
-                )
-            )
-            return 2
-        ds.write_parquet(args.out)
-        n = sum(
-            pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-            for f in os.listdir(args.out)
-            if f.endswith(".parquet")
-        )
-        print(json.dumps({"rows": n}))
-    else:
-        import os
-
-        import pyarrow.parquet as pq
-
-        from .pipelines.deletes import deletes_path
-
-        ds.write_parquet(args.out)
-        if os.path.exists(deletes_path(args.input)):
-            # tombstoned corpus: the manifest row count includes deleted
-            # conversations the decode just filtered — count what was written
-            n = sum(
-                pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-                for f in os.listdir(args.out)
-                if f.endswith(".parquet")
-            )
-        else:
-            n = manifest_stats(args.input)["rows"]
-        print(json.dumps({"rows": n}))
+    # STREAM the write (a decode must not pin everything in the object
+    # store) and report rows from the written files' footers; a
+    # pre-populated output dir is refused — stale files would silently
+    # inflate the count. A no-match pushdown lookup still produces the
+    # (empty) output dir so downstream readers see an empty dataset,
+    # not FileNotFound.
+    err = _refuse_nonempty_out(args.out)
+    if err:
+        print(json.dumps(err))
+        return 2
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": _count_written_rows(args.out)}))
     return 0
 
 

@@ -1358,7 +1358,10 @@ def variant_clusters(ds, col: str):
             signed=True,
         )
 
-    pairs = ed1_self_join(ds, col)
+    # materialize: the edge set is consumed by the empty guard's count AND
+    # distributed_components' rounds — without this the whole multi-shuffle
+    # ed1 lineage would re-execute per consumer (lazy Datasets re-run)
+    pairs = ed1_self_join(ds, col).materialize()
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column("a").to_pylist()
@@ -1370,7 +1373,8 @@ def variant_clusters(ds, col: str):
             }
         )
 
-    distinct = ds.groupby(col).count().select_columns([col])
+    # materialized: consumed twice (name_nodes join side + selfmap union)
+    distinct = ds.groupby(col).count().select_columns([col]).materialize()
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     if edges.count() == 0:

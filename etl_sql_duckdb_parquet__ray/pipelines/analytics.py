@@ -1486,6 +1486,13 @@ def event_type_entropy(sf_dir: str):
 
     ds = read_table(sf_dir, "events", ["event_type"])
     counts = ds.groupby("event_type").aggregate(Count()).take_all()
+    if not counts:  # empty input: 0 rows (the SQL mirror's cross join of
+        # an empty counts CTE)
+        return pa.table(
+            {"n_types": pa.array([], type=pa.int64()),
+             "n_events": pa.array([], type=pa.int64()),
+             "entropy_ubits": pa.array([], type=pa.int64())}
+        )
     n_total = sum(int(r["count()"]) for r in counts)
     # sorted by value so the Python sum order is fixed; DuckDB's SUM order
     # is not, but at |distinct| terms the slack is ~1 ulp and the floor
@@ -1682,6 +1689,11 @@ def orders_daily_gapfilled(sf_dir: str):
         .aggregate(Count())
     ).take_all()  # |days| rows
     have = {int(r["day"]): int(r["count()"]) for r in counts}
+    if not have:  # empty input: empty spine (the SQL mirror's 0 rows)
+        return pa.table(
+            {"day": pa.array([], type=pa.int64()),
+             "n_orders": pa.array([], type=pa.int64())}
+        )
     lo, hi = min(have), max(have)
     spine = list(range(lo, hi + 1))
     return pa.table(

@@ -103,18 +103,22 @@ def purge_deleted(out_dir: str, dest_dir: str, **encode_kw) -> dict:
     return {"n_tombstoned_convs": n_dead, "encode": stats}
 
 
-def upsert_convs(out_dir: str, new_ds, tick_dir: str, **encode_kw) -> dict:
+def upsert_convs(out_dir: str, new_ds, tick_dir: str,
+                 prior_tick_dirs: Sequence[str] = (), **encode_kw) -> dict:
     """MERGE / upsert at conversation granularity: replace every
     conversation present in ``new_ds`` (and add the brand-new ones).
 
     1. encode ``new_ds`` into ``tick_dir`` (own manifest, resumable);
-    2. tombstone its conv_ids in the BASE corpus (one metadata write).
+    2. tombstone its conv_ids in the BASE corpus AND every earlier tick
+       (``prior_tick_dirs``) — a conversation upserted twice between
+       compactions must be hidden in ALL older layers or the union view
+       (and a later compaction) would carry both versions.
 
     Order matters for crash safety: the tick lands first, so a crash
     between the steps leaves a bounded duplicate window (old + new both
-    visible) that re-running the idempotent tombstone write closes —
+    visible) that re-running the idempotent tombstone writes closes —
     never a data-loss window. Read with :func:`read_upserted`; a later
-    ``compact([out_dir, tick_dir], fresh)`` folds the tick back into one
+    ``compact([out_dir, *ticks], fresh)`` folds the ticks back into one
     bucket layout (tombstones applied during its decode, so replaced
     conversations are physically dropped)."""
     from .encode import decode_dataset, encode_transcripts
@@ -122,6 +126,8 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str, **encode_kw) -> dict:
     stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
     new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
     info = delete_convs(out_dir, new_convs)
+    for prior in prior_tick_dirs:
+        delete_convs(prior, new_convs)
     return {"n_upserted_convs": len(new_convs), "tombstones": info,
             "encode": stats}
 

@@ -211,3 +211,49 @@ def test_upsert_replaces_and_adds_convs(ray_session, tmp_path):
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, exp[got2.columns])
+
+
+def test_upsert_twice_same_conv_keeps_only_latest(ray_session, tmp_path):
+    """The multi-tick case: a conversation upserted in two successive
+    ticks must read as the SECOND version only — upsert_convs tombstones
+    prior ticks via prior_tick_dirs, so neither the union view nor a
+    compaction resurrects the first replacement."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        read_upserted,
+        upsert_convs,
+    )
+    from etl_sql_duckdb_parquet__ray.state.scheduler import compact
+
+    table = generate_transcripts(3000, seed=13)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    conv = sorted(df["conv_id"].unique())[0]
+
+    def version(tag):
+        v = df[df["conv_id"] == conv].copy()
+        v["text"] = f"{tag} " + v["text"]
+        return pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    upsert_convs(base, ray.data.from_arrow(version("V1")), t1,
+                 num_buckets=2, chunk_rows=1024)
+    upsert_convs(base, ray.data.from_arrow(version("V2")), t2,
+                 prior_tick_dirs=[t1], num_buckets=2, chunk_rows=1024)
+
+    got = read_upserted(base, [t1, t2]).to_pandas()
+    sel = got[got["conv_id"] == conv]
+    assert len(sel) == (df["conv_id"] == conv).sum()  # exactly one version
+    assert sel["text"].str.startswith("V2").all()
+
+    merged = str(tmp_path / "merged2")
+    compact([base, t1, t2], merged, num_buckets=2, chunk_rows=1024)
+    got2 = decode_dataset(merged).to_pandas()
+    sel2 = got2[got2["conv_id"] == conv]
+    assert len(sel2) == len(sel)
+    assert sel2["text"].str.startswith("V2").all()
