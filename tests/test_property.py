@@ -178,3 +178,41 @@ def test_within_ed1_matches_dp_reference(a, b):
     if a == b:
         return
     assert _within_ed1(a, b) == (_levenshtein_ref(a, b) <= 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab or\t\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_explode_matching_tokens_matches_row_reference(ray_session, texts):
+    """Vectorized explode == per-row split/filter reference, including
+    whitespace runs, empty strings and multi-occurrence rows."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.text import (
+        explode_matching_tokens,
+    )
+
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = sorted(
+        map(tuple, explode_matching_tokens(ds, "doc_id", "text", "or")
+            .to_pandas().itertuples(index=False))
+    )
+    import re
+
+    exp = sorted(
+        (i, w)
+        for i, t in zip(ids, texts)
+        for w in re.split(r"\s+", t)
+        if w and "or" in w
+    )
+    assert got == exp
