@@ -563,6 +563,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcript_context_tails(sf_dir: str, k: int = 4):
+        # context assembly (training-example rendering) OVER the encoded
+        # corpus: per conversation, the last k turns concatenated as
+        # "role: text" lines — one projection decode (tool/ts payloads
+        # never read), one conversation groupby, vectorized tail+join
+        import pandas as pd
+
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import decode_dataset
+
+        out = _encoded_transcripts_dir(sf_dir)
+        ds = decode_dataset(out, columns=["conv_id", "turn_idx", "role", "text"])
+
+        def tail(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("turn_idx", kind="mergesort").tail(k)
+            return pd.DataFrame(
+                {
+                    "conv_id": [g["conv_id"].iloc[0]],
+                    "n_turns_used": [len(g)],
+                    "context": ["\n".join(g["role"] + ": " + g["text"])],
+                }
+            )
+
+        return ds.groupby("conv_id").map_groups(tail, batch_format="pandas")
+
     def transcript_tool_usage(sf_dir: str):
         # role-equality pushdown over the ENCODED corpus: decode only the
         # tool-role turns (per-chunk val_sets prune + exact row filter),
@@ -809,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_token_totals": transcript_token_totals,
         "transcript_token_quantiles": transcript_token_quantiles,
+        "transcript_context_tails": transcript_context_tails,
         "transcript_tool_usage": transcript_tool_usage,
         "transcript_text_search": transcript_text_search,
         "transcript_ts_window": transcript_ts_window,
@@ -2155,6 +2180,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) FROM tx
             UNION ALL
             SELECT 0.99, CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) FROM tx
+        """,
+        # transcript_context_tails mirror: the roundtrip derivation, last-4
+        # turns per conversation, ordered STRING_AGG of "role: text" lines
+        "transcript_context_tails": """
+            WITH tx AS (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       CAST(rn - 1 AS INTEGER) AS turn_idx,
+                       CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                         WHEN 1 THEN 'assistant'
+                                         WHEN 2 THEN 'system'
+                                         ELSE 'tool' END AS role,
+                       COALESCE(props, '') AS text,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n_conv_turns
+                FROM (
+                    SELECT user_id, event_id, ts, props,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS rn
+                    FROM events) t
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns_used,
+                   STRING_AGG(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                       AS context
+            FROM tx
+            WHERE turn_idx >= n_conv_turns - 4
+            GROUP BY conv_id
         """,
         # transcript_tool_usage mirror: only every 4th turn is a tool turn
         # in the derivation (role cycle), tool = event_type there; NULL
