@@ -257,3 +257,55 @@ def test_upsert_twice_same_conv_keeps_only_latest(ray_session, tmp_path):
     sel2 = got2[got2["conv_id"] == conv]
     assert len(sel2) == len(sel)
     assert sel2["text"].str.startswith("V2").all()
+
+
+def test_upsert_crash_window_and_recovery(ray_session, tmp_path):
+    """The documented crash contract: a failure BETWEEN the tick encode
+    and the tombstone write leaves a bounded duplicate window (old + new
+    both visible, never data loss); re-running the same upsert with
+    resume=True closes it without re-encoding the tick."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        read_upserted,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(3000, seed=17)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    conv = sorted(df["conv_id"].unique())[0]
+    v = df[df["conv_id"] == conv].copy()
+    v["text"] = "NEW " + v["text"]
+    new_tbl = pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+    tick = str(tmp_path / "tick")
+
+    # crash state: the tick landed, the tombstone write never ran
+    encode_transcripts(
+        ray.data.from_arrow(new_tbl), tick, num_buckets=2, chunk_rows=1024
+    )
+    window = read_upserted(base, [tick]).to_pandas()
+    sel = window[window["conv_id"] == conv]
+    assert len(sel) == 2 * len(v)  # duplicate window: old AND new visible
+    assert set(sel["text"].str.startswith("NEW")) == {True, False}
+
+    # recovery: re-run the SAME upsert; resume skips the completed tick
+    mtimes = {
+        f: os.path.getmtime(os.path.join(tick, f))
+        for f in os.listdir(tick) if f.endswith(".bin")
+    }
+    upsert_convs(base, ray.data.from_arrow(new_tbl), tick,
+                 num_buckets=2, chunk_rows=1024, resume=True)
+    after = {
+        f: os.path.getmtime(os.path.join(tick, f))
+        for f in os.listdir(tick) if f.endswith(".bin")
+    }
+    assert mtimes == after  # tick not re-encoded
+    fixed = read_upserted(base, [tick]).to_pandas()
+    sel2 = fixed[fixed["conv_id"] == conv]
+    assert len(sel2) == len(v)
+    assert sel2["text"].str.startswith("NEW").all()
