@@ -1350,8 +1350,6 @@ def variant_clusters(ds, col: str):
     any realistic vocabulary. Output: (name, canonical)."""
     import hashlib
 
-    import ray.data
-
     def h64(s: str) -> int:
         return int.from_bytes(
             hashlib.blake2b(s.encode(), digest_size=8).digest(), "little",
