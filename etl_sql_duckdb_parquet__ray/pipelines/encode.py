@@ -297,6 +297,7 @@ class BucketEncoder:
         with_checksums: bool = True,
         chunk_order: str = "conv",
         text_filters: bool = False,
+        codec_overrides: dict[str, str] | None = None,
     ):
         tune_malloc()
         self.out_dir = out_dir
@@ -305,6 +306,10 @@ class BucketEncoder:
         self.with_checksums = with_checksums
         self.chunk_order = chunk_order
         self.text_filters = text_filters
+        # production pin: skip the per-chunk selector for these columns
+        # (text on the pre-encode path is assembled, not selected — a
+        # "text" override only applies with pre_encode=False)
+        self.codec_overrides = dict(codec_overrides or {})
         if state_ref is not None:
             import ray
 
@@ -463,6 +468,7 @@ class BucketEncoder:
                 mode=self.mode,
                 preencoded=preencoded,
                 order=order,
+                codec_overrides=self.codec_overrides,
             )
             chunks.append(blob)
             bytes_in += summary["bytes_in"]
@@ -521,12 +527,13 @@ class BucketEncoder:
 _WORKER_ENCODERS: dict[tuple, "BucketEncoder"] = {}
 
 
-def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref, chunk_order: str = "conv", text_filters: bool = False) -> pa.Table:
+def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str, state_ref, chunk_order: str = "conv", text_filters: bool = False, codec_overrides: dict[str, str] | None = None) -> pa.Table:
     # the broadcast-state identity MUST be part of the key: a reused worker
     # serving a new job would otherwise assemble chunks with a stale symbol
     # table (codes from table B stored next to table A = silent corruption)
     skey = state_ref.hex() if hasattr(state_ref, "hex") else str(id(state_ref))
-    key = (out_dir, chunk_rows, mode, skey, chunk_order, text_filters)
+    ov_key = tuple(sorted(codec_overrides.items())) if codec_overrides else None
+    key = (out_dir, chunk_rows, mode, skey, chunk_order, text_filters, ov_key)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
         # small capped cache (FIFO evict, same policy as _PRE_INDEX): bounded
@@ -538,7 +545,7 @@ def _encode_group_task(group: pa.Table, out_dir: str, chunk_rows: int, mode: str
         enc = BucketEncoder(
             out_dir=out_dir, chunk_rows=chunk_rows, mode=mode,
             state_ref=state_ref, chunk_order=chunk_order,
-            text_filters=text_filters,
+            text_filters=text_filters, codec_overrides=codec_overrides,
         )
         _WORKER_ENCODERS[key] = enc
     return enc(group)
@@ -668,6 +675,7 @@ def encode_transcripts(
     exchange: str | None = None,
     chunk_order: str = "conv",
     text_filters: bool = False,
+    codec_overrides: dict[str, str] | None = None,
 ):
     """Encode a transcript Dataset into ``out_dir`` chunk files + manifest.
 
@@ -823,6 +831,7 @@ def encode_transcripts(
                     "state_ref": state_ref,
                     "chunk_order": chunk_order,
                     "text_filters": text_filters,
+                    "codec_overrides": codec_overrides,
                 },
                 batch_format="pyarrow",
                 concurrency=encoder_concurrency or (1, 8),
@@ -841,6 +850,7 @@ def encode_transcripts(
                     state_ref=state_ref,
                     chunk_order=chunk_order,
                     text_filters=text_filters,
+                    codec_overrides=codec_overrides,
                 ),
                 batch_format="pyarrow",
             )
