@@ -59,10 +59,14 @@ def encode_chunk(
         else:
             arr = table.column(name).combine_chunks()
             bytes_in += arr.nbytes
-            if name in shared_codecs:
+            if name in codec_overrides:
+                # an explicit per-column pin beats the broadcast-trained
+                # shared codec: the caller asked for THIS codec
+                payload, meta = encode_column(arr, codec_overrides[name], mode=mode)
+            elif name in shared_codecs:
                 payload, meta = _encode_with_instance(arr, shared_codecs[name])
             else:
-                payload, meta = encode_column(arr, codec_overrides.get(name), mode=mode)
+                payload, meta = encode_column(arr, None, mode=mode)
             if with_checksums:
                 meta["sha256"] = column_checksum(arr)
         cols.append({"name": name, "meta": meta, "off": off, "len": len(payload)})

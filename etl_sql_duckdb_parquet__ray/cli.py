@@ -62,15 +62,33 @@ def cmd_encode(args) -> int:
 
 
 def _parse_pins(spec: str | None) -> dict | None:
-    """"col=codec,col=codec" -> {col: codec} (None when unset)."""
+    """"col=codec,col=codec" -> {col: codec} (None when unset). Validates
+    codec names against the registry and column names against the
+    transcript schema AT PARSE TIME — a typo must fail here with a usable
+    message, not as a bare KeyError inside a Ray worker after the shuffle
+    (codec typo) or as a silently ignored pin (column typo)."""
     if not spec:
         return None
+    from .codecs.selector import REGISTRY
+
+    known_cols = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
     out = {}
     for part in spec.split(","):
         col, _, codec = part.partition("=")
+        col, codec = col.strip(), codec.strip()
         if not col or not codec:
             raise SystemExit(f"bad --pin-codecs entry: {part!r} (want col=codec)")
-        out[col.strip()] = codec.strip()
+        if codec not in REGISTRY:
+            raise SystemExit(
+                f"unknown codec {codec!r} in --pin-codecs "
+                f"(known: {', '.join(sorted(REGISTRY))})"
+            )
+        if col not in known_cols:
+            raise SystemExit(
+                f"unknown column {col!r} in --pin-codecs "
+                f"(transcript columns: {', '.join(sorted(known_cols))})"
+            )
+        out[col] = codec
     return out
 
 

@@ -569,6 +569,7 @@ def _split_by_bucket(block: pa.Table, num_buckets: int) -> list[pa.Table]:
 def _direct_exchange_encode(
     bucketed, num_buckets: int, out_dir: str, chunk_rows: int, mode: str,
     state_ref, text_filters: bool = False,
+    codec_overrides: dict[str, str] | None = None,
 ) -> None:
     """Raw-task bucket-direct exchange (opt-in ``exchange="direct"``): the
     bucket key is a DENSE int in [0, num_buckets), so the generic sort
@@ -606,7 +607,7 @@ def _direct_exchange_encode(
         group = pa.concat_tables(parts).combine_chunks()
         _encode_group_task(
             group, out_dir, chunk_rows, mode, wrapped_state[0],
-            text_filters=text_filters,
+            text_filters=text_filters, codec_overrides=codec_overrides,
         )
         return group.num_rows
 
@@ -800,7 +801,7 @@ def encode_transcripts(
         # raw-task bucket-direct split+reduce (see _direct_exchange_encode)
         _direct_exchange_encode(
             bucketed, num_buckets, out_dir, chunk_rows, mode, state_ref,
-            text_filters=text_filters,
+            text_filters=text_filters, codec_overrides=codec_overrides,
         )
         return load_manifest(out_dir)
     # scope the shuffle-strategy override to THIS dataset chain's captured

@@ -51,6 +51,11 @@ def main() -> int:
     from etl_sql_duckdb_parquet__ray.state.scheduler import compact
 
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lifecycle_demo"
+    if os.path.exists(root) and os.listdir(root):
+        # never rm -rf a user-supplied path: refuse anything non-empty
+        print(json.dumps({"error": "workdir exists and is not empty",
+                          "workdir": root}))
+        return 2
     shutil.rmtree(root, ignore_errors=True)
     base = os.path.join(root, "corpus")
 

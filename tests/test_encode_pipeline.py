@@ -1555,3 +1555,21 @@ def test_codec_overrides_pin_and_roundtrip(ray_session, table, tmp_path):
         for c in rec["chunks"]:
             for col, name in pins.items():
                 assert c["codecs"][col] == name
+
+
+def test_codec_override_beats_shared_codec(ray_session, table, tmp_path):
+    """Explicit pin precedence: with pre_encode=False the broadcast-trained
+    shared text codec would normally encode `text`; a text pin must win
+    (review fix — the shared-codec branch used to shadow it)."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    ds = ray.data.from_arrow(table)
+    out = str(tmp_path / "pin_text")
+    encode_transcripts(ds, out, num_buckets=2, chunk_rows=4096,
+                       pre_encode=False, codec_overrides={"text": "zstd"})
+    assert roundtrip_ok(ds, out)
+    for rec in load_manifest(out):
+        for c in rec["chunks"]:
+            assert c["codecs"]["text"] == "zstd"
