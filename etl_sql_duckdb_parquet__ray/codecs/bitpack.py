@@ -18,6 +18,17 @@ def required_width(max_value: int) -> int:
     return max(int(max_value).bit_length(), 1) if max_value > 0 else 0
 
 
+def bitpack_nbytes(n: int, width: int) -> int:
+    """Exact byte length of ``bitpack(a, width)`` for ``len(a) == n`` —
+    lets the codec selector price a candidate without materializing the
+    packed stream (see ``selector.select_codec`` probe path)."""
+    if width == 0 or n == 0:
+        return 0
+    if width in (8, 16, 32, 64):
+        return n * (width // 8)
+    return (n * width + 7) // 8
+
+
 def bitpack(a: np.ndarray, width: int) -> bytes:
     if width == 0 or len(a) == 0:
         return b""

@@ -20,7 +20,7 @@ from .base import (
     string_array_to_blob,
     unpack_sections,
 )
-from .bitpack import bitpack, bitunpack, required_width
+from .bitpack import bitpack, bitpack_nbytes, bitunpack, required_width
 from .rle import run_boundaries
 from .zstd_plain import ZstdCodec
 
@@ -67,6 +67,25 @@ class DictCodec:
             idx_payload, idx_meta = packed, {"idx": "bitpack"}
         meta = {"card": card, "width": width, "vmeta": vals_meta, **idx_meta}
         return pack_sections([idx_payload, vals_payload]), meta
+
+    def probe_size(self, values) -> int:
+        """Exact encoded size: the dictionary-build (the unavoidable cost)
+        still runs, but the index stream is priced from bit widths instead
+        of being packed twice (bitpack vs RLE-of-codes)."""
+        n = len(values)
+        if n == 0:
+            return 20  # pack_sections header + two empty sections
+        codes, dict_vals, card = _codes_and_dict(values)
+        width = required_width(card - 1)
+        packed_size = bitpack_nbytes(n, width)
+        starts = run_boundaries(codes)
+        run_lens = np.diff(np.concatenate((starts, [n])))
+        rw = required_width(int(run_lens.max())) if len(run_lens) else 0
+        rle_size = 20 + bitpack_nbytes(len(starts), rw) + bitpack_nbytes(len(starts), width)
+        vals_payload, _ = _zstd.encode(dict_vals)
+        # same strict-less tie-break as encode(): rle wins only when smaller
+        idx_size = rle_size if rle_size < packed_size else packed_size
+        return 20 + idx_size + len(vals_payload)
 
     def decode(self, payload: bytes, meta: dict, n: int):
         idx_b, vals_b = unpack_sections(payload)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .bitpack import bitpack, bitunpack, required_width, zigzag_decode, zigzag_encode
-from .pfor import pack_pfor, unpack_pfor
+from .pfor import pack_pfor, pack_pfor_nbytes, unpack_pfor
 
 
 class ForBitpackCodec:
@@ -30,6 +30,14 @@ class ForBitpackCodec:
         resid = (v - ref).astype(np.uint64)
         payload, pf = pack_pfor(resid)
         return payload, {"ref": ref, "pf": pf}
+
+    def probe_size(self, values: np.ndarray) -> int:
+        """Exact ``len(encode(values)[0])`` without packing the stream —
+        the selector's probe path (closed-form size, same PFOR plan)."""
+        if len(values) == 0:
+            return 0
+        v = values.astype(np.int64)
+        return pack_pfor_nbytes((v - int(v.min())).astype(np.uint64))
 
     def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
         if "pf" not in meta:  # pre-PFOR chunks
@@ -56,6 +64,16 @@ class DeltaCodec:
         zz = zigzag_encode(v)
         payload, pf = pack_pfor(zz)
         return payload, {"firsts": firsts, "pf": pf}
+
+    def probe_size(self, values: np.ndarray) -> int:
+        """Exact encoded-payload size via the shared PFOR plan (the raw
+        ``firsts`` live in the meta, not the payload)."""
+        v = values.astype(np.int64)
+        for _ in range(self._order):
+            if len(v) == 0:
+                break
+            v = np.diff(v)
+        return pack_pfor_nbytes(zigzag_encode(v))
 
     def decode(self, payload: bytes, meta: dict, n: int) -> np.ndarray:
         firsts = meta["firsts"]

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import pack_sections, unpack_sections
-from .bitpack import bitpack, bitunpack, required_width
+from .bitpack import bitpack, bitpack_nbytes, bitunpack, required_width
 
 
 def _bit_lengths(u: np.ndarray) -> np.ndarray:
@@ -25,14 +25,12 @@ def _bit_lengths(u: np.ndarray) -> np.ndarray:
     return bl
 
 
-def pack_pfor(u: np.ndarray) -> tuple[bytes, dict]:
-    """u: uint64 residuals -> (payload, meta). Chooses the cheapest width
-    from the bit-length histogram; falls back to plain full-width packing
-    when exceptions don't pay."""
+def _pfor_plan(u: np.ndarray) -> tuple[int, int, int, int, np.ndarray]:
+    """(width, maxw, pos_w, n_exceptions, bit_lengths) chosen from the
+    bit-length histogram — the shared decision for ``pack_pfor`` (which
+    materializes the stream) and ``pack_pfor_nbytes`` (which only prices
+    it)."""
     n = len(u)
-    if n == 0:
-        return b"", {"w": 0, "k": 0}
-    u = u.astype(np.uint64)
     bl = _bit_lengths(u)
     maxw = int(bl.max())
     hist = np.bincount(bl, minlength=maxw + 1)
@@ -43,6 +41,31 @@ def pack_pfor(u: np.ndarray) -> tuple[bytes, dict]:
         n * w + int(above[w]) * (pos_w + maxw) + 32 for w in range(maxw + 1)
     ]
     w = int(np.argmin(costs))
+    k = int(above[w]) if w < maxw else 0
+    return w, maxw, pos_w, k, bl
+
+
+def pack_pfor_nbytes(u: np.ndarray) -> int:
+    """Exact ``len(pack_pfor(u)[0])`` without building the payload."""
+    n = len(u)
+    if n == 0:
+        return 0
+    w, maxw, pos_w, k, _bl = _pfor_plan(u.astype(np.uint64))
+    if w >= maxw:
+        return bitpack_nbytes(n, maxw)
+    # pack_sections header (4 + 8*3) + the three bit-packed sections
+    return 28 + bitpack_nbytes(n, w) + bitpack_nbytes(k, pos_w) + bitpack_nbytes(k, maxw)
+
+
+def pack_pfor(u: np.ndarray) -> tuple[bytes, dict]:
+    """u: uint64 residuals -> (payload, meta). Chooses the cheapest width
+    from the bit-length histogram; falls back to plain full-width packing
+    when exceptions don't pay."""
+    n = len(u)
+    if n == 0:
+        return b"", {"w": 0, "k": 0}
+    u = u.astype(np.uint64)
+    w, maxw, pos_w, _k, bl = _pfor_plan(u)
     if w >= maxw:
         return bitpack(u, maxw), {"w": maxw, "k": 0}
     exc = np.flatnonzero(bl > w)

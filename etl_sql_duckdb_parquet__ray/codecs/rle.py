@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .base import StringBlob, blob_to_string_array, pack_sections, string_array_to_blob, unpack_sections
-from .bitpack import bitpack, bitunpack, required_width
+from .bitpack import bitpack, bitpack_nbytes, bitunpack, required_width
 from .zstd_plain import ZstdCodec
 
 _zstd = ZstdCodec()
@@ -49,6 +49,24 @@ class RleCodec:
         vals_payload, vals_meta = _zstd.encode(run_vals)
         payload = pack_sections([bitpack(lengths, width), vals_payload])
         return payload, {"runs": len(starts), "lw": width, "vmeta": vals_meta}
+
+    def probe_size(self, values) -> int:
+        """Exact encoded size without bit-packing the length stream (the
+        run-values zstd section is still really compressed — its size has
+        no closed form, but runs are few by construction when RLE is even
+        a candidate)."""
+        n = len(values)
+        starts = run_boundaries(values)
+        lengths = np.diff(np.concatenate((starts, [n]))).astype(np.uint64)
+        if isinstance(values, StringBlob):
+            arr = blob_to_string_array(values, pa.string())
+            run_vals = string_array_to_blob(arr.take(pa.array(starts, type=pa.int64())))
+        else:
+            run_vals = values[starts]
+        width = required_width(int(lengths.max())) if len(lengths) else 0
+        vals_payload, _ = _zstd.encode(run_vals)
+        # pack_sections header (4 + 8*2) + packed lengths + values section
+        return 20 + bitpack_nbytes(len(lengths), width) + len(vals_payload)
 
     def decode(self, payload: bytes, meta: dict, n: int):
         lens_b, vals_b = unpack_sections(payload)

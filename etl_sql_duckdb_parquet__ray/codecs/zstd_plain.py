@@ -18,7 +18,7 @@ from .base import (
     zstd_compress_heavy,
     zstd_decompress,
 )
-from .bitpack import bitpack, bitunpack, required_width
+from .bitpack import bitpack, bitpack_nbytes, bitunpack, required_width
 
 
 def _encode_lengths(lengths: np.ndarray) -> tuple[bytes, int]:
@@ -58,6 +58,14 @@ class PlainCodec:
             lens, width = _encode_lengths(values.lengths)
             return pack_sections([lens, values.data]), {"kind": "str", "lw": width}
         return np.ascontiguousarray(values).tobytes(), {"kind": "num", "dtype": str(values.dtype)}
+
+    def probe_size(self, values) -> int:
+        """Exact uncompressed size — pure arithmetic."""
+        if isinstance(values, StringBlob):
+            n = len(values.lengths)
+            width = required_width(int(values.lengths.max())) if n else 0
+            return 20 + bitpack_nbytes(n, width) + len(values.data)
+        return len(values) * values.dtype.itemsize
 
     def decode(self, payload: bytes, meta: dict, n: int):
         if meta["kind"] == "str":

@@ -324,3 +324,59 @@ def test_selector_picks_bss_for_exponent_band_floats():
     vals = rng.uniform(1e6, 1e6 + 1000, 20000)
     name = select_codec(vals, pa.float64())
     assert name == "bss"
+
+
+def test_probe_size_is_exact_encoded_size():
+    """The selector's closed-form probe sizes must equal the real encoded
+    payload byte-for-byte — otherwise the probe path would silently change
+    codec picks (and bytes/turn) vs the measured tie-break it replaces."""
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__ray.codecs.base import StringBlob
+    from etl_sql_duckdb_parquet__ray.codecs.selector import REGISTRY
+
+    rng = np.random.default_rng(42)
+
+    def ints(n, kind):
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        return {
+            "sorted": np.sort(rng.integers(0, 1 << 40, n)).astype(np.int64),
+            "runs": np.repeat(rng.integers(0, 5, max(n // 7, 1)), 7)[:n].astype(np.int64),
+            "const": np.full(n, 123_456, dtype=np.int64),
+            "neg": rng.integers(-(1 << 50), 1 << 50, n).astype(np.int64),
+            "rand": rng.integers(0, 1000, n).astype(np.int64),
+            "spiky": np.where(rng.random(n) < 0.02, 1 << 55, rng.integers(0, 64, n)).astype(np.int64),
+        }[kind]
+
+    def blob(n, kind):
+        if kind == "lowcard":
+            words = [b"user", b"assistant", b"system", b"tool"]
+            vals = [words[i % 4] for i in rng.integers(0, 4, n)]
+        elif kind == "empty_some":
+            vals = [
+                b"" if i % 3 == 0
+                else bytes(rng.integers(97, 123, rng.integers(0, 30)).astype(np.uint8))
+                for i in range(n)
+            ]
+        else:
+            vals = [
+                bytes(rng.integers(32, 127, rng.integers(1, 80)).astype(np.uint8))
+                for _ in range(n)
+            ]
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
+        return StringBlob(lens, b"".join(vals))
+
+    int_codecs = ["plain", "for_bitpack", "delta", "delta_delta", "rle", "dict"]
+    str_codecs = ["plain", "rle", "dict"]
+    for n in (0, 1, 2, 341, 1024):
+        for kind in ("sorted", "runs", "const", "neg", "rand", "spiky"):
+            v = ints(n, kind)
+            for cname in int_codecs:
+                codec = REGISTRY[cname]
+                assert codec.probe_size(v) == len(codec.encode(v)[0]), (cname, n, kind)
+        for kind in ("lowcard", "empty_some", "rand"):
+            b = blob(n, kind)
+            for cname in str_codecs:
+                codec = REGISTRY[cname]
+                assert codec.probe_size(b) == len(codec.encode(b)[0]), (cname, n, kind)
