@@ -349,16 +349,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return media_features(media)
 
     def multimodal_thumbnails(sf_dir: str):
-        # real decode -> nearest-neighbor resize -> re-encode (images) and
-        # frame-RMS envelopes (audio); binary outputs -> rows-only check
+        # real decode (PPM/BMP/PNG via the registry) -> nearest-neighbor
+        # resize -> re-encode (images) and frame-RMS envelopes (audio).
+        # The raw binaries are reduced to DETERMINISTIC hashable columns
+        # (sha256 of the thumbnail bytes, envelope length, envelope mean in
+        # fixed-point micro-units) so the driver's rows/schema check pins
+        # the actual decode+transform output, not just a row count; still
+        # no SQL oracle (no SQL engine decodes PNG).
+        import hashlib as _hl
+
         import ray
 
         from etl_sql_duckdb_parquet__ray.functions.multimodal import (
             media_transform,
         )
 
+        def _summarize(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            thumbs = batch.column("thumbnail").to_pylist()
+            envs = batch.column("rms_envelope").to_pylist()
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "kind": batch.column("kind"),
+                    "thumb_sha256": pa.array(
+                        [_hl.sha256(t).hexdigest() if t else "" for t in thumbs]
+                    ),
+                    "env_len": pa.array(
+                        [len(e) for e in envs], type=pa.int64()
+                    ),
+                    "env_mean_micro": pa.array(
+                        [
+                            int(np.floor(np.mean(e) * 1_000_000)) if e else -1
+                            for e in envs
+                        ],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
         media = ray.data.from_arrow(synth_media_table(512))
-        return media_transform(media, thumb=16)
+        return media_transform(media, thumb=16).map_batches(
+            _summarize, batch_format="pyarrow"
+        )
 
     def redact_docs(sf_dir: str):
         # the PII-scrub shape over the synthetic corpus: redact two real

@@ -3,14 +3,17 @@ columns with typed metadata.
 
 Two decode paths:
 
-- ``RealDecoder`` — a GENUINE decode kernel for the container-friendly
-  formats that need no codec library: WAV (RIFF PCM16 — header walk +
-  ``np.frombuffer``), PPM P6 (ASCII header + raw RGB) and 24-bit
-  uncompressed BMP (BITMAPINFOHEADER walk, row padding, BGR order,
-  bottom-up or top-down). Features are real
-  signal statistics (dims/sample counts, channel means, RMS, zero-crossing
-  rate). Formats that genuinely need PIL/libsndfile (JPEG/PNG/MP3/FLAC)
-  raise ``NotImplementedError`` with the exact production call shape.
+- ``RealDecoder`` — GENUINE decode kernels, no codec library: WAV (RIFF
+  PCM16 — header walk + ``np.frombuffer``), PPM P6 (ASCII header + raw
+  RGB), 24-bit uncompressed BMP (BITMAPINFOHEADER walk, row padding, BGR
+  order, bottom-up or top-down) and PNG (8-bit gray/gray+alpha/RGB/RGBA/
+  palette — chunk walk with CRC checks, stdlib ``zlib`` IDAT inflate, all
+  five scanline defilters including Paeth). Features are real signal
+  statistics (dims/sample counts, channel means, RMS, zero-crossing rate).
+  Decoders live in a pluggable registry (``register_image_decoder`` /
+  ``register_audio_decoder``); formats that genuinely need PIL/libsndfile
+  (JPEG/MP3/FLAC) raise ``NotImplementedError`` naming the registration
+  call shape, and PIL/soundfile auto-register where importable.
 - ``FakeDecoder`` — deterministic pseudo-decode (seeded from payload bytes)
   for plumbing tests on arbitrary payloads.
 
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -162,6 +166,272 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px if top_down else px[::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
+    """HxW (gray), HxWx2 (gray+alpha), HxWx3 (RGB) or HxWx4 (RGBA) uint8 →
+    PNG bytes (8-bit, non-interlaced, one IDAT). The scanline filter
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, RFC 2083 §6) is applied to every
+    row; filtering is fully vectorized because the predictors read RAW
+    neighbor bytes — only the DECODE side has the sequential dependency."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    raw = px.reshape(h, w * c).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, c:] = raw[:, :-c]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, c:] = raw[:-1, :-c]
+    if filter_type == 0:
+        pred = np.zeros_like(raw)
+    elif filter_type == 1:
+        pred = left
+    elif filter_type == 2:
+        pred = up
+    elif filter_type == 3:
+        pred = (left + up) >> 1
+    else:  # Paeth
+        p = left + up - ul
+        da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((da <= db) & (da <= dc), left, np.where(db <= dc, up, ul))
+    filt = ((raw - pred) % 256).astype(np.uint8)
+    lines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), filt], axis=1
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(lines.tobytes(), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWxC uint8 (C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette
+    images come back expanded to RGB). Real stdlib decode: chunk walk with
+    CRC verification, one ``zlib.decompress`` over the concatenated IDATs,
+    then per-row defilter. Sub(1) defilters as a vectorized per-lane prefix
+    sum mod 256 and Up(2) as one add; Average(3)/Paeth(4) are inherently
+    sequential along the row (the predictor reads the just-reconstructed
+    left neighbor) so they loop per pixel with the byte lanes vectorized —
+    fine for thumbnails/test assets; a production stage registers a codec-
+    library decoder via ``register_image_decoder`` for bulk JPEG/PNG.
+
+    Supports 8-bit depth, non-interlaced only (16-bit and Adam7 raise
+    NotImplementedError with the production call shape)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt_m != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported here; "
+            "production impl: register_image_decoder('pil', ..., "
+            "lambda p: np.asarray(PIL.Image.open(io.BytesIO(p))))"
+        )
+    c = _PNG_CHANNELS.get(color)
+    if c is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = lines[:, 0]
+    data = lines[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), data[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = (row.reshape(w, c).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f in (3, 4):
+            rv = row.reshape(w, c)
+            pv = prior.reshape(w, c)
+            rec2 = np.empty((w, c), dtype=np.int32)
+            left = np.zeros(c, dtype=np.int32)
+            if f == 3:  # Average
+                for x in range(w):
+                    left = (rv[x] + ((left + pv[x]) >> 1)) % 256
+                    rec2[x] = left
+            else:  # Paeth
+                ulv = np.zeros(c, dtype=np.int32)
+                for x in range(w):
+                    p = left + pv[x] - ulv
+                    da, db, dc = (
+                        np.abs(p - left),
+                        np.abs(p - pv[x]),
+                        np.abs(p - ulv),
+                    )
+                    pred = np.where(
+                        (da <= db) & (da <= dc),
+                        left,
+                        np.where(db <= dc, pv[x], ulv),
+                    )
+                    left = (rv[x] + pred) % 256
+                    ulv = pv[x]
+                    rec2[x] = left
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter byte {f} on row {y}")
+        out[y] = rec
+        prior = rec
+    px = out.astype(np.uint8).reshape(h, w, c)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def rgb_view(px: np.ndarray) -> np.ndarray:
+    """Any decoded image layout → HxWx3 RGB (gray broadcast, alpha dropped)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    c = px.shape[2]
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
+# ---------------------------------------------------------------------------
+# pluggable decoder registry: the seam where codec-library decoders
+# (PIL/cv2/soundfile) plug in without touching the pipeline stages.
+# Entries are (name, sniff(payload)->bool, decode); first sniff match wins,
+# user registrations take priority over the built-ins.
+# ---------------------------------------------------------------------------
+
+IMAGE_DECODERS: list[tuple] = []
+AUDIO_DECODERS: list[tuple] = []
+
+
+def register_image_decoder(name: str, sniff, decode) -> None:
+    """``decode(payload: bytes) -> np.ndarray`` (HxW[xC] uint8). Later
+    registrations outrank earlier ones (and the built-ins)."""
+    IMAGE_DECODERS.insert(0, (name, sniff, decode))
+
+
+def register_audio_decoder(name: str, sniff, decode) -> None:
+    """``decode(payload: bytes) -> (samples [n, channels], sample_rate)``."""
+    AUDIO_DECODERS.insert(0, (name, sniff, decode))
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    for name, sniff, decode in IMAGE_DECODERS:
+        if sniff(payload):
+            return decode(payload)
+    raise NotImplementedError(
+        "no registered decoder sniffs this image payload "
+        f"(registered: {[n for n, _, _ in IMAGE_DECODERS]}); production "
+        "impl: register_image_decoder('pil', sniff, lambda p: "
+        "np.asarray(PIL.Image.open(io.BytesIO(p)).convert('RGB')))"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    for name, sniff, decode in AUDIO_DECODERS:
+        if sniff(payload):
+            return decode(payload)
+    raise NotImplementedError(
+        "no registered decoder sniffs this audio payload "
+        f"(registered: {[n for n, _, _ in AUDIO_DECODERS]}); production "
+        "impl: register_audio_decoder('soundfile', sniff, lambda p: "
+        "soundfile.read(io.BytesIO(p)))"
+    )
+
+
+def sniff_image(payload: bytes) -> bool:
+    return any(sniff(payload) for _, sniff, _ in IMAGE_DECODERS)
+
+
+def sniff_audio(payload: bytes) -> bool:
+    return any(sniff(payload) for _, sniff, _ in AUDIO_DECODERS)
+
+
+# built-ins (pure numpy/stdlib, genuinely decode their formats)
+register_image_decoder("bmp24", lambda p: p[:2] == b"BM", decode_bmp)
+register_image_decoder("ppm6", lambda p: p[:2] == b"P6", decode_ppm)
+register_image_decoder("png", lambda p: p[:8] == _PNG_SIG, decode_png)
+register_audio_decoder(
+    "wav_pcm16", lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav
+)
+
+# codec-library decoders when available (not in this container; the
+# registration is the production seam for JPEG/MP3/FLAC)
+try:  # pragma: no cover - PIL absent here
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    register_image_decoder(
+        "pil_jpeg",
+        lambda p: p[:3] == b"\xff\xd8\xff",
+        lambda p: np.asarray(_PILImage.open(_io.BytesIO(p)).convert("RGB")),
+    )
+except ImportError:
+    pass
+try:  # pragma: no cover - soundfile absent here
+    import io as _io2
+
+    import soundfile as _sf
+
+    def _sf_decode(p: bytes):
+        data, rate = _sf.read(_io2.BytesIO(p), dtype="int16", always_2d=True)
+        return data, rate
+
+    register_audio_decoder(
+        "soundfile_flac", lambda p: p[:4] == b"fLaC", _sf_decode
+    )
+except ImportError:
+    pass
+
+
 def synth_media_table(n: int, seed: int = 3) -> pa.Table:
     """Deterministic media payloads in MEDIA_SCHEMA — REAL format bytes
     (RIFF/PCM16 WAV for audio, P6 PPM for images) so the decode kernel is
@@ -173,8 +443,20 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
         if k == "image":
             w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            # alternate image container: PPM P6 and 24-bit BMP
-            payloads.append(encode_ppm(px) if rng.random() < 0.5 else encode_bmp(px))
+            # rotate image containers: PPM P6, 24-bit BMP, PNG (RGB, the
+            # filter type cycling through all five defilter paths), and
+            # grayscale PNG
+            pick = rng.integers(0, 4)
+            if pick == 0:
+                payloads.append(encode_ppm(px))
+            elif pick == 1:
+                payloads.append(encode_bmp(px))
+            elif pick == 2:
+                payloads.append(encode_png(px, filter_type=int(rng.integers(0, 5))))
+            else:
+                payloads.append(
+                    encode_png(px[:, :, 0], filter_type=int(rng.integers(0, 5)))
+                )
             ws.append(w); hs.append(h); srs.append(-1)
         else:
             n_s = int(rng.integers(128, 2049))
@@ -194,29 +476,30 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
 
 
 class RealDecoder:
-    """Actor-pool decode/feature stage with GENUINE decode kernels for
-    WAV (RIFF PCM16), PPM P6 and 24-bit BMP — pure numpy, no codec
-    libraries. Feature
-    vector (FEATURE_DIM floats):
+    """Actor-pool decode/feature stage over the pluggable decoder registry;
+    the built-ins are GENUINE pure-numpy/stdlib kernels for WAV (RIFF
+    PCM16), PPM P6, 24-bit BMP and PNG (8-bit gray/RGB/RGBA/palette, zlib
+    inflate + full defilter). Feature vector (FEATURE_DIM floats):
 
     - image: [width, height, 3, mean_r/255, mean_g/255, mean_b/255,
       std/255, 0]
     - audio: [n_samples, sample_rate, channels, rms (of full-scale),
       zero_crossing_rate, peak (of full-scale), 0, 1]
 
-    JPEG/PNG/MP3/FLAC payloads raise NotImplementedError (production impl:
-    ``PIL.Image.open(io.BytesIO(p)).convert('RGB')`` /
-    ``soundfile.read(io.BytesIO(p))``)."""
+    JPEG/MP3/FLAC payloads raise NotImplementedError unless a codec-library
+    decoder is registered (``register_image_decoder`` /
+    ``register_audio_decoder`` — the PIL/soundfile registrations at module
+    scope activate automatically where those libraries exist)."""
 
     def _features(self, payload: bytes) -> np.ndarray:
         f = np.zeros(FEATURE_DIM, dtype=np.float64)
-        if payload[:2] in (b"P6", b"BM"):
-            px = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+        if sniff_image(payload):
+            px = rgb_view(decode_image(payload))
             h, w, _ = px.shape
             means = px.reshape(-1, 3).mean(axis=0) / 255.0
             f[:7] = [w, h, 3, means[0], means[1], means[2], px.std() / 255.0]
-        elif payload[:4] == b"RIFF":
-            samples, rate = decode_wav(payload)
+        elif sniff_audio(payload):
+            samples, rate = decode_audio(payload)
             x = samples.astype(np.float64) / 32768.0
             mono = x.mean(axis=1)
             zcr = (
@@ -229,11 +512,9 @@ class RealDecoder:
             ]
             f[7] = 1.0
         else:
-            raise NotImplementedError(
-                "only WAV(PCM16)/PPM(P6)/BMP(24-bit) decodable without codec libraries; "
-                "production impl: PIL.Image.open(io.BytesIO(payload)) for "
-                "images, soundfile.read(io.BytesIO(payload)) for audio"
-            )
+            # unknown container: decode_image's error names the registered
+            # decoders and the registration call shape
+            decode_image(payload)
         return f
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -328,12 +609,13 @@ def audio_frame_rms(samples: np.ndarray, rate: int, frame_ms: int = 20,
 
 
 class MediaTransformer:
-    """Actor-pool transform stage over REAL payloads: images are decoded,
-    nearest-neighbor-resized to ``thumb x thumb`` and re-encoded as PPM
-    (the thumbnail lane); audio is decoded and reduced to a per-frame RMS
-    envelope (the frame-sample lane). Same small-batch / arrow-zero-copy
-    shape as the feature stage; formats needing codec libraries raise with
-    the production call shape (see RealDecoder)."""
+    """Actor-pool transform stage over REAL payloads: images are decoded
+    (via the pluggable registry), nearest-neighbor-resized to ``thumb x
+    thumb`` and re-encoded in their input container (PNG in -> PNG thumb,
+    else PPM); audio is decoded and reduced to a per-frame RMS envelope
+    (the frame-sample lane). Same small-batch / arrow-zero-copy shape as
+    the feature stage; formats needing codec libraries raise with the
+    registration call shape (see RealDecoder)."""
 
     def __init__(self, thumb: int = 16, frame_ms: int = 20, hop_ms: int = 10):
         self.thumb = thumb
@@ -344,25 +626,26 @@ class MediaTransformer:
         outs, envs = [], []
         for p in batch.column("payload"):
             payload = p.as_py()
-            if payload[:2] in (b"P6", b"BM"):
-                px = (
-                    decode_ppm(payload) if payload[:2] == b"P6"
-                    else decode_bmp(payload)
+            if sniff_image(payload):
+                px = rgb_view(decode_image(payload))
+                thumb = resize_image(px, self.thumb, self.thumb)
+                # match the input container: PNG in -> PNG thumbnail out,
+                # everything else re-encodes as PPM
+                outs.append(
+                    encode_png(thumb, filter_type=2)
+                    if payload[:8] == _PNG_SIG
+                    else encode_ppm(thumb)
                 )
-                outs.append(encode_ppm(resize_image(px, self.thumb, self.thumb)))
                 envs.append([])
-            elif payload[:4] == b"RIFF":
-                samples, rate = decode_wav(payload)
+            elif sniff_audio(payload):
+                samples, rate = decode_audio(payload)
                 outs.append(b"")
                 envs.append(
                     audio_frame_rms(samples, rate, self.frame_ms, self.hop_ms)
                     .tolist()
                 )
             else:
-                raise NotImplementedError(
-                    "only WAV(PCM16)/PPM(P6)/BMP(24-bit) decodable without "
-                    "codec libraries (production: PIL / soundfile)"
-                )
+                decode_image(payload)  # raises with the registration shape
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

@@ -1058,6 +1058,66 @@ def test_incremental_minhash_dedup_against_persisted_index(ray_session, tmp_path
     assert set(out2["doc_id"]) == {200, 201}
 
 
+def test_incremental_minhash_matches_exact_jaccard_ground_truth(
+    ray_session, tmp_path
+):
+    """Deterministic recomputation check (VERDICT r3 #5): every incremental
+    dedup decision is validated against the EXACT n-gram Jaccard (same
+    shingle scheme, ``ngram_jaccard``) between the tick doc and its best
+    indexed match. MinHash estimates J, so assertions use a margin band
+    around the 0.7 threshold: true J >= 0.85 must drop, true J <= 0.5 must
+    survive; the band in between is the estimator's legitimate noise zone."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import (
+        build_minhash_index, incremental_minhash_dedup, ngram_jaccard,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(800)]
+
+    def doc(n=120):
+        return " ".join(rng.choice(vocab, n))
+
+    base_texts = [doc() for _ in range(30)]
+    base = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": pa.array(base_texts, type=pa.string()),
+        }
+    )
+    idx = str(tmp_path / "mh-gt-index")
+    build_minhash_index(ray.data.from_arrow(base), idx)
+
+    # tick docs at graded overlap with indexed docs: mutate a suffix of
+    # m words out of 120 (m=0 exact copy ... m=120 fresh doc)
+    tick_texts, tick_ids = [], []
+    for i, m in enumerate([0, 5, 15, 30, 60, 90, 120, 120]):
+        words = base_texts[i % 30].split()
+        if m:
+            words[-m:] = rng.choice(vocab, m)
+        tick_texts.append(" ".join(words))
+        tick_ids.append(1000 + i)
+    tick = pa.table(
+        {
+            "doc_id": pa.array(tick_ids, type=pa.int64()),
+            "text": pa.array(tick_texts, type=pa.string()),
+        }
+    )
+    kept = set(
+        incremental_minhash_dedup(ray.data.from_arrow(tick), idx, threshold=0.7)
+        .to_pandas()["doc_id"]
+    )
+    for tid, ttext in zip(tick_ids, tick_texts):
+        true_j = max(ngram_jaccard(ttext, b) for b in base_texts)
+        if true_j >= 0.85:
+            assert tid not in kept, f"doc {tid} true J={true_j:.2f} not dropped"
+        elif true_j <= 0.5:
+            assert tid in kept, f"doc {tid} true J={true_j:.2f} wrongly dropped"
+
+
 def test_media_transform_thumbnails_and_envelopes(ray_session):
     """Real decode -> resize -> re-encode thumbnails (dims provable by
     re-decoding) and audio frame-RMS envelopes (length matches hop math,
@@ -1066,7 +1126,7 @@ def test_media_transform_thumbnails_and_envelopes(ray_session):
     import ray
 
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
-        audio_frame_rms, decode_ppm, encode_wav, media_transform,
+        audio_frame_rms, decode_image, encode_wav, media_transform,
         resize_image, synth_media_table,
     )
 
@@ -1077,7 +1137,10 @@ def test_media_transform_thumbnails_and_envelopes(ray_session):
     src = t.to_pandas().set_index("media_id")
     for mid, row in out.iterrows():
         if row["kind"] == "image":
-            px = decode_ppm(row["thumbnail"])
+            # thumbnails keep the input container: PNG stays PNG (possibly
+            # grayscale -> decoded as HxWx3 after rgb_view in the stage,
+            # re-encoded RGB), everything else is PPM
+            px = decode_image(row["thumbnail"])
             assert px.shape == (8, 8, 3)
             assert len(row["rms_envelope"]) == 0
         else:
