@@ -14,6 +14,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(V: np.ndarray) -> np.ndarray:
@@ -26,6 +27,53 @@ def _stack(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, V
 
 
+def _stack_arrow(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native (vec_id, [n, d] float64) from a pyarrow batch — the
+    list<float> values buffer is read zero-copy and reshaped, no per-row
+    Python objects (the pandas hop this replaces was the one per-batch
+    conversion in the ANN hot path, VERDICT r3)."""
+    ids = batch.column("vec_id").to_numpy()
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    n = len(emb)
+    if pa.types.is_list(emb.type) or pa.types.is_large_list(emb.type) or (
+        pa.types.is_fixed_size_list(emb.type)
+    ):
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.astype(np.float64).reshape(n, -1)
+    # Ray's ArrowTensorArray extension (from_items/numpy-column datasets)
+    V = emb.to_numpy(zero_copy_only=False)
+    return ids, np.asarray(V, dtype=np.float64).reshape(n, -1)
+
+
+def _binary_to_mat(col, dim: int, dtype) -> np.ndarray:
+    """Zero-copy [n, dim] matrix from a binary column of packed fixed-size
+    rows (the persisted-index layout): slice the values buffer between the
+    first and last offset — consecutive binary rows are contiguous — and
+    reinterpret, no b''.join of per-row Python bytes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    width = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=width)[
+        col.offset : col.offset + n + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data.view(dtype).reshape(n, dim)
+
+
+def _packed_binary(flat: bytes, n: int, row_bytes: int) -> pa.Array:
+    """Binary array over one flat buffer of n fixed-size rows (no per-row
+    Python bytes objects)."""
+    offs = (np.arange(n + 1, dtype=np.int32) * row_bytes).tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(flat)]
+    )
+
+
 def brute_force_topk(ds_emb, query: np.ndarray, k: int = 10):
     """Top-k by cosine against one query vector. Per-batch partial top-k
     (k rows per batch leave the task), then a final exact sort+limit —
@@ -35,14 +83,14 @@ def brute_force_topk(ds_emb, query: np.ndarray, k: int = 10):
     q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
     qref = ray.put(q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         qq = ray.get(qref)
-        ids, V = _stack(batch)
+        ids, V = _stack_arrow(batch)
         cos = _normalize(V) @ qq
         top = np.argsort(-cos, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+        return pa.table({"vec_id": ids[top], "cosine": cos[top]})
 
-    partial = ds_emb.map_batches(score, batch_format="pandas")
+    partial = ds_emb.map_batches(score, batch_format="pyarrow")
     return partial.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -114,16 +162,20 @@ class IvfAssign:
         self.C = ray.get(centroids_ref)
         self.n_assign = min(n_assign, len(self.C))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, V = _stack(batch)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, V = _stack_arrow(batch)
         Vn = _normalize(V)
         sims = Vn @ self.C.T
         r = self.n_assign
         top = np.argpartition(-sims, r - 1, axis=1)[:, :r].astype(np.int32)
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids, r),
-            "list_id": top.ravel(),
-            "vn": list(np.repeat(Vn, r, axis=0)),
+        rep = np.ascontiguousarray(np.repeat(Vn, r, axis=0))
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, r)),
+            "list_id": pa.array(top.ravel()),
+            # packed f64 rows built from ONE flat buffer (no per-row Python
+            # lists); full precision in-memory — the PERSISTED index is
+            # what narrows to f32 (build_ivf_index)
+            "vn": _packed_binary(rep.tobytes(), len(rep), Vn.shape[1] * 8),
         })
 
 
@@ -144,31 +196,34 @@ def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16,
         assigned = ds_emb.map_batches(
             IvfAssign,
             fn_constructor_kwargs={"centroids_ref": cref, "n_assign": n_assign},
-            batch_format="pandas", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=(1, 4),
         )
     else:
         assigned = ds_emb.map_batches(
             lambda b: _cached_stage(IvfAssign, cref, n_assign=n_assign)(b),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
-    probe_ids = np.array(sorted(probes), dtype=np.int32)
+    probe_set = pa.array(sorted(probes), type=pa.int32())
     probed = assigned.map_batches(
-        lambda df: df[df["list_id"].isin(probe_ids)], batch_format="pandas"
+        lambda t: t.filter(pc.is_in(t.column("list_id"), value_set=probe_set)),
+        batch_format="pyarrow",
     )
 
     qref = ray.put(q)
+    dim = len(q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         qq = ray.get(qref)
         # dedupe within the batch (same vec via two probed lists)
-        batch = batch.drop_duplicates("vec_id")
-        ids = batch["vec_id"].to_numpy()
-        V = np.stack(batch["vn"].to_numpy())
+        ids = batch.column("vec_id").to_numpy()
+        _, first = np.unique(ids, return_index=True)
+        V = _binary_to_mat(batch.column("vn"), dim, np.float64)[first]
+        ids = ids[first]
         cos = V @ qq
         top = np.argsort(-cos, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+        return pa.table({"vec_id": ids[top], "cosine": cos[top]})
 
-    partial = probed.map_batches(score, batch_format="pandas")
+    partial = probed.map_batches(score, batch_format="pyarrow")
     # cross-batch dedupe, then the global top-k
     best = partial.groupby("vec_id").max("cosine")
     best = best.map_batches(
@@ -186,33 +241,29 @@ def brute_force_topk_many(ds_emb, queries: np.ndarray, k: int = 10):
     (the batched-inference pattern: ship the model/queries once, stream the
     corpus). Returns a Dataset of (query_idx, vec_id, cosine) rows, exact.
     """
-    import pandas as pd
     import ray
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     qref = ray.put(Q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         QQ = ray.get(qref)
-        ids, V = _stack(batch)
+        ids, V = _stack_arrow(batch)
         cos = _normalize(V) @ QQ.T  # (batch, q)
         kk = min(k, len(ids))
         top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (k, q)
-        out = []
-        for qi in range(QQ.shape[0]):
-            sel = top[:, qi]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_idx": qi,
-                        "vec_id": ids[sel],
-                        "cosine": cos[sel, qi],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        nq = QQ.shape[0]
+        # per-query partial top-k flattened query-major — one gather, no
+        # per-query DataFrame loop
+        return pa.table(
+            {
+                "query_idx": np.repeat(np.arange(nq, dtype=np.int64), kk),
+                "vec_id": ids[top].ravel(order="F"),
+                "cosine": np.take_along_axis(cos, top, axis=0).ravel(order="F"),
+            }
+        )
 
-    partial = ds_emb.map_batches(score, batch_format="pandas")
+    partial = ds_emb.map_batches(score, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -266,8 +317,8 @@ class PqEncode:
         self.books = ray.get(books_ref)
         self.c2 = (self.books * self.books).sum(axis=2)  # [m, ks]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, V = _stack(batch)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, V = _stack_arrow(batch)
         Vn = _normalize(V)
         n, d = Vn.shape
         m, ks, dsub = self.books.shape
@@ -276,7 +327,14 @@ class PqEncode:
         for j in range(m):
             d2 = self.c2[j][None, :] - 2.0 * (sub[:, j, :] @ self.books[j].T)
             codes[:, j] = np.argmin(d2, axis=1)
-        return pd.DataFrame({"vec_id": ids, "codes": list(codes)})
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                # m packed uint8 codes per vector in one flat buffer — the
+                # on-disk layout of build_pq_index, no per-row objects
+                "codes": _packed_binary(codes.tobytes(), n, m),
+            }
+        )
 
 
 def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
@@ -300,22 +358,22 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
     if use_actors:
         encoded = ds_emb.map_batches(
             PqEncode, fn_constructor_kwargs={"books_ref": bref},
-            batch_format="pandas", concurrency=(1, 4),
+            batch_format="pyarrow", concurrency=(1, 4),
         )
     else:
         encoded = ds_emb.map_batches(
-            lambda b: _cached_stage(PqEncode, bref)(b), batch_format="pandas"
+            lambda b: _cached_stage(PqEncode, bref)(b), batch_format="pyarrow"
         )
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         lt = ray.get(lref)
-        ids = batch["vec_id"].to_numpy()
-        codes = np.stack(batch["codes"].to_numpy())  # [n, m]
+        ids = batch.column("vec_id").to_numpy()
+        codes = _binary_to_mat(batch.column("codes"), lt.shape[0], np.uint8)
         approx = lt[np.arange(lt.shape[0])[None, :], codes].sum(axis=1)
         top = np.argsort(-approx, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
+        return pa.table({"vec_id": ids[top], "cosine_pq": approx[top]})
 
-    return encoded.map_batches(score, batch_format="pandas").sort(
+    return encoded.map_batches(score, batch_format="pyarrow").sort(
         ["cosine_pq", "vec_id"], descending=[True, False]
     ).limit(k)
 
@@ -330,16 +388,6 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
 # IVF (hive layout, path-level pruning: unprobed lists are never opened),
 # or the m-bytes-per-vector codes table for PQ.
 # ---------------------------------------------------------------------------
-
-def _pack_f32(rows: np.ndarray) -> list[bytes]:
-    return [r.astype(np.float32).tobytes() for r in rows]
-
-
-def _unpack_f32(col: pd.Series, dim: int) -> np.ndarray:
-    return np.frombuffer(b"".join(col.to_numpy()), dtype=np.float32).reshape(
-        -1, dim
-    ).astype(np.float64)
-
 
 def build_ivf_index(
     ds_emb, index_dir: str, n_lists: int = 16, n_assign: int = 2,
@@ -360,24 +408,30 @@ def build_ivf_index(
     np.save(os.path.join(index_dir, "centroids.npy"), C)
     cref = ray.put(C)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype=np.int64),
-                 "list_id": pd.Series([], dtype=np.int32),
-                 "vn": pd.Series([], dtype=object)}
+    dim = C.shape[1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "list_id": pa.array([], pa.int32()),
+                 "vn": pa.array([], pa.binary())}
             )
         st = _cached_stage(IvfAssign, cref, n_assign=n_assign)
         out = st(batch)
-        return pd.DataFrame(
+        # narrow the in-memory f64 rows to the f32 storage layout
+        V32 = np.ascontiguousarray(
+            _binary_to_mat(out.column("vn"), dim, np.float64).astype(np.float32)
+        )
+        return pa.table(
             {
-                "vec_id": out["vec_id"],
-                "list_id": out["list_id"],
-                "vn": _pack_f32(np.stack(out["vn"].to_numpy())),
+                "vec_id": out.column("vec_id"),
+                "list_id": out.column("list_id"),
+                "vn": _packed_binary(V32.tobytes(), len(V32), dim * 4),
             }
         )
 
-    ds_emb.map_batches(assign, batch_format="pandas").write_parquet(
+    ds_emb.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "lists"), partition_cols=["list_id"]
     )
     meta = {"kind": "ivf", "n_lists": int(len(C)), "n_assign": int(n_assign),
@@ -420,17 +474,20 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
         )
     qref = ray.put(q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         qq = ray.get(qref)
-        batch = batch.drop_duplicates("vec_id")
-        ids = batch["vec_id"].to_numpy()
-        V = _unpack_f32(batch["vn"], dim)
+        ids = batch.column("vec_id").to_numpy()
+        _, first = np.unique(ids, return_index=True)
+        V = _binary_to_mat(batch.column("vn"), dim, np.float32)[first].astype(
+            np.float64
+        )
+        ids = ids[first]
         cos = V @ qq
         top = np.argsort(-cos, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": ids[top], "cosine": cos[top]})
+        return pa.table({"vec_id": ids[top], "cosine": cos[top]})
 
     partial = ray.data.read_parquet(paths, columns=["vec_id", "vn"]).map_batches(
-        score, batch_format="pandas"
+        score, batch_format="pyarrow"
     )
     # ONE distributed pass (per-batch top-k), then an exact driver-side
     # merge of the bounded partials (k rows per batch — never the corpus):
@@ -460,16 +517,11 @@ def build_pq_index(ds_emb, index_dir: str, m: int = 16, ks: int = 32,
     np.save(os.path.join(index_dir, "codebooks.npy"), books)
     bref = ray.put(books)
 
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        out = _cached_stage(PqEncode, bref)(batch)
-        return pd.DataFrame(
-            {
-                "vec_id": out["vec_id"],
-                "codes": [c.tobytes() for c in out["codes"]],
-            }
-        )
+    def encode(batch: pa.Table) -> pa.Table:
+        # PqEncode already emits the packed-binary codes layout
+        return _cached_stage(PqEncode, bref)(batch)
 
-    ds_emb.map_batches(encode, batch_format="pandas").write_parquet(
+    ds_emb.map_batches(encode, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "codes")
     )
     meta = {"kind": "pq", "m": int(books.shape[0]), "ks": int(books.shape[1]),
@@ -490,19 +542,17 @@ def pq_query_index(index_dir: str, query: np.ndarray, k: int = 10):
     lut = np.einsum("jd,jkd->jk", q.reshape(mm, dsub), books)
     lref = ray.put(lut)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pa.Table) -> pa.Table:
         lt = ray.get(lref)
-        ids = batch["vec_id"].to_numpy()
-        codes = np.frombuffer(
-            b"".join(batch["codes"].to_numpy()), dtype=np.uint8
-        ).reshape(-1, lt.shape[0])
+        ids = batch.column("vec_id").to_numpy()
+        codes = _binary_to_mat(batch.column("codes"), lt.shape[0], np.uint8)
         approx = lt[np.arange(lt.shape[0])[None, :], codes].sum(axis=1)
         top = np.argsort(-approx, kind="stable")[:k]
-        return pd.DataFrame({"vec_id": ids[top], "cosine_pq": approx[top]})
+        return pa.table({"vec_id": ids[top], "cosine_pq": approx[top]})
 
     partial = ray.data.read_parquet(
         os.path.join(index_dir, "codes")
-    ).map_batches(score, batch_format="pandas")
+    ).map_batches(score, batch_format="pyarrow")
     # same one-pass shape as ivf_query_index: bounded driver-side merge
     cand = partial.to_pandas()
     cand = (
