@@ -61,17 +61,33 @@ def cmd_encode(args) -> int:
     return 0
 
 
+# built-in codec applicability by value kind (ADVICE r3: a type-incompatible
+# pin like ts=fsst must fail AT PARSE TIME, not later inside a Ray worker
+# after the shuffle). User-registered codecs are unknown here and pass —
+# the registry check still guards against typos.
+_STR_CODECS = {"plain", "zstd", "rle", "dict", "fsst", "fsst_zstd"}
+_INT_CODECS = {"plain", "zstd", "rle", "dict", "for_bitpack", "delta", "delta_delta"}
+_BUILTIN_CODECS = _STR_CODECS | _INT_CODECS | {"bss"}
+_COL_CODECS = {
+    "conv_id": _STR_CODECS,
+    "role": _STR_CODECS,
+    "text": _STR_CODECS,
+    "tool": _STR_CODECS,
+    "turn_idx": _INT_CODECS,
+    "ts": _INT_CODECS,
+}
+
+
 def _parse_pins(spec: str | None) -> dict | None:
     """"col=codec,col=codec" -> {col: codec} (None when unset). Validates
-    codec names against the registry and column names against the
-    transcript schema AT PARSE TIME — a typo must fail here with a usable
-    message, not as a bare KeyError inside a Ray worker after the shuffle
-    (codec typo) or as a silently ignored pin (column typo)."""
+    codec names against the registry, column names against the transcript
+    schema, and codec/column-TYPE compatibility AT PARSE TIME — a typo or
+    a string-only codec pinned on a timestamp must fail here with a usable
+    message, not as a bare exception inside a Ray worker after the shuffle."""
     if not spec:
         return None
     from .codecs.selector import REGISTRY
 
-    known_cols = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
     out = {}
     for part in spec.split(","):
         col, _, codec = part.partition("=")
@@ -83,10 +99,15 @@ def _parse_pins(spec: str | None) -> dict | None:
                 f"unknown codec {codec!r} in --pin-codecs "
                 f"(known: {', '.join(sorted(REGISTRY))})"
             )
-        if col not in known_cols:
+        if col not in _COL_CODECS:
             raise SystemExit(
                 f"unknown column {col!r} in --pin-codecs "
-                f"(transcript columns: {', '.join(sorted(known_cols))})"
+                f"(transcript columns: {', '.join(sorted(_COL_CODECS))})"
+            )
+        if codec in _BUILTIN_CODECS and codec not in _COL_CODECS[col]:
+            raise SystemExit(
+                f"codec {codec!r} cannot encode column {col!r} "
+                f"(valid for {col}: {', '.join(sorted(_COL_CODECS[col]))})"
             )
         out[col] = codec
     return out
@@ -319,6 +340,28 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _tri_fpr_summary(chunks: list[dict]) -> dict | None:
+    """{mean, max, clamped_pct} of per-chunk expected Bloom FPR, or None
+    when no chunk carries a filter with a recorded trigram count."""
+    from .filters import MAX_BITS, expected_fpr
+
+    fprs, clamped = [], 0
+    for c in chunks:
+        filt = c.get("tri_filter")
+        if not filt or "n" not in filt:
+            continue
+        fprs.append(expected_fpr(filt))
+        if int(filt["m"]) >= MAX_BITS and 8 * int(filt["n"]) > MAX_BITS:
+            clamped += 1
+    if not fprs:
+        return None
+    return {
+        "mean": round(sum(fprs) / len(fprs), 4),
+        "max": round(max(fprs), 4),
+        "clamped_pct": round(100.0 * clamped / len(fprs), 1),
+    }
+
+
 def cmd_describe(args) -> int:
     """Catalog view of an encoded corpus from METADATA ONLY (manifest +
     one chunk header + sidecar records — no payload decode): schema,
@@ -377,6 +420,11 @@ def cmd_describe(args) -> int:
             "tri_filter_pct": round(
                 100.0 * sum("tri_filter" in c for c in chunks) / n_chunks, 1
             ),
+            # realized Bloom quality: worst/mean expected FPR across chunk
+            # filters — a mean drifting far above the 0.05 design point
+            # means the MAX_BITS clamp is binding and pruning is degrading
+            # toward a no-op (ADVICE r3 observability fix)
+            "tri_filter_fpr": _tri_fpr_summary(chunks),
             "val_sets_pct": round(
                 100.0 * sum("val_sets" in c for c in chunks) / n_chunks, 1
             ),

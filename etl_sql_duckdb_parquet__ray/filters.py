@@ -53,9 +53,16 @@ def _bit_positions(tri: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def build_trigram_filter(flat: bytes | np.ndarray) -> dict | None:
-    """Bloom filter dict ``{"m": bits, "b64": payload}`` over the distinct
-    trigrams of ``flat``; None when there is nothing indexable (< 3 bytes).
-    """
+    """Bloom filter dict ``{"m": bits, "n": distinct trigrams, "b64":
+    payload}`` over the distinct trigrams of ``flat``; None when there is
+    nothing indexable (< 3 bytes).
+
+    ``n`` makes a degraded filter OBSERVABLE (ADVICE r3): when the MAX_BITS
+    clamp binds (more than ~16k distinct trigrams), the realized
+    false-positive rate drifts above the ~5% design point — correctness is
+    unaffected (Bloom FPs only cost an extra chunk read), but ``n/m`` tells
+    an operator (and ``expected_fpr``) how much skipping a chunk's filter
+    can still deliver."""
     tri = trigram_values(flat)
     if not len(tri):
         return None
@@ -63,7 +70,22 @@ def build_trigram_filter(flat: bytes | np.ndarray) -> dict | None:
     bits = np.zeros(m >> 3, dtype=np.uint8)
     for h in _bit_positions(tri, m):
         np.bitwise_or.at(bits, h >> np.uint32(3), np.uint8(1) << (h & np.uint32(7)).astype(np.uint8))
-    return {"m": m, "b64": base64.b64encode(bits.tobytes()).decode()}
+    return {
+        "m": m,
+        "n": int(len(tri)),
+        "b64": base64.b64encode(bits.tobytes()).decode(),
+    }
+
+
+def expected_fpr(filt: dict | None) -> float:
+    """Realized per-trigram false-positive estimate (k=2 hashes):
+    ``(1 - e^(-2n/m))^2``. ~0.05 at the 8-bits/trigram design point; tends
+    to 1.0 as a clamped filter saturates. Filters recorded before the ``n``
+    key report NaN (unknown load, still safe to probe)."""
+    if filt is None or "n" not in filt:
+        return float("nan")
+    load = 2.0 * float(filt["n"]) / float(filt["m"])
+    return float((1.0 - np.exp(-load)) ** 2)
 
 
 def filter_may_contain(filt: dict | None, term: str | bytes) -> bool:

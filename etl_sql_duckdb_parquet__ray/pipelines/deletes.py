@@ -46,24 +46,71 @@ def load_deleted_convs(out_dir: str) -> pa.Array:
     return col.combine_chunks()
 
 
-def delete_convs(out_dir: str, conv_ids: Sequence[str]) -> dict:
+def delete_convs(
+    out_dir: str,
+    conv_ids: Sequence[str],
+    lock_timeout: float = 10.0,
+    stale_after: float = 60.0,
+) -> dict:
     """Mark conversations deleted. Metadata-only: merges ``conv_ids`` into
     the tombstone parquet atomically; data files are untouched. Returns
     counts so callers/schedulers can log the mutation.
 
-    Single-writer (the manifest contract): two concurrent ``delete_convs``
-    calls are each atomic but last-writer-wins — serialize deletes through
-    one process (e.g. the scheduler)."""
+    The read-merge-replace runs under an ``O_EXCL`` lock file
+    (``_deletes.parquet.lock``): without it two concurrent callers would
+    each write atomically but last-writer-wins, silently dropping the
+    other's tombstones — deleted conversations resurfacing (ADVICE r3).
+    A contended lock blocks up to ``lock_timeout`` seconds then raises
+    loudly; a lock older than ``stale_after`` (a crashed writer — deletes
+    are sub-second metadata merges) is stolen. ``stale_after`` must stay
+    well above ``lock_timeout`` so a merely-slow holder is never mistaken
+    for a dead one."""
+    import time
+
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
     new = pa.array(sorted({str(c) for c in conv_ids}), type=pa.string())
-    existing = load_deleted_convs(out_dir)
-    merged = pc.unique(pa.concat_arrays([existing.cast(pa.string()), new]))
-    merged = merged.take(pc.sort_indices(merged))
     path = deletes_path(out_dir)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(pa.table({"conv_id": merged}), tmp, compression="zstd")
-    os.replace(tmp, path)
+    lock = f"{path}.lock"
+    deadline = time.monotonic() + lock_timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lock) > stale_after
+            except OSError:
+                continue  # lock vanished between open and stat — retry now
+            if stale:
+                try:
+                    os.unlink(lock)  # crashed writer; steal
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"tombstone lock {lock} held past {lock_timeout}s — "
+                    "another delete_convs in flight? (refusing to race: a "
+                    "lost merge would silently resurrect deleted convs)"
+                )
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        # merge INSIDE the lock: the read and the replace must see no
+        # interleaved writer
+        existing = load_deleted_convs(out_dir)
+        merged = pc.unique(pa.concat_arrays([existing.cast(pa.string()), new]))
+        merged = merged.take(pc.sort_indices(merged))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"conv_id": merged}), tmp, compression="zstd")
+        os.replace(tmp, path)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return {
         "n_requested": len(new),
         "n_already": len(existing),

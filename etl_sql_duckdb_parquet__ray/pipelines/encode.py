@@ -1079,6 +1079,28 @@ def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
     records = load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    # a sidecar named like a base column would SHADOW it in selective
+    # decodes (sidecar wins via main-column exclusion) while columns=None
+    # scans return the original — inconsistent reads for the same corpus
+    # (ADVICE r3). Validate against the actual base chunk schema.
+    import struct as _struct
+
+    from ..chunk import chunk_spans as _chunk_spans
+
+    first_path = records[0]["path"]
+    span0 = _chunk_spans(first_path)[0]
+    with open(first_path, "rb") as _f:
+        _f.seek(span0[0])
+        (_hlen,) = _struct.unpack("<I", _f.read(4))
+        base_cols = [
+            c["name"] for c in _json.loads(_f.read(_hlen))["columns"]
+        ]
+    if name in base_cols:
+        raise ValueError(
+            f"derived column {name!r} collides with a base column of this "
+            f"corpus ({base_cols}); pick a new name — sidecars must not "
+            "shadow stored columns"
+        )
     items = ray.data.from_items(
         [{"bucket": r["bucket"], "path": r["path"]} for r in records]
     )

@@ -309,3 +309,48 @@ def test_upsert_crash_window_and_recovery(ray_session, tmp_path):
     sel2 = fixed[fixed["conv_id"] == conv]
     assert len(sel2) == len(v)
     assert sel2["text"].str.startswith("NEW").all()
+
+
+def _delete_worker(out: str, i: int):
+    delete_convs(out, [f"conv-{i:04d}-{j}" for j in range(50)])
+
+
+def test_delete_convs_lock_prevents_lost_merges(tmp_path):
+    """Concurrent tombstone writers (ADVICE r3): N processes each deleting a
+    disjoint conv set must leave the UNION on disk — the O_EXCL lock
+    serializes the read-merge-replace, so no writer's merge is lost."""
+    import multiprocessing as mp
+
+    out = str(tmp_path / "enc")
+    os.makedirs(out)
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_delete_worker, args=(out, i)) for i in range(6)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    dead = set(load_deleted_convs(out).to_pylist())
+    assert len(dead) == 6 * 50  # every writer's tombstones survived
+
+
+def test_delete_convs_lock_contention_raises_and_stale_lock_steals(tmp_path):
+    import time
+
+    out = str(tmp_path / "enc2")
+    os.makedirs(out)
+    lock = deletes_path(out) + ".lock"
+    # fresh foreign lock -> loud TimeoutError, no silent race
+    with open(lock, "w") as f:
+        f.write("99999")
+    with pytest.raises(TimeoutError, match="tombstone lock"):
+        delete_convs(out, ["c1"], lock_timeout=0.3)
+    # stale lock (older than stale_after) from a crashed writer is stolen
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    info = delete_convs(out, ["c1"], lock_timeout=0.5)
+    assert info["n_total"] == 1
+    assert not os.path.exists(lock)

@@ -1119,17 +1119,62 @@ def test_trigram_filter_never_false_prunes():
 
 def test_trigram_filter_adaptive_sizing():
     from etl_sql_duckdb_parquet__ray.filters import (
-        MAX_BITS, MIN_BITS, build_trigram_filter,
+        MAX_BITS, MIN_BITS, build_trigram_filter, expected_fpr,
     )
 
     small = build_trigram_filter(b"abcabcabc")  # 3 distinct trigrams
     assert small["m"] == MIN_BITS
+    assert small["n"] == 3
     import numpy as np
 
     rng = np.random.default_rng(1)
     big = build_trigram_filter(bytes(rng.integers(0, 256, 200000, dtype=np.uint8)))
     assert big["m"] <= MAX_BITS
     assert build_trigram_filter(b"ab") is None
+    # observability (ADVICE r3): a filter sized at the 8-bits/trigram
+    # design point reports ~5% expected FPR; a clamped one reports the
+    # degraded number instead of silently pretending to prune
+    assert expected_fpr(small) < 0.01  # tiny load, tiny fpr
+    assert expected_fpr(big) > 0.2    # clamp binds: ~100k trigrams in 2^17 bits
+    assert np.isnan(expected_fpr({"m": 1024, "b64": ""}))  # pre-"n" record
+    assert np.isnan(expected_fpr(None))
+
+
+def test_tri_fpr_summary_flags_clamped_filters():
+    from etl_sql_duckdb_parquet__ray.cli import _tri_fpr_summary
+    from etl_sql_duckdb_parquet__ray.filters import build_trigram_filter
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    chunks = [
+        {"tri_filter": build_trigram_filter(b"hello world, a small chunk")},
+        {"tri_filter": build_trigram_filter(
+            bytes(rng.integers(0, 256, 300000, dtype=np.uint8))
+        )},
+        {},  # chunk without a filter
+    ]
+    s = _tri_fpr_summary(chunks)
+    assert 0.0 < s["mean"] < 1.0 and s["max"] > 0.2
+    assert s["clamped_pct"] == 50.0
+    assert _tri_fpr_summary([{}]) is None
+
+
+def test_parse_pins_rejects_type_incompatible_codec():
+    from etl_sql_duckdb_parquet__ray.cli import _parse_pins
+
+    ok = _parse_pins("ts=delta,role=dict,text=fsst_zstd")
+    assert ok == {"ts": "delta", "role": "dict", "text": "fsst_zstd"}
+    with pytest.raises(SystemExit, match="cannot encode"):
+        _parse_pins("ts=fsst")  # string-only codec on a timestamp
+    with pytest.raises(SystemExit, match="cannot encode"):
+        _parse_pins("text=delta_delta")  # integer codec on text
+    with pytest.raises(SystemExit, match="cannot encode"):
+        _parse_pins("role=bss")  # float-only codec
+    with pytest.raises(SystemExit, match="unknown codec"):
+        _parse_pins("ts=nope")
+    with pytest.raises(SystemExit, match="unknown column"):
+        _parse_pins("nope=zstd")
 
 
 @pytest.mark.parametrize("pre", [True, False])
@@ -1427,6 +1472,12 @@ def test_derive_column_sidecar_roundtrip_and_resume(ray_session, tmp_path):
     assert os.path.exists(side_bin) and os.path.exists(side_json)
     # manifest scan is not confused by sidecar files
     assert len(load_manifest(out)) == 4
+    # a sidecar must not SHADOW a base column (ADVICE r3): selective
+    # decodes would read the sidecar while full scans read the original
+    with pytest.raises(ValueError, match="collides"):
+        derive_column(out, "text", n_tokens, ["text"])
+    with pytest.raises(ValueError, match="collides"):
+        derive_column(out, "role", n_tokens, ["text"])
 
 
 def test_derived_column_range_pushdown(ray_session, tmp_path):
