@@ -10,10 +10,13 @@ Two decode paths:
   palette — chunk walk with CRC checks, stdlib ``zlib`` IDAT inflate, all
   five scanline defilters including Paeth). Features are real signal
   statistics (dims/sample counts, channel means, RMS, zero-crossing rate).
+  Baseline JPEG (SOF0: Huffman entropy decode, batched IDCT, 4:4:4/4:2:2/
+  4:2:0 chroma upsampling) decodes genuinely too — see ``jpeg.py``.
   Decoders live in a pluggable registry (``register_image_decoder`` /
   ``register_audio_decoder``); formats that genuinely need PIL/libsndfile
-  (JPEG/MP3/FLAC) raise ``NotImplementedError`` naming the registration
-  call shape, and PIL/soundfile auto-register where importable.
+  (progressive JPEG/MP3/FLAC) raise ``NotImplementedError`` naming the
+  registration call shape, and PIL/soundfile auto-register where
+  importable (outranking the built-ins).
 - ``FakeDecoder`` — deterministic pseudo-decode (seeded from payload bytes)
   for plumbing tests on arbitrary payloads.
 
@@ -395,9 +398,14 @@ def sniff_audio(payload: bytes) -> bool:
 
 
 # built-ins (pure numpy/stdlib, genuinely decode their formats)
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402  (registry wiring)
+
 register_image_decoder("bmp24", lambda p: p[:2] == b"BM", decode_bmp)
 register_image_decoder("ppm6", lambda p: p[:2] == b"P6", decode_ppm)
 register_image_decoder("png", lambda p: p[:8] == _PNG_SIG, decode_png)
+register_image_decoder(
+    "jpeg_baseline", lambda p: p[:3] == b"\xff\xd8\xff", decode_jpeg
+)
 register_audio_decoder(
     "wav_pcm16", lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav
 )
@@ -444,18 +452,25 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
             w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             # rotate image containers: PPM P6, 24-bit BMP, PNG (RGB, the
-            # filter type cycling through all five defilter paths), and
-            # grayscale PNG
-            pick = rng.integers(0, 4)
+            # filter type cycling through all five defilter paths),
+            # grayscale PNG, and baseline JPEG (4:4:4 and 4:2:0)
+            pick = rng.integers(0, 6)
             if pick == 0:
                 payloads.append(encode_ppm(px))
             elif pick == 1:
                 payloads.append(encode_bmp(px))
             elif pick == 2:
                 payloads.append(encode_png(px, filter_type=int(rng.integers(0, 5))))
-            else:
+            elif pick == 3:
                 payloads.append(
                     encode_png(px[:, :, 0], filter_type=int(rng.integers(0, 5)))
+                )
+            else:
+                payloads.append(
+                    encode_jpeg(
+                        px, quality=95,
+                        subsampling="444" if pick == 4 else "420",
+                    )
                 )
             ws.append(w); hs.append(h); srs.append(-1)
         else:
@@ -630,12 +645,13 @@ class MediaTransformer:
                 px = rgb_view(decode_image(payload))
                 thumb = resize_image(px, self.thumb, self.thumb)
                 # match the input container: PNG in -> PNG thumbnail out,
-                # everything else re-encodes as PPM
-                outs.append(
-                    encode_png(thumb, filter_type=2)
-                    if payload[:8] == _PNG_SIG
-                    else encode_ppm(thumb)
-                )
+                # JPEG in -> JPEG out, everything else re-encodes as PPM
+                if payload[:8] == _PNG_SIG:
+                    outs.append(encode_png(thumb, filter_type=2))
+                elif payload[:3] == b"\xff\xd8\xff":
+                    outs.append(encode_jpeg(thumb, quality=90))
+                else:
+                    outs.append(encode_ppm(thumb))
                 envs.append([])
             elif sniff_audio(payload):
                 samples, rate = decode_audio(payload)

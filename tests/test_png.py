@@ -126,7 +126,7 @@ def test_decoder_registry_dispatch_and_priority():
         px = np.full((3, 3, 3), 7, dtype=np.uint8)
         assert np.array_equal(decode_image(encode_png(px)), px)
         with pytest.raises(NotImplementedError, match="register_image_decoder"):
-            decode_image(b"\xff\xd8\xff jpeg-no-decoder")
+            decode_image(b"GIF89a no-decoder-for-gif")
     finally:
         IMAGE_DECODERS[:] = [e for e in IMAGE_DECODERS if e[0] != "custom"]
 
@@ -162,6 +162,8 @@ def test_media_transformer_png_thumbnails_roundtrip():
             n_png += 1
             px = decode_png(th)  # PNG in -> PNG thumbnail out
             assert px.shape == (8, 8, 3)
+        elif p[:3] == b"\xff\xd8\xff":
+            assert th[:3] == b"\xff\xd8\xff"  # JPEG in -> JPEG thumb out
         else:
             assert th[:2] == b"P6"
     assert n_png > 5  # the synth table really emits PNGs
