@@ -409,6 +409,9 @@ register_image_decoder(
 register_audio_decoder(
     "wav_pcm16", lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav
 )
+from .flac import decode_flac, encode_flac  # noqa: E402  (registry wiring)
+
+register_audio_decoder("flac16", lambda p: p[:4] == b"fLaC", decode_flac)
 
 # codec-library decoders when available (not in this container; the
 # registration is the production seam for JPEG/MP3/FLAC)
@@ -476,7 +479,12 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
         else:
             n_s = int(rng.integers(128, 2049))
             samples = rng.integers(-20000, 20000, n_s, dtype=np.int16)
-            payloads.append(encode_wav(samples, 16000))
+            # alternate audio containers: WAV (PCM16) and FLAC (lossless —
+            # identical samples either way)
+            if rng.random() < 0.5:
+                payloads.append(encode_wav(samples, 16000))
+            else:
+                payloads.append(encode_flac(samples, 16000, block_size=1024))
             ws.append(-1); hs.append(-1); srs.append(16000)
     return pa.table(
         {

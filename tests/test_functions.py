@@ -269,7 +269,17 @@ def test_real_decoder_features_match_payload_truth(ray_session):
             assert int(f[0]) == src["width"][i] and int(f[1]) == src["height"][i]
         else:
             assert int(f[1]) == src["sample_rate"][i] == 16000
-            n_samples = (len(src["payload"][i]) - 44) // 2  # RIFF hdr = 44 B
+            # payload truth via the registry (WAV header math for RIFF,
+            # real FLAC decode otherwise — lossless, same sample count)
+            from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+                decode_audio,
+            )
+
+            p = src["payload"][i]
+            if p[:4] == b"RIFF":
+                n_samples = (len(p) - 44) // 2  # RIFF hdr = 44 B
+            else:
+                n_samples = decode_audio(p)[0].shape[0]
             assert int(f[0]) == n_samples
             assert 0.0 <= f[3] <= 1.0 and 0.0 <= f[4] <= 1.0  # rms, zcr
 
@@ -1148,9 +1158,11 @@ def test_media_transform_thumbnails_and_envelopes(ray_session):
             rate = int(src.loc[mid, "sample_rate"])
             # hop math: frames = floor((n_samples - frame)/hop) + 1
             frame, hop = rate * 20 // 1000, rate * 10 // 1000
-            # recompute from the true payload
-            from etl_sql_duckdb_parquet__ray.functions.multimodal import decode_wav
-            samples, r = decode_wav(src.loc[mid, "payload"])
+            # recompute from the true payload (WAV or FLAC container)
+            from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+                decode_audio,
+            )
+            samples, r = decode_audio(src.loc[mid, "payload"])
             exp = 0 if len(samples) < frame else (len(samples) - frame) // hop + 1
             assert len(row["rms_envelope"]) == exp
     # kernel-level pins
