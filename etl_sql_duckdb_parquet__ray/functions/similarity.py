@@ -585,40 +585,60 @@ def kmeans_clusters(ds_emb, k: int = 8, iters: int = 10, seed: int = 5):
     for _ in range(iters):
         cref = ray.put(C)
 
-        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        def partial(batch: pa.Table) -> pa.Table:
             Cl = ray.get(cref)
-            _, V = _stack(batch)
+            _, V = _stack_arrow(batch)
             Vn = _normalize(V)
             a = np.argmax(Vn @ Cl.T, axis=1)
             counts = np.bincount(a, minlength=len(Cl))
             sums = np.zeros((len(Cl), Vn.shape[1]), dtype=np.float64)
-            for c in np.unique(a):
-                sums[c] = Vn[a == c].sum(axis=0)
-            return pd.DataFrame(
-                {"c": np.arange(len(Cl)), "n": counts, "s": list(sums)}
+            np.add.at(sums, a, Vn)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(len(Cl), dtype=np.int64)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "s": _packed_binary(
+                        np.ascontiguousarray(sums).tobytes(),
+                        len(Cl),
+                        Vn.shape[1] * 8,
+                    ),
+                }
             )
 
-        parts = base.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = pa.concat_tables(
+            list(
+                base.map_batches(partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        dim = C.shape[1]
+        cs = parts.column("c").to_numpy()
+        ns = parts.column("n").to_numpy()
+        S = _binary_to_mat(parts.column("s"), dim, np.float64)
         new_C = C.copy()
         for c in range(k_eff):
-            rows = parts[parts["c"] == c]
-            n = int(rows["n"].sum())
+            m = cs == c
+            n = int(ns[m].sum())
             if n > 0:
-                v = np.sum(np.stack(rows["s"].to_numpy()), axis=0) / n
+                v = S[m].sum(axis=0) / n
                 new_C[c] = v / max(np.linalg.norm(v), 1e-12)
         C = new_C
 
     cref = ray.put(C)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         Cl = ray.get(cref)
-        ids, V = _stack(batch)
+        ids, V = _stack_arrow(batch)
         Vn = _normalize(V)
-        return pd.DataFrame(
-            {"vec_id": ids, "cluster": np.argmax(Vn @ Cl.T, axis=1).astype(np.int64)}
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(np.argmax(Vn @ Cl.T, axis=1).astype(np.int64)),
+            }
         )
 
-    return base.map_batches(assign, batch_format="pandas"), C
+    return base.map_batches(assign, batch_format="pyarrow"), C
 
 
 def semantic_dedup(ds_emb, k: int = 8, threshold: float = 0.95,
@@ -643,20 +663,21 @@ def semantic_dedup(ds_emb, k: int = 8, threshold: float = 0.95,
     _, C = kmeans_clusters(base, k=k, iters=iters, seed=seed)
     cref = ray.put(C)
 
-    def assign_pack(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign_pack(batch: pa.Table) -> pa.Table:
         Cl = ray.get(cref)
-        ids, V = _stack(batch)
+        ids, V = _stack_arrow(batch)
         Vn = _normalize(V)
         a = np.argmax(Vn @ Cl.T, axis=1)
-        return pd.DataFrame(
+        V32 = np.ascontiguousarray(Vn.astype(np.float32))
+        return pa.table(
             {
-                "vec_id": ids,
-                "cluster": a.astype(np.int64),
-                "vec": [v.astype(np.float32).tobytes() for v in Vn],
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec": _packed_binary(V32.tobytes(), len(V32), V32.shape[1] * 4),
             }
         )
 
-    packed = base.map_batches(assign_pack, batch_format="pandas")
+    packed = base.map_batches(assign_pack, batch_format="pyarrow")
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
