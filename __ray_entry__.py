@@ -123,6 +123,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity.build_pq_index(ds, idx, m=16, ks=32)
         return similarity.pq_query_index(idx, qvec, k=10)
 
+    def ann_ivfpq_index_topk(sf_dir: str):
+        # residual IVF-PQ + rerank (IVFADC+R): coarse pass reads m bytes/
+        # vector of the probed lists only; a bounded rerank*k shortlist is
+        # exact-rescored via a vec_id-predicate read. Approximate by
+        # nature (n_probe < n_lists) -> rows-only check; recall is
+        # pytest-asserted on planted clusters (test_functions.py).
+        qvec = _query_vec(sf_dir, 0)
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="ivfpqidx-", dir="/tmp")
+        similarity.build_ivfpq_index(ds, idx, n_lists=16, m=16, ks=32)
+        return similarity.ivfpq_query_index(idx, qvec, k=10, n_probe=4)
+
     def transcript_roundtrip(sf_dir: str):
         out = tempfile.mkdtemp(prefix="rt-", dir="/tmp")
         return flagship_roundtrip(sf_dir, out, num_buckets=8)
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivf_index_topk": ann_ivf_index_topk,
         "ann_pq_index_topk": ann_pq_index_topk,
+        "ann_ivfpq_index_topk": ann_ivfpq_index_topk,
         "ann_index_exact_topk": ann_index_exact_topk,
         "multimodal_features": multimodal_features,
         "decontaminate_docs": decontaminate_docs,

@@ -462,6 +462,53 @@ def test_pq_index_build_once_query_many(ray_session, tmp_path):
     assert got["vec_id"].iloc[0] in set(range(30, 60))
 
 
+def test_ivfpq_index_residual_quantization(ray_session, tmp_path):
+    """Residual IVF-PQ + rerank (IVFADC+R): the coarse pass scans
+    m bytes/vector of codes in the probed lists only, then exact-rescores a
+    bounded rerank*k shortlist. Checks: hive layout (a query opens only
+    probed lists), coarse-only recall >= flat PQ at the same bytes (the
+    residual win), the q·c_list offset decomposition puts the query's own
+    cluster first, and the reranked path reaches >=80% recall@10 — which
+    pure m=8-byte codes cannot (within-cluster cosine gaps are below the
+    PQ quantization error)."""
+    import ray
+
+    V = _clustered_vectors(seed=13)
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "ivfpq_idx")
+    meta = similarity.build_ivfpq_index(ds, idx, n_lists=10, m=8, ks=32)
+    assert meta["kind"] == "ivfpq" and meta["m"] == 8
+    lists_dir = os.path.join(idx, "lists")
+    assert any(p.startswith("list_id=") for p in os.listdir(lists_dir))
+
+    flat_idx = str(tmp_path / "pq_idx")
+    similarity.build_pq_index(ds, flat_idx, m=8, ks=32)
+
+    hits_rerank = hits_coarse = hits_flat = 0
+    for probe in (12, 42, 142, 242, 299):
+        exact = set(
+            similarity.brute_force_topk(ds, V[probe], k=10)
+            .to_pandas()["vec_id"]
+        )
+        got = similarity.ivfpq_query_index(
+            idx, V[probe], k=10, n_probe=4
+        ).to_pandas()
+        assert got["vec_id"].is_unique and len(got) == 10
+        hits_rerank += len(set(got["vec_id"]) & exact)
+        coarse = similarity.ivfpq_query_index(
+            idx, V[probe], k=10, n_probe=4, rerank=0
+        ).to_pandas()
+        hits_coarse += len(set(coarse["vec_id"]) & exact)
+        flat = similarity.pq_query_index(flat_idx, V[probe], k=10).to_pandas()
+        hits_flat += len(set(flat["vec_id"]) & exact)
+        # the query's own cluster dominates its top-k
+        lo = (probe // 30) * 30
+        assert got["vec_id"].iloc[0] in set(range(lo, lo + 30))
+    assert hits_coarse >= hits_flat, (hits_coarse, hits_flat)
+    assert hits_rerank >= 0.8 * 50, hits_rerank  # >= 80% recall@10 overall
+
+
 # -- minhash mega-bucket chaining: connectivity kept, pair recall bounded ----
 
 def test_minhash_mega_bucket_chain_recall(ray_session):
