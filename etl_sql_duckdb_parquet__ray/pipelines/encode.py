@@ -318,6 +318,13 @@ class BucketEncoder:
             state = SharedEncodeState()
         self.shared_codecs = state.shared_codecs() if self.mode != "fast" else {}
         self.fsst_table = state.fsst_table
+        # encoder-lifetime selector cache: hash buckets are samples of the
+        # SAME row distribution, so probe points learned on one bucket are
+        # valid for the next — reuse is still gated per chunk by that
+        # chunk's own stats (select_codec_cached). One encoder instance
+        # serves one job (worker task-cache keys on job params), so no
+        # cross-job contamination.
+        self._sel_cache: dict = {}
 
     def _assemble_text(self, part: pa.Table) -> tuple[pa.Table, dict]:
         """Post-shuffle half of the pre-encode path: slice the per-row code /
@@ -399,6 +406,7 @@ class BucketEncoder:
         chunks: list[bytes] = []
         chunk_meta: list[dict] = []
         bytes_in = 0
+        sel_cache = self._sel_cache
         for lo in range(0, body.num_rows, self.chunk_rows):
             part = body.slice(lo, self.chunk_rows)
             conv = part.column("conv_id")
@@ -469,6 +477,7 @@ class BucketEncoder:
                 preencoded=preencoded,
                 order=order,
                 codec_overrides=self.codec_overrides,
+                selector_cache=sel_cache,
             )
             chunks.append(blob)
             bytes_in += summary["bytes_in"]

@@ -380,3 +380,73 @@ def test_probe_size_is_exact_encoded_size():
             for cname in str_codecs:
                 codec = REGISTRY[cname]
                 assert codec.probe_size(b) == len(codec.encode(b)[0]), (cname, n, kind)
+
+
+# -- cross-chunk selector cache: probe reuse with per-chunk stat gating -----
+
+def test_select_codec_cached_matches_uncached_choices():
+    """Cached selection must elect the same codec as the full tie-break for
+    every chunk — the cache only skips probes when stats vouch for reuse."""
+    from etl_sql_duckdb_parquet__ray.codecs.selector import (
+        select_codec,
+        select_codec_cached,
+    )
+
+    rng = np.random.default_rng(3)
+    cache: dict = {}
+    for i in range(6):
+        # low-card enum chunks with mildly oscillating cardinality
+        card = 4 + (i % 3)
+        vals = values_from_array(
+            pa.array([f"v{int(x)}" for x in rng.integers(0, card, 20000)])
+        )
+        want = select_codec(vals, pa.string())
+        got = select_codec_cached(vals, pa.string(), cache, "col")
+        assert got == want
+
+
+def test_select_codec_cached_reprobes_on_drift():
+    """A column whose regime changes mid-corpus must be re-probed and get a
+    fresh winner — reuse is gated by each chunk's own stats."""
+    from etl_sql_duckdb_parquet__ray.codecs.selector import select_codec_cached
+
+    cache: dict = {}
+    # regime A: tiny sorted ints (delta-friendly)
+    a = np.arange(20000, dtype=np.int64)
+    name_a = select_codec_cached(a, pa.int64(), cache, "x")
+    # regime B: huge-range random ints (delta loses badly)
+    rng = np.random.default_rng(7)
+    b = rng.integers(-(2**60), 2**60, 20000)
+    name_b = select_codec_cached(b, pa.int64(), cache, "x")
+    assert name_a != name_b
+    # the region reset: the new winner owns the cache entry now
+    assert cache["x"][1] == name_b
+
+
+def test_select_codec_cached_region_accumulates(monkeypatch):
+    """Oscillating stats around one regime stop costing probes once the
+    probed points cover the oscillation range."""
+    from etl_sql_duckdb_parquet__ray.codecs import selector
+
+    calls = {"n": 0}
+    orig = selector.select_codec
+
+    def spy(values, arrow_type, stats=None, mode=selector.DEFAULT_MODE):
+        calls["n"] += 1
+        return orig(values, arrow_type, stats=stats, mode=mode)
+
+    monkeypatch.setattr(selector, "select_codec", spy)
+    cache: dict = {}
+    rng = np.random.default_rng(11)
+    chunks = []
+    for i in range(12):
+        card = [4, 6, 5, 4][i % 4]
+        chunks.append(
+            values_from_array(
+                pa.array([f"v{int(x)}" for x in rng.integers(0, card, 20000)])
+            )
+        )
+    for c in chunks:
+        selector.select_codec_cached(c, pa.string(), cache, "col")
+    # a handful of probes to map the region, then pure reuse
+    assert calls["n"] <= 4, calls["n"]
