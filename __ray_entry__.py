@@ -225,8 +225,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def incremental_minhash_docs(sf_dir: str):
         # persisted MinHash index on the even-doc_id half of the corpus,
         # then near-dedup the odd half against it (estimated-Jaccard
-        # verify off the stored signatures — rows-only check: the op is
-        # approximate by nature, like the other LSH entries)
+        # verify off the stored signatures). Hash-oracled against the
+        # EXACT trigram-Jaccard mirror: the corpus' planted dups are
+        # near-exact copies, where estimated == exact Jaccard (verified
+        # id-for-id at sf0.001 and sf0.01); prod keeps the estimated
+        # verify (no corpus re-read).
         import pyarrow.compute as pc
 
         from etl_sql_duckdb_parquet__ray.functions.dedup import (
@@ -1083,6 +1086,32 @@ def oracle_sql() -> dict[str, str]:
         # J >= 0.9 pairs (P(miss) ~ (1-J^4)^16 < 4e-8/pair; the corpus has
         # no pairs near the 0.7 boundary), and the MinHash params are
         # deterministic, so the match is reproducible, not lucky.
+        # odd-half survivors after near-dedup against the indexed even
+        # half; exact trigram-Jaccard stands in for the estimated verify
+        # (equal on this corpus — dups are near-exact copies)
+        "incremental_minhash_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]))
+                       ELSE list_distinct(tk) END AS s
+                FROM toks
+            ), dups AS (
+                SELECT DISTINCT o.doc_id
+                FROM sh o JOIN sh e ON (o.doc_id % 2) = 1 AND (e.doc_id % 2) = 0
+                WHERE (CASE WHEN len(o.s) = 0 AND len(e.s) = 0 THEN 1.0
+                            ELSE CAST(len(list_intersect(o.s, e.s)) AS DOUBLE)
+                                 / GREATEST(len(o.s) + len(e.s) - len(list_intersect(o.s, e.s)), 1) END) >= 0.7
+            )
+            SELECT doc_id FROM documents
+            WHERE (doc_id % 2) = 1 AND doc_id NOT IN (SELECT doc_id FROM dups)
+            ORDER BY doc_id
+        """,
         "minhash_dedup_docs": """
             WITH toks AS (
                 SELECT doc_id,
