@@ -509,8 +509,9 @@ class RealDecoder:
     - audio: [n_samples, sample_rate, channels, rms (of full-scale),
       zero_crossing_rate, peak (of full-scale), 0, 1]
 
-    JPEG/MP3/FLAC payloads raise NotImplementedError unless a codec-library
-    decoder is registered (``register_image_decoder`` /
+    Baseline JPEG (jpeg.py) and FLAC (flac.py) decode natively via the
+    registry; progressive JPEG and MP3 raise NotImplementedError unless a
+    codec-library decoder is registered (``register_image_decoder`` /
     ``register_audio_decoder`` — the PIL/soundfile registrations at module
     scope activate automatically where those libraries exist)."""
 
