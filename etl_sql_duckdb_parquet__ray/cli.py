@@ -281,12 +281,20 @@ def cmd_ann_build(args) -> int:
     _ray()
     import ray
 
-    from .functions.similarity import build_ivf_index, build_pq_index
+    from .functions.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        build_pq_index,
+    )
 
     ds = ray.data.read_parquet(args.input)
     if args.kind == "ivf":
         meta = build_ivf_index(
             ds, args.out, n_lists=args.lists, n_assign=args.assign
+        )
+    elif args.kind == "ivfpq":
+        meta = build_ivfpq_index(
+            ds, args.out, n_lists=args.lists, m=args.m, ks=args.ks
         )
     else:
         meta = build_pq_index(ds, args.out, m=args.m, ks=args.ks)
@@ -301,13 +309,22 @@ def cmd_ann_query(args) -> int:
 
     import numpy as np
 
-    from .functions.similarity import ivf_query_index, pq_query_index
+    from .functions.similarity import (
+        ivf_query_index,
+        ivfpq_query_index,
+        pq_query_index,
+    )
 
     with open(os.path.join(args.index, "meta.json")) as f:
         meta = _json.load(f)
     qvec = np.array(_json.loads(args.query), dtype=np.float64)
     if meta["kind"] == "ivf":
         out = ivf_query_index(args.index, qvec, k=args.k, n_probe=args.probe)
+    elif meta["kind"] == "ivfpq":
+        out = ivfpq_query_index(
+            args.index, qvec, k=args.k, n_probe=args.probe,
+            rerank=args.rerank,
+        )
     else:
         out = pq_query_index(args.index, qvec, k=args.k)
     print(json.dumps(out.to_pylist()))
@@ -578,7 +595,7 @@ def main(argv=None) -> int:
     )
     ab.add_argument("--input", required=True, help="parquet dir: (vec_id, embedding)")
     ab.add_argument("--out", required=True, help="index dir")
-    ab.add_argument("--kind", default="ivf", choices=["ivf", "pq"])
+    ab.add_argument("--kind", default="ivf", choices=["ivf", "pq", "ivfpq"])
     ab.add_argument("--lists", type=int, default=64, help="IVF list count")
     ab.add_argument("--assign", type=int, default=2, help="IVF redundant assignment")
     ab.add_argument("--m", type=int, default=16, help="PQ subquantizers")
@@ -592,6 +609,10 @@ def main(argv=None) -> int:
     aq.add_argument("--query", required=True, help="JSON float array")
     aq.add_argument("--k", type=int, default=10)
     aq.add_argument("--probe", type=int, default=8, help="IVF lists probed")
+    aq.add_argument(
+        "--rerank", type=int, default=4,
+        help="IVF-PQ exact-rescore shortlist multiplier (0 = codes only)",
+    )
     aq.set_defaults(fn=cmd_ann_query)
 
     ver = sub.add_parser("verify", help="bit-identity roundtrip check")

@@ -369,6 +369,18 @@ def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == 5 and rows[0]["vec_id"] == 7  # full probe: exact
 
+    # ivfpq kind: build + query round-trip through the same CLI; the
+    # rerank stage exact-rescores, so the query vector ranks itself first
+    idx2 = str(tmp_path / "idx_ivfpq")
+    assert main(["ann-build", "--input", src, "--out", idx2,
+                 "--kind", "ivfpq", "--lists", "8", "--m", "8"]) == 0
+    meta2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta2["kind"] == "ivfpq" and meta2["m"] == 8
+    assert main(["ann-query", "--index", idx2, "--query", q,
+                 "--k", "5", "--probe", "8", "--rerank", "4"]) == 0
+    rows2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows2) == 5 and rows2[0]["vec_id"] == 7
+
 
 def test_schema_inspect_and_diff(ray_session, sf_dir, tmp_path):
     """Parquet inspection is metadata-only yet exact; the Dataset-side
