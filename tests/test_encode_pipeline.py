@@ -1624,3 +1624,39 @@ def test_codec_override_beats_shared_codec(ray_session, table, tmp_path):
     for rec in load_manifest(out):
         for c in rec["chunks"]:
             assert c["codecs"]["text"] == "zstd"
+
+
+def test_selector_cache_adapts_to_mid_corpus_drift(ray_session, tmp_path):
+    """The cross-chunk probe cache must not pin a codec across a REAL
+    distribution change: conversations whose ts is near-monotone (delta
+    codecs win) mixed with conversations whose ts is wide-range random
+    (zstd/for_bitpack-ish territory). Buckets hash-mix both regimes, so a
+    single worker-lifetime cache sees drifting chunks; the per-chunk stats
+    gate must re-probe and the manifest must show BOTH codec families —
+    and the roundtrip must stay bit-identical."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.state.manifest import load_manifest
+
+    rng = np.random.default_rng(5)
+    base = generate_transcripts(40000, seed=33)
+    ts = np.asarray(base.column("ts").cast(pa.int64())).copy()
+    # second half of rows: scramble ts to huge random values (distinct
+    # regime; nulls kept out to keep the stats comparable)
+    half = len(ts) // 2
+    ts[half:] = rng.integers(10**15, 10**18, size=len(ts) - half)
+    drifted = base.set_column(
+        base.schema.get_field_index("ts"), "ts",
+        pa.array(ts, type=pa.int64()).cast(base.column("ts").type),
+    )
+    ds = ray.data.from_arrow(drifted)
+    out = str(tmp_path / "drift")
+    encode_transcripts(ds, out, num_buckets=2, chunk_rows=4096)
+    codecs_seen = set()
+    for rec in load_manifest(out):
+        for ch in rec["chunks"]:
+            codecs_seen.add(ch["codecs"]["ts"])
+    # both regimes must be represented: a pinned/stale cache would show one
+    assert len(codecs_seen) >= 2, codecs_seen
+    assert roundtrip_ok(ds, out)
