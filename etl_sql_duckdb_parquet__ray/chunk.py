@@ -176,7 +176,7 @@ def assemble_fsst_payload(
 
     import numpy as np
 
-    from .codecs.base import pack_sections, zstd_compress, zstd_compress_heavy
+    from .codecs.base import pack_sections, zstd_compress, zstd_compress_fsst
     from .codecs.bitpack import bitpack, required_width
 
     dense_lengths = np.asarray(dense_lengths, dtype=np.int64)
@@ -192,7 +192,7 @@ def assemble_fsst_payload(
         "raw": [len(s) for s in sections],
     }
     if post_zstd:
-        sections = [zstd_compress_heavy(s) for s in sections]
+        sections = [zstd_compress_fsst(s) for s in sections]
     codec_payload = pack_sections(sections)
     nulls = int(null_mask.sum()) if null_mask is not None else 0
     validity = (

@@ -33,6 +33,12 @@ _ZSTD = pa.Codec("zstd", compression_level=3)
 # for ~0.1s per 16 MB — cheap next to the encode kernel, and the decompress
 # side is level-agnostic (zstd frames are self-describing)
 _ZSTD_HEAVY = pa.Codec("zstd", compression_level=8)
+# FSST code/literal sections: level 7 measured BOTH smaller (-0.06%) and
+# 12-24% faster than level 8 on post-FSST byte streams (zstd's level-8
+# search params don't pay off on already-substituted text; BASELINE.md
+# round-4 level sweep). Raw-text sections keep level 8, where it is the
+# smaller one. Decompression is level-agnostic (frames self-describe).
+_ZSTD_FSST = pa.Codec("zstd", compression_level=7)
 
 
 def zstd_compress(data: bytes) -> bytes:
@@ -41,6 +47,10 @@ def zstd_compress(data: bytes) -> bytes:
 
 def zstd_compress_heavy(data: bytes) -> bytes:
     return _ZSTD_HEAVY.compress(data, asbytes=True)
+
+
+def zstd_compress_fsst(data: bytes) -> bytes:
+    return _ZSTD_FSST.compress(data, asbytes=True)
 
 
 def zstd_decompress(data: bytes, size: int) -> bytes:

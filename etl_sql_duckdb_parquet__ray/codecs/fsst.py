@@ -32,7 +32,7 @@ from .base import (
     StringBlob,
     pack_sections,
     unpack_sections,
-    zstd_compress_heavy,
+    zstd_compress_fsst,
     zstd_decompress,
 )
 from .bitpack import bitpack, bitunpack, required_width
@@ -489,7 +489,7 @@ class FsstCodec:
             "raw": [len(s) for s in sections],
         }
         if self._post_zstd:
-            sections = [zstd_compress_heavy(s) for s in sections]
+            sections = [zstd_compress_fsst(s) for s in sections]
         return pack_sections(sections), meta
 
     def decode(self, payload: bytes, meta: dict, n: int) -> StringBlob:
