@@ -222,6 +222,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return unigram_logprob(ds)
 
+    def clean_docs(sf_dir: str):
+        # canonical corpus cleanup (control-char strip, whitespace
+        # collapse, paragraph-preserving newline squeeze, trim) — pure
+        # Arrow RE2 kernels, byte-for-byte mirrored by DuckDB
+        # regexp_replace (same RE2 dialect)
+        from etl_sql_duckdb_parquet__ray.functions.text import clean_text
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return clean_text(ds)
+
     def incremental_minhash_docs(sf_dir: str):
         # persisted MinHash index on the even-doc_id half of the corpus,
         # then near-dedup the odd half against it (estimated-Jaccard
@@ -806,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q(A.dedup_exact_docs),
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "incremental_minhash_docs": incremental_minhash_docs,
+        "clean_docs": clean_docs,
         "multimodal_thumbnails": multimodal_thumbnails,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
@@ -1086,6 +1097,23 @@ def oracle_sql() -> dict[str, str]:
         # J >= 0.9 pairs (P(miss) ~ (1-J^4)^16 < 4e-8/pair; the corpus has
         # no pairs near the 0.7 boundary), and the MinHash params are
         # deterministic, so the match is reproducible, not lucky.
+        # same RE2 chain as TextCleaner, DuckDB regexp_replace 'g' flag ==
+        # Arrow replace_substring_regex (replace-all); ^/$ anchor whole
+        # string in both (no multiline flag)
+        "clean_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(COALESCE(text, ''),
+                             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                         ' +\n', chr(10), 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g'),
+                     '^[ \n]+|[ \n]+$', '', 'g') AS text
+            FROM documents
+        """,
         # odd-half survivors after near-dedup against the indexed even
         # half; exact trigram-Jaccard stands in for the estimated verify
         # (equal on this corpus — dups are near-exact copies)

@@ -890,3 +890,48 @@ def explode_matching_tokens(ds, id_col: str, text_col: str, substr: str):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class TextCleaner:
+    """map_batches stage: canonical text normalization — the first pass of
+    every LLM-corpus pipeline (C4/Dolma-style cleanup): strip control
+    characters (keep \n and \t), collapse runs of spaces/tabs, collapse 3+
+    newlines to 2 (paragraph preserve), trim each line's trailing blanks,
+    trim the document. Optional ``lowercase``.
+
+    Pure Arrow RE2 kernels (same dialect as DuckDB regexp_replace, so the
+    whole transform is SQL-oracle-checkable); stateless, no shuffle.
+    Extends the reference's trim/case family (``src/etl/transform.py:11-17``)
+    to document-scale text."""
+
+    def __init__(self, text_col: str = "text", lowercase: bool = False):
+        self.text_col = text_col
+        self.lowercase = lowercase
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(self.text_col), "")
+        # control chars except \n (\x0a) and \t (\x09)
+        t = pc.replace_substring_regex(
+            t, pattern=r"[\x00-\x08\x0b-\x1f\x7f]", replacement=""
+        )
+        # runs of spaces/tabs -> one space
+        t = pc.replace_substring_regex(t, pattern=r"[ \t]+", replacement=" ")
+        # trailing blanks before a newline
+        t = pc.replace_substring_regex(t, pattern=r" +\n", replacement="\n")
+        # 3+ newlines -> paragraph break
+        t = pc.replace_substring_regex(t, pattern=r"\n{3,}", replacement="\n\n")
+        # document trim
+        t = pc.replace_substring_regex(t, pattern=r"^[ \n]+|[ \n]+$", replacement="")
+        if self.lowercase:
+            t = pc.utf8_lower(t)
+        i = batch.column_names.index(self.text_col)
+        return batch.set_column(i, self.text_col, t)
+
+
+def clean_text(ds, text_col: str = "text", lowercase: bool = False):
+    """Normalize a text column corpus-wide (control-char strip, whitespace
+    collapse, paragraph-preserving newline squeeze, trim). Stateless
+    vectorized map — no shuffle, no driver involvement."""
+    return ds.map_batches(
+        TextCleaner(text_col, lowercase), batch_format="pyarrow"
+    )

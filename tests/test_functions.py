@@ -1292,3 +1292,55 @@ def test_variant_clusters_planted_and_empty(ray_session):
     lone = ray.data.from_arrow(pa.table({"term": ["alpha", "gamma_long_token", "zz912"]}))
     out = variant_clusters(lone, "term").to_pandas()
     assert (out["name"] == out["canonical"]).all()
+
+
+def test_text_cleaner_matches_duckdb_on_adversarial_strings(ray_session):
+    """TextCleaner's RE2 chain must byte-match DuckDB's regexp_replace on
+    inputs the corpus doesn't exercise: control chars, CR, tab runs, 5+
+    newlines, leading/trailing blank soup, unicode, nulls."""
+    import duckdb
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.text import clean_text
+
+    rows = [
+        "a\x00b\x07c",                    # control chars
+        "x\r\ny",                          # CR stripped, LF kept
+        "a \t  b\t\tc",                    # space/tab runs
+        "p1   \n\n\n\n\np2",               # trailing blanks + 5 newlines
+        "  \n \n lead and trail \n  ",     # blank soup
+        "日本\tご飯\x1f!",                  # unicode + unit separator
+        "",                                 # empty
+        None,                               # null
+        "already clean",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    got = (
+        clean_text(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = [
+        r[0]
+        for r in con.execute(
+            r"""
+            SELECT regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(COALESCE(text, ''),
+                             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                         ' +\n', chr(10), 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g'),
+                     '^[ \n]+|[ \n]+$', '', 'g')
+            FROM t ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0] == "abc" and got[1] == "x\ny" and got[2] == "a b c"
+    assert got[3] == "p1\n\np2" and got[4] == "lead and trail"
