@@ -677,6 +677,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return text_search(_encoded_transcripts_dir(sf_dir), '"k": 6')
 
+    def transcript_role_transitions(sf_dir: str):
+        # conversation-flow analytics off the encoded corpus: 3-column
+        # projection decode -> per-conversation LAG -> (prev_role, role)
+        # counts; mirrored by a LAG window over the derived-transcript CTE
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            role_transitions,
+        )
+
+        return role_transitions(_encoded_transcripts_dir(sf_dir))
+
     def corpus_prep_docs(sf_dir: str):
         from etl_sql_duckdb_parquet__ray.pipelines.corpus_prep import corpus_prep
 
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_context_tails": transcript_context_tails,
         "transcript_tool_usage": transcript_tool_usage,
         "transcript_text_search": transcript_text_search,
+        "transcript_role_transitions": transcript_role_transitions,
         "transcript_ts_window": transcript_ts_window,
         "heavy_hitter_terms": heavy_hitter_terms_docs,
         "funnel_click_purchase": A.funnel_click_purchase,
@@ -2236,6 +2247,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS bigram, COUNT(*) AS n FROM bg
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # transcript_role_transitions mirror: LAG window over the derived
+        # transcript (role cycles with rn%4), transitions counted within a
+        # conversation's turn order
+        "transcript_role_transitions": """
+            WITH tr AS (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       CAST(rn - 1 AS INTEGER) AS turn_idx,
+                       CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                         WHEN 1 THEN 'assistant'
+                                         WHEN 2 THEN 'system'
+                                         ELSE 'tool' END AS role
+                FROM (
+                    SELECT user_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                    FROM events) t
+            ), lagged AS (
+                SELECT conv_id, role,
+                       LAG(role) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+                FROM tr
+            )
+            SELECT prev_role, role, COUNT(*) AS n_transitions
+            FROM lagged WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role
         """,
         # transcript_conv_stats mirror: per-conversation aggregate over the
         # same transcript derivation the engine encodes — checks decode

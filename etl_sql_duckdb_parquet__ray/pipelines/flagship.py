@@ -106,3 +106,44 @@ def text_search(encoded_dir: str, term: str):
     return pd.DataFrame(
         {"role": pd.Series(dtype=object), "n_hits": pd.Series(dtype="int64")}
     )
+
+
+def role_transitions(encoded_dir: str):
+    """Role-transition matrix FROM THE ENCODED FORM: decode only
+    (conv_id, turn_idx, role), hash-shuffle by conversation, LAG within
+    each conversation's (turn_idx) order, then count (prev_role -> role)
+    pairs. Conversation-flow analytics without touching text payloads —
+    the windowed analog of ``conv_stats``. Per-conversation groups are
+    bounded (a conversation fits in memory); the pair-count table is at
+    most |roles|^2 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = decode_dataset(encoded_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="stable")
+        roles = g["role"].to_numpy()
+        if len(roles) < 2:
+            return pd.DataFrame({"prev_role": [], "role": [], "n": []})
+        prev, cur = roles[:-1], roles[1:]
+        out = (
+            pd.DataFrame({"prev_role": prev, "role": cur, "n": np.int64(1)})
+            .groupby(["prev_role", "role"], as_index=False)["n"]
+            .sum()
+        )
+        return out
+
+    agg = (
+        ds.groupby("conv_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev_role", "role"])
+        .aggregate(Sum("n"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["prev_role", "role", "n_transitions"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
