@@ -222,6 +222,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return unigram_logprob(ds)
 
+    def doc_token_stats_jsonl(sf_dir: str):
+        # JSONL interchange path: documents -> line-delimited JSON shards
+        # (ds.write_json) -> read_jsonl (pyarrow NDJSON reader per block,
+        # normalized names) -> same vectorized token stats. Oracled by the
+        # doc_token_stats SQL — the JSONL hop must be value-lossless.
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.sources.ingest import read_jsonl
+
+        jl = _jsonl_cache.get(sf_dir)
+        if jl is None:
+            jl = tempfile.mkdtemp(prefix="jsonl-", dir="/tmp")
+            read_table(sf_dir, "documents", ["doc_id", "n_chars", "text"]).write_json(jl)
+            _jsonl_cache[sf_dir] = jl
+        ds = read_jsonl(jl, columns=["doc_id", "n_chars", "text"])
+
+        def stats(t):
+            import pyarrow as pa
+
+            n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(
+                pa.int64()
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_chars": t.column("n_chars"),
+                    "n_tokens": n_tok,
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
     def clean_docs(sf_dir: str):
         # canonical corpus cleanup (control-char strip, whitespace
         # collapse, paragraph-preserving newline squeeze, trim) — pure
@@ -492,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     _encoded_cache: dict[str, str] = {}
+    _jsonl_cache: dict[str, str] = {}
 
     def _encoded_transcripts_dir(sf_dir: str) -> str:
         # the three encoded-corpus queries (conv_stats / text_search /
@@ -827,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "incremental_minhash_docs": incremental_minhash_docs,
         "clean_docs": clean_docs,
+        "doc_token_stats_jsonl": doc_token_stats_jsonl,
         "multimodal_thumbnails": multimodal_thumbnails,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
@@ -1275,6 +1309,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "doc_token_stats": """
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        # same mirror as doc_token_stats: the JSONL hop must be lossless
+        "doc_token_stats_jsonl": """
             SELECT doc_id, n_chars,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents

@@ -49,6 +49,27 @@ def read_delimited(path: str, sep: str | None = None):
     return ds
 
 
+def read_jsonl(paths, columns: list[str] | None = None):
+    """NDJSON / JSONL -> Dataset — the interchange format LLM corpora
+    actually ship in (one JSON object per line). ``ray.data.read_json``
+    handles sharded line-delimited files natively (pyarrow JSON reader per
+    block, streaming, no driver materialization); this wrapper adds the
+    same column-name normalization as ``read_delimited`` (lowercase/strip,
+    reference M5) and optional projection. Nested objects arrive as Arrow
+    struct columns and pass through untouched — project or flatten them
+    downstream."""
+    import ray
+
+    ds = ray.data.read_json(paths)
+    names = ds.schema().names
+    norm = [n.strip().lower() for n in names]
+    if norm != names:
+        ds = ds.rename_columns(dict(zip(names, norm)))
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def add_audit_columns(ds, source_file: str, ingested_at: str):
     """Stamp audit columns; ``row_hash`` is a vectorized hash of all column
     values per row (hex string, like the reference's SHA-256 but computed in

@@ -119,3 +119,34 @@ def test_numeric_correlation_matches_numpy(ray_session):
     assert abs(got[("x", "y")] - exp[0, 1]) < 1e-9
     assert abs(got[("x", "z")] - exp[0, 2]) < 1e-9
     assert got[("x", "y")] > 0.5 and abs(got[("x", "z")]) < 0.1
+
+
+def test_read_jsonl_normalizes_and_roundtrips(ray_session, tmp_path):
+    """JSONL source: sharded NDJSON reads back value-identical (unicode,
+    embedded newlines escaped by JSON, nulls), with column names
+    lowercased/stripped like the CSV path."""
+    import json as _json
+
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.sources.ingest import read_jsonl
+
+    rows = [
+        {"Doc_ID ": 1, "Text": "line1\nline2", "N": 3},
+        {"Doc_ID ": 2, "Text": "日本語 ご飯", "N": None},
+        {"Doc_ID ": 3, "Text": "", "N": 0},
+    ]
+    p1 = tmp_path / "a.jsonl"
+    p2 = tmp_path / "b.jsonl"
+    p1.write_text("\n".join(_json.dumps(r) for r in rows[:2]) + "\n")
+    p2.write_text(_json.dumps(rows[2]) + "\n")
+    ds = read_jsonl([str(p1), str(p2)])
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text", "n"]
+    assert got["text"].tolist() == ["line1\nline2", "日本語 ご飯", ""]
+    assert pd.isna(got["n"].iloc[1]) and got["n"].iloc[2] == 0
+
+    # projection arm
+    sel = read_jsonl([str(p1)], columns=["doc_id"]).to_pandas()
+    assert list(sel.columns) == ["doc_id"]
