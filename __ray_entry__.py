@@ -1161,7 +1161,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # odd-half survivors after near-dedup against the indexed even
         # half; exact trigram-Jaccard stands in for the estimated verify
-        # (equal on this corpus — dups are near-exact copies)
+        # (equal on this corpus — dups are near-exact copies).
+        # Precondition (same as every minhash oracle here): tokenization
+        # parity requires ASCII-whitespace-only text — DuckDB RE2 '\\s+'
+        # is ASCII while the engine's str.split() is Unicode, so NBSP /
+        # U+2028 / ideographic-space text would diverge. The synthetic
+        # documents corpus is ASCII.
         "incremental_minhash_docs": """
             WITH toks AS (
                 SELECT doc_id,

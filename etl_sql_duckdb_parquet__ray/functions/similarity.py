@@ -9,7 +9,6 @@ batch-wise assignment, search restricted to the ``n_probe`` nearest lists.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -645,6 +644,13 @@ def build_ivfpq_index(
 
     def encode(batch: pa.Table) -> pa.Table:
         Cl, bk = ray.get(cref), ray.get(bref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "list_id": pa.array([], pa.int32()),
+                 "codes": pa.array([], pa.binary()),
+                 "vn": pa.array([], pa.binary())}
+            )
         ids, Vb = _stack_arrow(batch)
         Vn = _normalize(Vb)
         a = np.argmax(Vn @ Cl.T, axis=1)
@@ -738,8 +744,7 @@ def ivfpq_query_index(index_dir: str, query: np.ndarray, k: int = 10,
         return pa.Table.from_pandas(cand.head(k), preserve_index=False)
 
     # IVFADC+R exact rescore of the bounded shortlist
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        dim = json.load(f)["dim"]
+    dim = mm * dsub  # == meta.json's dim; avoids re-reading it per query
     want = pa.array(cand["vec_id"].to_numpy())
     qref = ray.put(q)
 
