@@ -482,6 +482,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         search.build_inverted_index(ds, idx, num_buckets=16)
         return search.search_terms(idx, ["key", "hash"], mode="and")
 
+    def bm25_docs(sf_dir: str):
+        # ranked retrieval over the scored inverted index: BM25 with the
+        # Robertson/Lucene idf. k=None returns EVERY matching doc scored —
+        # a deterministic result set (a top-k cut could flip on sub-1e-6
+        # score gaps between engines); production callers pass k.
+        from etl_sql_duckdb_parquet__ray.functions import search
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        idx = tempfile.mkdtemp(prefix="bm25idx-", dir="/tmp")
+        search.build_inverted_index(ds, idx, num_buckets=16, scored=True)
+        return search.bm25_search(idx, ["spark", "window"])
+
     def sample_docs_per_lang(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
         return corpus.sample_n_per_group(
@@ -911,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_repetition": doc_repetition,
         "term_search_docs": term_search_docs,
+        "bm25_docs": bm25_docs,
         "sample_docs_per_lang": sample_docs_per_lang,
         "price_quantiles": price_quantiles,
         "price_quantiles_cont": price_quantiles_cont,
@@ -1753,6 +1766,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM tok WHERE term IN ('key', 'hash')
             GROUP BY doc_id HAVING COUNT(*) = 2
+        """,
+        # bm25_search mirror: same tokenizer parity (str.split <->
+        # string_split_regex '\s+' drop-empties, ASCII corpus), same
+        # Robertson idf and Lucene numerator with IDENTICAL operation
+        # order — (idf*tf)*(1.2+1.0) / (tf + 1.2*((1-0.75)+(0.75*dl)/avgdl)),
+        # avgdl = double(total_tokens)/n_docs on both sides. np.log1p vs
+        # LN(1+x) and per-doc SUM order differ only at ~1e-16 — far under
+        # the gate's 1e-6 rounding. n_docs counts docs with >=1 token.
+        "bm25_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                              w -> w <> '')) AS term
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tt FROM dl),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                WHERE term IN ('spark', 'window') GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, COUNT(*) AS df FROM (
+                    SELECT DISTINCT doc_id, term FROM toks
+                    WHERE term IN ('spark', 'window')
+                ) GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   SUM(
+                     LN(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (CAST(st.tt AS DOUBLE) / st.n_docs)))
+                   ) AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
         """,
         # sample_n_per_group mirror: seeded-hash priority rank per group
         # (same md5_number_lower identity as shard_assignments)

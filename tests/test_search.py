@@ -129,3 +129,76 @@ def test_top_terms_ranking(ray_session):
     assert by_doc[1] == [("key", 2, 3), ("scan", 1, 1)]
     # empty doc -> no rows
     assert 5 not in by_doc
+
+
+def _brute_bm25(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Pure-python BM25 reference (Robertson idf, Lucene numerator)."""
+    import math
+
+    toks = {d: t.split() for d, t in docs.items()}
+    dls = {d: len(w) for d, w in toks.items() if w}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for t in sorted(set(terms)):
+        df = sum(1 for w in toks.values() if t in w)
+        if not df:
+            continue
+        idf = math.log1p((n - df + 0.5) / (df + 0.5))
+        for d, w in toks.items():
+            tf = w.count(t)
+            if tf:
+                scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+                )
+    return scores
+
+
+def test_bm25_search_matches_reference(ray_session, tmp_path):
+    import ray
+
+    idx = str(tmp_path / "idx")
+    search.build_inverted_index(_docs(ray), idx, num_buckets=8, scored=True)
+    with open(os.path.join(idx, "_index.json")) as f:
+        meta = json.load(f)
+    # doc 5 is empty: excluded from n_docs / avgdl
+    assert meta["scored"] and meta["n_docs"] == 4
+    assert meta["total_tokens"] == 4 + 2 + 3 + 2
+
+    docs = {
+        1: "key hash scan key",
+        2: "key value",
+        3: "hash join key",
+        4: "nothing here",
+        5: "",
+    }
+    want = _brute_bm25(docs, ["key", "hash"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search.bm25_search(idx, ["key", "hash"]).take_all()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # doc 1 (tf=2 of 'key' + 'hash') must outrank the single-term docs
+    assert got[1] == max(got.values())
+    # top-k cut: (score DESC, doc_id ASC)
+    order = [
+        r["doc_id"] for r in search.bm25_search(idx, ["key", "hash"], k=2).take_all()
+    ]
+    full = sorted(want, key=lambda d: (-want[d], d))[:2]
+    assert order == full
+    # scored index still serves boolean search (backward compatible)
+    both = [r["doc_id"] for r in search.search_terms(idx, ["key", "hash"]).take_all()]
+    assert both == [1, 3]
+    # absent term scores nothing; all-absent -> empty
+    assert search.bm25_search(idx, ["zzzz"]).take_all() == []
+
+
+def test_bm25_requires_scored_index(ray_session, tmp_path):
+    import ray
+
+    idx = str(tmp_path / "idx")
+    search.build_inverted_index(_docs(ray), idx, num_buckets=8)
+    with pytest.raises(ValueError, match="scored=True"):
+        search.bm25_search(idx, ["key"])
