@@ -294,5 +294,5 @@ def bm25_search(
     if k is None:
         return scored.sort(id_col)
     return scored.sort(
-        [("score", "descending"), (id_col, "ascending")]
+        ["score", id_col], descending=[True, False]
     ).limit(int(k))
