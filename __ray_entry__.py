@@ -189,6 +189,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         delete_convs(out, doomed)
         return decode_dataset(out)
 
+    def transcript_drop_column(sf_dir: str):
+        # schema evolution: metadata-only DROP COLUMN — encode, drop
+        # 'tool' (one tiny _schema.json write, no data rewrite), decode
+        # the full corpus. Every read path must project the column away
+        # (its payload is never read thanks to per-column offsets);
+        # hash-checked against the roundtrip mirror minus the column.
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset,
+            drop_column,
+            encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="rtdc-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        drop_column(out, "tool")
+        return decode_dataset(out)
+
     def supplier_name_ed1_pairs(sf_dir: str):
         # fuzzy self-join: distinct supplier-name pairs within edit
         # distance 1 via SymSpell deletion-neighborhood blocking —
@@ -888,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
+        "transcript_drop_column": transcript_drop_column,
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
@@ -1533,6 +1557,25 @@ def oracle_sql() -> dict[str, str]:
                            ) AS rn
                     FROM events) t1) t2
             WHERE conv_id NOT LIKE '%0'
+        """,
+        # roundtrip mirror minus the dropped column: drop_column('tool')
+        # is metadata-only, so the decode must return every other column
+        # bit-identical with 'tool' projected away
+        "transcript_drop_column": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   CAST(rn - 1 AS INTEGER) AS turn_idx,
+                   CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                     WHEN 1 THEN 'assistant'
+                                     WHEN 2 THEN 'system'
+                                     ELSE 'tool' END AS role,
+                   COALESCE(props, '') AS text,
+                   ts
+            FROM (
+                SELECT user_id, event_id, ts, props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events) t
         """,
         # projected + turn-filtered mirror of the same derivation: checks
         # the engine's selective-read path (projection pushdown + turn

@@ -277,6 +277,17 @@ def cmd_derive(args) -> int:
     return 0
 
 
+def cmd_drop_column(args) -> int:
+    """DROP COLUMN over an encoded corpus: sidecar columns are deleted
+    physically, base columns are hidden via the metadata-only schema file
+    (every decode excludes them; compaction/purge removes them for real)."""
+    from .pipelines.encode import drop_column
+
+    info = drop_column(args.input, args.name)
+    print(json.dumps({"column": args.name, **info}))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     _ray()
     import ray
@@ -410,6 +421,7 @@ def cmd_describe(args) -> int:
         side[cname] += 1
     meta = load_run_meta(args.encoded) or {}
     from .pipelines.deletes import load_deleted_convs
+    from .pipelines.encode import load_dropped_columns as _dropped
 
     out = {
         "buckets": len(recs),
@@ -420,6 +432,9 @@ def cmd_describe(args) -> int:
         # hidden at read time until a purge physically drops them
         "tombstoned_convs": len(load_deleted_convs(args.encoded)),
         "columns": [c["name"] for c in header["columns"]],
+        # base columns hidden by metadata-only DROP (drop_column); still
+        # physically present until a purge/compaction rewrite
+        "dropped_columns": _dropped(args.encoded),
         "codecs_first_chunk": {
             c["name"]: c["meta"]["codec"] for c in header["columns"]
         },
@@ -589,6 +604,15 @@ def main(argv=None) -> int:
         choices=["token_count", "char_count"],
     )
     dv.set_defaults(fn=cmd_derive)
+
+    dc = sub.add_parser(
+        "drop-column",
+        help="drop a column from an encoded corpus (sidecars: physical; "
+             "base columns: metadata-only until compaction)",
+    )
+    dc.add_argument("--input", required=True, help="encoded dir")
+    dc.add_argument("--name", required=True, help="column to drop")
+    dc.set_defaults(fn=cmd_drop_column)
 
     ab = sub.add_parser(
         "ann-build", help="build a persisted ANN index over an embeddings dir"

@@ -65,39 +65,13 @@ def delete_convs(
     are sub-second metadata merges) is stolen. ``stale_after`` must stay
     well above ``lock_timeout`` so a merely-slow holder is never mistaken
     for a dead one."""
-    import time
+    from ._lockfile import excl_lock
 
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
     new = pa.array(sorted({str(c) for c in conv_ids}), type=pa.string())
     path = deletes_path(out_dir)
-    lock = f"{path}.lock"
-    deadline = time.monotonic() + lock_timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                stale = time.time() - os.path.getmtime(lock) > stale_after
-            except OSError:
-                continue  # lock vanished between open and stat — retry now
-            if stale:
-                try:
-                    os.unlink(lock)  # crashed writer; steal
-                except OSError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"tombstone lock {lock} held past {lock_timeout}s — "
-                    "another delete_convs in flight? (refusing to race: a "
-                    "lost merge would silently resurrect deleted convs)"
-                )
-            time.sleep(0.05)
-    try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+    with excl_lock(f"{path}.lock", lock_timeout, stale_after, "tombstone"):
         # merge INSIDE the lock: the read and the replace must see no
         # interleaved writer
         existing = load_deleted_convs(out_dir)
@@ -106,11 +80,6 @@ def delete_convs(
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(pa.table({"conv_id": merged}), tmp, compression="zstd")
         os.replace(tmp, path)
-    finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
     return {
         "n_requested": len(new),
         "n_already": len(existing),

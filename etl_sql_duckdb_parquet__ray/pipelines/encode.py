@@ -1064,6 +1064,109 @@ def sidecar_paths(main_path: str, col: str) -> tuple[str, str]:
     return stem + ".bin", stem + ".json"
 
 
+def _base_chunk_columns(records) -> list[str]:
+    """Physical column names of the corpus, read from the FIRST chunk's
+    header (4-byte length + JSON) — one seek, no payload decode. Every
+    chunk of a corpus shares one schema (encode_transcripts writes one
+    run), so the first header is authoritative."""
+    import json as _json
+    import struct as _struct
+
+    from ..chunk import chunk_spans as _chunk_spans
+
+    first_path = records[0]["path"]
+    span0 = _chunk_spans(first_path)[0]
+    with open(first_path, "rb") as _f:
+        _f.seek(span0[0])
+        (_hlen,) = _struct.unpack("<I", _f.read(4))
+        return [c["name"] for c in _json.loads(_f.read(_hlen))["columns"]]
+
+
+_SCHEMA_FILE = "_schema.json"
+
+
+def schema_meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _SCHEMA_FILE)
+
+
+def load_dropped_columns(out_dir: str) -> list[str]:
+    """Base columns marked dropped for this corpus (metadata-only DDL —
+    see :func:`drop_column`). Empty list when none / no schema file."""
+    import json as _json
+
+    path = schema_meta_path(out_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return sorted(_json.load(f).get("dropped", []))
+
+
+def drop_column(out_dir: str, name: str, lock_timeout: float = 10.0) -> dict:
+    """Schema evolution: DROP COLUMN without rewriting the corpus — the
+    inverse of :func:`derive_column` and the columnar-engine analog of the
+    reference's projection transforms (SURVEY.md §2.2 M8) as a persistent
+    DDL operation.
+
+    Two cases, resolved by where the column physically lives:
+
+    - **derived sidecar column**: its per-bucket sidecar files are deleted
+      outright (one file pair per bucket — physical, cheap and complete;
+      sidecars are the corpus's own add-column mechanism, so dropping one
+      restores the pre-``derive_column`` state exactly).
+    - **base chunk column**: metadata-only — the name is merged into
+      ``_schema.json``'s ``dropped`` list under the same O_EXCL lock
+      discipline as tombstones (two concurrent DDLs must not last-writer
+      -win). Every ``decode_dataset`` path then excludes the column: full
+      scans project it away (per-column header offsets mean its payload
+      is never read or decoded), explicit requests and pushdown predicates
+      on it raise, and a later ``purge_deleted``/``compact`` rewrite drops
+      it physically.
+
+    ``conv_id`` and ``turn_idx`` are not droppable: they carry the stable
+    turn ordering, point-lookup planning and tombstone filtering the rest
+    of the engine is built on. Dropping an already-dropped BASE column is
+    a no-op success; re-dropping a removed sidecar raises (the column no
+    longer exists anywhere)."""
+    import json as _json
+
+    from ._lockfile import excl_lock
+
+    if name in ("conv_id", "turn_idx"):
+        raise ValueError(
+            f"column {name!r} is structural (turn ordering / point-lookup "
+            "planning / tombstone filtering) and cannot be dropped"
+        )
+    records = load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    # sidecar? delete its files — physical and complete
+    n_files = 0
+    for r in records:
+        for p in sidecar_paths(r["path"], name):
+            if os.path.exists(p):
+                os.unlink(p)
+                n_files += 1
+    if n_files:
+        return {"kind": "sidecar", "n_files_removed": n_files}
+    base_cols = _base_chunk_columns(records)
+    dropped = load_dropped_columns(out_dir)
+    if name in dropped:
+        return {"kind": "base", "dropped": dropped, "already": True}
+    if name not in base_cols:
+        raise ValueError(
+            f"column {name!r} not found in this corpus (base columns: "
+            f"{base_cols}; no sidecar files either)"
+        )
+    path = schema_meta_path(out_dir)
+    with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
+        dropped = sorted(set(load_dropped_columns(out_dir)) | {name})
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump({"dropped": dropped}, f)
+        os.replace(tmp, path)
+    return {"kind": "base", "dropped": dropped}
+
+
 def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
                   out_type: pa.DataType | None = None):
     """Schema evolution WITHOUT rewriting the corpus: compute a new derived
@@ -1092,18 +1195,7 @@ def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
     # decodes (sidecar wins via main-column exclusion) while columns=None
     # scans return the original — inconsistent reads for the same corpus
     # (ADVICE r3). Validate against the actual base chunk schema.
-    import struct as _struct
-
-    from ..chunk import chunk_spans as _chunk_spans
-
-    first_path = records[0]["path"]
-    span0 = _chunk_spans(first_path)[0]
-    with open(first_path, "rb") as _f:
-        _f.seek(span0[0])
-        (_hlen,) = _struct.unpack("<I", _f.read(4))
-        base_cols = [
-            c["name"] for c in _json.loads(_f.read(_hlen))["columns"]
-        ]
+    base_cols = _base_chunk_columns(records)
     if name in base_cols:
         raise ValueError(
             f"derived column {name!r} collides with a base column of this "
@@ -1344,6 +1436,11 @@ def decode_dataset(
     With no pushdown args the original streaming whole-file path is used
     (sequential reads beat per-column seeks when every byte is needed).
 
+    Dropped columns: a base column hidden by :func:`drop_column`
+    (``_schema.json``) is excluded from every result — full scans project
+    it away (per-column offsets mean its payload is never read), and an
+    explicit ``columns=`` request or pushdown predicate naming it raises.
+
     Tombstones: when the corpus has a ``_deletes.parquet``
     (``pipelines.deletes.delete_convs``), every path above additionally
     anti-filters the deleted conversations (broadcast ``is_in`` per batch,
@@ -1352,6 +1449,43 @@ def decode_dataset(
     import ray
 
     from .deletes import load_deleted_convs, tombstone_filter
+
+    # dropped base columns (metadata-only DDL — drop_column): every read
+    # path must exclude them. Explicit requests and pushdown predicates on
+    # a dropped column raise (the caller's expectation can't be met);
+    # columns=None full scans are rewritten to project the survivors —
+    # via the selective path, whose per-column header offsets mean the
+    # dropped payload is never even read from disk.
+    dropped = set(load_dropped_columns(out_dir))
+    if dropped:
+        if columns is not None:
+            bad = sorted(dropped.intersection(columns))
+            if bad:
+                raise ValueError(
+                    f"column(s) {bad} were dropped from this corpus "
+                    "(drop_column); a compaction/purge rewrite removes "
+                    "them physically"
+                )
+        preds = {
+            "role": role_eq is not None, "tool": tool_eq is not None,
+            "ts": ts_lo is not None or ts_hi is not None,
+            "text": text_contains is not None,
+        }
+        for c in col_ranges or ():
+            preds[c] = True
+        bad = sorted(c for c, used in preds.items() if used and c in dropped)
+        if bad:
+            raise ValueError(
+                f"predicate on dropped column(s) {bad} — the column no "
+                "longer exists in this corpus"
+            )
+        if columns is None:
+            records = load_manifest(out_dir)
+            if not records:
+                raise FileNotFoundError(f"no completed buckets under {out_dir}")
+            columns = [
+                c for c in _base_chunk_columns(records) if c not in dropped
+            ]
 
     # tombstones (merge-on-read): every read path anti-filters against the
     # corpus's deleted-conv set — a broadcast is_in per batch, so deleted
