@@ -961,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_history": A.customer_order_history,
         "revenue_by_region": A.revenue_by_region,
         "customer_order_moving_avg": A.customer_order_moving_avg,
+        "user_value_trailing_sum": A.user_value_trailing_sum,
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
         "user_event_gaps": A.user_event_gaps,
@@ -1990,6 +1991,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
                    COUNT(*) AS n_total
             FROM orders GROUP BY o_orderstatus
+        """,
+        # user_value_trailing_sum mirror: time-RANGE window; values are
+        # floored to integer micro-units BEFORE the window on both sides
+        # (same IEEE multiply-then-floor), so the trailing sums are exact
+        # int64 — peer (equal-ts) rows share frames in both engines
+        "user_value_trailing_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW
+                   ) AS BIGINT) AS trailing_micro
+            FROM events
         """,
         # orders_above_customer_avg mirror: decorrelated subquery; the
         # comparison is exact integer cross-multiplication on both sides so

@@ -1004,6 +1004,32 @@ def customer_order_moving_avg(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
 
 
+def user_value_trailing_sum(sf_dir: str):
+    """Time-RANGE window: per user, the trailing 1-hour sum of event value
+    — SUM(v) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW), the time-based sibling of the
+    rows-frame moving average. Values are floored to integer micro-units
+    BEFORE the window so the cross-engine sums are exact (the established
+    integer-scaled-money pattern); the window itself is
+    ``stages.relational.rolling_window_sum`` (one hash exchange, prefix
+    sums + two searchsorted probes per group, SQL RANGE-peer semantics)."""
+    from ..stages.relational import rolling_window_sum
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.floor(pc.multiply(
+            t.column("value").cast(pa.float64()), pa.scalar(1_000_000.0)
+        )), pa.int64())
+        return t.drop_columns(["value"]).append_column("v_micro", micro)
+
+    out = rolling_window_sum(
+        ds.map_batches(scale, batch_format="pyarrow"),
+        "user_id", "ts", 3_600_000_000, "v_micro", "trailing_micro",
+    )
+    return out.select_columns(["event_id", "user_id", "trailing_micro"])
+
+
 _PRIORITY_PIVOT = [
     ("1-URGENT", "n_urgent"),
     ("2-HIGH", "n_high"),

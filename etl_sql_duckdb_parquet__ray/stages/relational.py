@@ -308,7 +308,13 @@ def rolling_window_count(
                 out_col, pa.array(np.zeros(g.num_rows, dtype=np.int64))
             )
         g = g.take(pc.sort_indices(g, sort_keys=[(ts_col, "ascending")]))
-        ts_arr = g.column(ts_col).cast(pa.int64()).combine_chunks()
+        ts_arr = g.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts_arr.type):
+            # normalize to MICROSECONDS regardless of source unit (a
+            # pandas-born timestamp[ns] column would otherwise compare
+            # against a µs window 1000x too small)
+            ts_arr = ts_arr.cast(pa.timestamp("us", ts_arr.type.tz))
+        ts_arr = ts_arr.cast(pa.int64())
         null_ts = np.asarray(ts_arr.is_null()) if ts_arr.null_count else None
         ts = np.asarray(ts_arr.fill_null(0) if ts_arr.null_count else ts_arr)
         marked = np.asarray(
@@ -323,6 +329,88 @@ def rolling_window_count(
         if null_ts is not None:
             cnt = np.where(null_ts, 0, cnt)
         return g.append_column(out_col, pa.array(cnt.astype(np.int64)))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def rolling_window_sum(
+    ds,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    val_col: str,
+    out_col: str,
+):
+    """Trailing time-range windowed SUM — the SQL ``SUM(val) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)`` shape, with SQL RANGE-frame semantics exactly:
+
+    - the frame is INCLUSIVE on both ends: rows with ``ts`` in
+      ``[row.ts - window_us, row.ts]`` (peers — equal timestamps — are
+      always in each other's frames, regardless of physical order);
+    - NULL ``val`` rows contribute nothing but still get an output row;
+    - NULL ``ts`` rows form their own peer group (DuckDB NULLS LAST): each
+      sums all null-ts values in its key; a frame with no non-null
+      contributions yields NULL (SUM over an empty/all-null set).
+
+    Same scale shape as :func:`rolling_window_count`: ONE hash exchange on
+    the key, then two ``np.searchsorted`` probes over a per-group prefix-sum
+    array — O(n log n) per group, no row explosion, no per-row Python.
+    Integer ``val`` sums exactly in int64 (the oracle-parity path: scale
+    money/doubles to integer units upstream); floats sum in float64.
+
+    Partitioning assumption: one key's rows fit a worker (salt hot keys by
+    coarse time range and merge boundary windows if not)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(ts_col, "ascending")]))
+        ts_arr = g.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts_arr.type):
+            # normalize to MICROSECONDS regardless of source unit —
+            # pandas-born columns arrive as timestamp[ns] and would
+            # otherwise compare against a µs window 1000x too small
+            ts_arr = ts_arr.cast(pa.timestamp("us", ts_arr.type.tz))
+        ts_arr = ts_arr.cast(pa.int64())
+        null_ts = (
+            np.asarray(ts_arr.is_null())
+            if ts_arr.null_count
+            else np.zeros(g.num_rows, dtype=bool)
+        )
+        ts = np.asarray(ts_arr.fill_null(0) if ts_arr.null_count else ts_arr)
+        v_arr = g.column(val_col).combine_chunks()
+        null_v = (
+            np.asarray(v_arr.is_null())
+            if v_arr.null_count
+            else np.zeros(g.num_rows, dtype=bool)
+        )
+        is_int = pa.types.is_integer(v_arr.type)
+        acc = np.int64 if is_int else np.float64
+        vals = np.asarray(v_arr.fill_null(0) if v_arr.null_count else v_arr).astype(acc)
+        contrib = ~null_ts & ~null_v  # rows whose value lands in a frame
+        live = ~null_ts  # frame membership ignores val-nullness
+        lts = ts[live]
+        # prefix over live rows, null-val contributions zeroed
+        ps = np.concatenate(([acc(0)], np.cumsum(vals[live] * contrib[live])))
+        # count of non-null contributions per prefix — needed to emit SQL
+        # NULL when a frame holds no non-null values
+        pn = np.concatenate(([0], np.cumsum(contrib[live].astype(np.int64))))
+        hi = np.searchsorted(lts, ts, side="right")
+        lo = np.searchsorted(lts, ts - np.int64(window_us), side="left")
+        out = ps[hi] - ps[lo]
+        n_in = pn[hi] - pn[lo]
+        if null_ts.any():
+            # the null-ts peer group: every such row sums ALL null-ts
+            # contributions in the key
+            nv = vals[null_ts & ~null_v]
+            out = np.where(null_ts, nv.sum() if len(nv) else acc(0), out)
+            n_in = np.where(null_ts, len(nv), n_in)
+        result = pa.array(out.astype(acc), type=pa.int64() if is_int else pa.float64())
+        if (n_in == 0).any():
+            result = pc.if_else(
+                pa.array(n_in > 0), result,
+                pa.scalar(None, pa.int64() if is_int else pa.float64()),
+            )
+        return g.append_column(out_col, result)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 

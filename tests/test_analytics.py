@@ -402,3 +402,84 @@ def test_user_event_gaps_drops_single_event_users(ray_session, tmp_path):
     assert df["n_gaps"].iloc[0] == 2
     assert df["max_gap_us"].iloc[0] == 1_000_000
     assert df["sum_gap_us"].iloc[0] == 2_000_000
+
+
+def test_rolling_window_sum_matches_duckdb(ray_session):
+    """Pin rolling_window_sum to DuckDB's RANGE-frame semantics directly:
+    random data with timestamp ties, null values, null timestamps and
+    multiple keys — the engine output must match SUM(val) OVER (PARTITION
+    BY key ORDER BY ts RANGE BETWEEN .. PRECEDING AND CURRENT ROW)
+    row-for-row."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import rolling_window_sum
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 5, n),
+            # coarse grid -> plenty of exact ts ties (peer groups)
+            "ts": pd.to_datetime(rng.integers(0, 40, n) * 1_000_000, unit="us"),
+            "v": rng.integers(-100, 100, n),
+        }
+    )
+    df.loc[rng.choice(n, 25, replace=False), "v"] = pd.NA
+    df["v"] = df["v"].astype("Int64")
+    null_ts_rows = rng.choice(n, 15, replace=False)
+    df.loc[null_ts_rows, "ts"] = pd.NaT
+
+    win_us = 7_000_000
+    got = (
+        rolling_window_sum(
+            ray.data.from_pandas(df), "k", "ts", win_us, "v", "rsum"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """
+        SELECT rid,
+               SUM(v) OVER (
+                   PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 SECOND PRECEDING AND CURRENT ROW
+               ) AS rsum
+        FROM t ORDER BY rid
+        """
+    ).fetchdf()
+    g = got["rsum"].astype("Float64")
+    w = want["rsum"].astype("Float64")
+    mismatch = (g.isna() != w.isna()) | ((g != w) & g.notna())
+    assert not mismatch.any(), got.loc[mismatch.values].head(10).to_dict()
+
+
+def test_rolling_window_sum_float_and_exact_window_edge(ray_session):
+    """Inclusive lower bound: a row exactly window_us older IS in the
+    frame (SQL RANGE x PRECEDING is inclusive); float values sum in
+    float64."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import rolling_window_sum
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a"],
+            "ts": pd.to_datetime([0, 5_000_000, 10_000_000], unit="us"),
+            "v": [1.5, 2.25, 4.0],
+        }
+    )
+    got = (
+        rolling_window_sum(ray.data.from_pandas(df), "k", "ts", 5_000_000, "v", "s")
+        .to_pandas()
+        .sort_values("ts")["s"]
+        .tolist()
+    )
+    assert got == [1.5, 3.75, 6.25]  # each frame includes the row 5s older
