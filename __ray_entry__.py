@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": A.revenue_by_region,
         "customer_order_moving_avg": A.customer_order_moving_avg,
         "user_value_trailing_sum": A.user_value_trailing_sum,
+        "user_event_path": A.user_event_path,
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
         "user_event_gaps": A.user_event_gaps,
@@ -2004,6 +2005,15 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW
                    ) AS BIGINT) AS trailing_micro
             FROM events
+        """,
+        # user_event_path mirror: ordered STRING_AGG — (ts, event_id) is a
+        # total order, so the joined sequence is deterministic on both
+        # sides; COUNT(event_type) mirrors the skip-NULLs element count
+        "user_event_path": """
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+                   COUNT(event_type) AS n_vals
+            FROM events GROUP BY user_id
         """,
         # orders_above_customer_avg mirror: decorrelated subquery; the
         # comparison is exact integer cross-multiplication on both sides so

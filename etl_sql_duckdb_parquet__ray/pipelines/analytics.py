@@ -1030,6 +1030,21 @@ def user_value_trailing_sum(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "trailing_micro"])
 
 
+def user_event_path(sf_dir: str):
+    """Ordered STRING_AGG: each user's full event-type journey as one
+    '>'-joined string in (ts, event_id) order — sequence reconstruction
+    over the behavioural table (one hash exchange, vectorized sort+join
+    per group; `stages.relational.grouped_string_agg`)."""
+    from ..stages.relational import grouped_string_agg
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    out = grouped_string_agg(
+        ds, "user_id", "event_type", ["ts", "event_id"], sep=">",
+        out_col="path",
+    )
+    return out.select_columns(["user_id", "path", "n_vals"])
+
+
 _PRIORITY_PIVOT = [
     ("1-URGENT", "n_urgent"),
     ("2-HIGH", "n_high"),

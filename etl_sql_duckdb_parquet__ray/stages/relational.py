@@ -333,6 +333,48 @@ def rolling_window_count(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def grouped_string_agg(
+    ds,
+    key: str,
+    val: str,
+    order_by: Sequence[str],
+    sep: str = ",",
+    out_col: str = "agg",
+):
+    """Ordered string aggregation — SQL ``STRING_AGG(val, sep ORDER BY
+    ...)`` per group (the "user journey" / sequence-reconstruction shape a
+    behavioural corpus needs). ONE hash exchange on the key; inside each
+    group a vectorized Arrow sort + ``binary_join`` (no per-row Python).
+    SQL NULL semantics: NULL ``val`` elements are skipped; a group whose
+    every value is NULL aggregates to NULL. The deterministic ``order_by``
+    must break all ties or cross-engine output is underdefined."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(c, "ascending") for c in order_by])
+        )
+        v = g.column(val).combine_chunks()
+        if v.null_count:
+            v = v.filter(v.is_valid())
+        joined = (
+            pc.binary_join(
+                pa.ListArray.from_arrays([0, len(v)], v.cast(pa.string())),
+                pa.scalar(sep),
+            )[0].as_py()
+            if len(v)
+            else None
+        )
+        return pa.table(
+            {
+                key: g.column(key).slice(0, 1),
+                out_col: pa.array([joined], pa.string()),
+                "n_vals": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def rolling_window_sum(
     ds,
     key: str,

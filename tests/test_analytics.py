@@ -483,3 +483,28 @@ def test_rolling_window_sum_float_and_exact_window_edge(ray_session):
         .tolist()
     )
     assert got == [1.5, 3.75, 6.25]  # each frame includes the row 5s older
+
+
+def test_grouped_string_agg_null_semantics(ray_session):
+    """STRING_AGG skips NULL elements; an all-NULL group aggregates to
+    NULL (not '')."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import grouped_string_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": ["x", None, "y", None, None],
+            "o": [2, 1, 3, 1, 2],
+        }
+    )
+    got = {
+        r["k"]: (r["agg"], r["n_vals"])
+        for r in grouped_string_agg(
+            ray.data.from_pandas(df), "k", "v", ["o"], sep=","
+        ).take_all()
+    }
+    assert got["a"] == ("x,y", 2)  # ordered by o, NULL skipped
+    assert got["b"] == (None, 0)
