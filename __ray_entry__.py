@@ -12,6 +12,7 @@ summation can never drift from DuckDB's sequential summation.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -517,6 +518,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         search.build_inverted_index(ds, idx, num_buckets=16, scored=True)
         return search.bm25_search(idx, ["spark", "window"])
 
+    def embedding_cov_pairs(sf_dir: str):
+        # exact-algebra distributed covariance (one sufficient-statistic
+        # row per batch, no row exchange): the 10 covar_samp pairs over
+        # the first 4 dimensions, floored to micro-units (the established
+        # float-boundary discipline: both engines floor the ~1e-15-apart
+        # doubles, divergence needs a value within 1e-15 of an exact
+        # micro boundary)
+        import pyarrow as pa
+
+        from etl_sql_duckdb_parquet__ray.functions.similarity import (
+            embedding_covariance,
+        )
+
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        _, _, cov = embedding_covariance(ds)
+        di, dj, cv = [], [], []
+        for i in range(4):
+            for j in range(i, 4):
+                di.append(i + 1)  # 1-based like SQL list_extract
+                dj.append(j + 1)
+                cv.append(int(math.floor(cov[i, j] * 1_000_000)))
+        return pa.table({
+            "di": pa.array(di, pa.int64()),
+            "dj": pa.array(dj, pa.int64()),
+            "cov_micro": pa.array(cv, pa.int64()),
+        })
+
+    def embedding_pca_proj(sf_dir: str):
+        # distributed PCA (rows-only: eigendecomposition is not
+        # SQL-expressible): covariance partials -> driver eigh ->
+        # broadcast (V-mean)@W projection; deterministic basis (sorted
+        # eigvals, sign-fixed loadings) so reruns agree
+        from etl_sql_duckdb_parquet__ray.functions.similarity import (
+            pca_project,
+        )
+
+        ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        proj, _, _, _ = pca_project(ds, k=4)
+        return proj
+
     def sample_docs_per_lang(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
         return corpus.sample_n_per_group(
@@ -949,6 +990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_docs": term_search_docs,
         "bm25_docs": bm25_docs,
         "sample_docs_per_lang": sample_docs_per_lang,
+        "embedding_cov_pairs": embedding_cov_pairs,
+        "embedding_pca_proj": embedding_pca_proj,
         "price_quantiles": price_quantiles,
         "price_quantiles_cont": price_quantiles_cont,
         "customer_running_total": customer_running_total,
@@ -1847,6 +1890,25 @@ def oracle_sql() -> dict[str, str]:
                    ) AS score
             FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
             GROUP BY tf.doc_id
+        """,
+        # embedding_cov_pairs mirror: covar_samp over the first 4 dims —
+        # DuckDB's online co-moment accumulation and the engine's
+        # sufficient-statistic algebra agree to ~1e-14 on unit-scale
+        # embeddings; both floor the micro-units (standard boundary
+        # discipline). list_extract is 1-based, matching the di/dj labels.
+        "embedding_cov_pairs": """
+            WITH dims AS (
+                SELECT s.i AS di, t.j AS dj
+                FROM generate_series(1, 4) s(i), generate_series(1, 4) t(j)
+                WHERE t.j >= s.i
+            )
+            SELECT d.di, d.dj,
+                   CAST(FLOOR(covar_samp(
+                       list_extract(e.embedding, d.di),
+                       list_extract(e.embedding, d.dj)) * 1000000.0)
+                        AS BIGINT) AS cov_micro
+            FROM embeddings e CROSS JOIN dims d
+            GROUP BY d.di, d.dj
         """,
         # sample_n_per_group mirror: seeded-hash priority rank per group
         # (same md5_number_lower identity as shard_assignments)

@@ -903,3 +903,99 @@ def semantic_dedup(ds_emb, k: int = 8, threshold: float = 0.95,
     return packed.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+def embedding_covariance(ds_emb, col: str = "embedding"):
+    """Exact-algebra distributed covariance of a ``list<float>`` column:
+    per batch ONE partial row — n (int64), the d-vector column sum and the
+    packed d*d outer-product sum, all float64 — then a driver-side combine
+    (bounded: one row per batch, d=64 -> ~33 KB/batch). Returns
+    ``(n, mean[d], cov[d,d])`` with SAMPLE covariance
+    ``(X'X - n*mean*mean') / (n-1)`` — the ``covar_samp`` definition.
+
+    The d*d partial is the standard one-pass sufficient statistic: no
+    second data pass, no row exchange, numerically adequate for
+    unit-scale embeddings (centered-pass refinement is unnecessary when
+    ||mean|| << ||x||, which normalized/near-centered embeddings satisfy).
+    """
+    import ray.data  # noqa: F401  (ds_emb is already a Dataset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.large_binary()),
+                "ss": pa.array([], pa.large_binary()),
+            })
+        _, V = _stack_arrow(batch)
+        return pa.table({
+            "n": pa.array([V.shape[0]], pa.int64()),
+            "s": pa.array([V.sum(axis=0).tobytes()], pa.large_binary()),
+            "ss": pa.array([(V.T @ V).ravel().tobytes()], pa.large_binary()),
+        })
+
+    rows = ds_emb.map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()  # bounded: ONE partial row per input batch
+    if not rows:
+        raise ValueError("empty embedding dataset")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.frombuffer(r["s"], dtype=np.float64) for r in rows], axis=0)
+    ss = np.sum([np.frombuffer(r["ss"], dtype=np.float64) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return n, mean, cov
+
+
+def pca_project(ds_emb, k: int = 8, whiten: bool = False,
+                col: str = "embedding"):
+    """Distributed PCA projection: covariance by sufficient statistics
+    (:func:`embedding_covariance` — one partial row per batch), a d x d
+    ``eigh`` on the DRIVER (d=64: microseconds), then a broadcast
+    ``(V - mean) @ W`` map over the corpus. Deterministic: eigenvectors
+    are sorted by descending eigenvalue and sign-fixed so each component's
+    largest-|loading| entry is positive (eigh's sign is arbitrary;
+    unfixed it would flip run to run).
+
+    ``whiten=True`` scales components by ``1/sqrt(eigval)`` — the
+    decorrelated unit-variance basis SemDeDup-style pipelines use before
+    cosine clustering. Returns a Dataset of ``(vec_id, proj:
+    list<double>)``; eigenvalues/vectors are also returned for callers
+    that need the basis: ``(ds, eigvals[k], W[d,k], mean[d])``."""
+    import ray
+
+    n, mean, cov = embedding_covariance(ds_emb, col)
+    w, U = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    w, U = w[order], U[:, order]
+    # sign fix: largest-|loading| entry of each component made positive
+    flip = np.sign(U[np.abs(U).argmax(axis=0), np.arange(U.shape[1])])
+    flip[flip == 0] = 1.0
+    W = U * flip
+    if whiten:
+        W = W / np.sqrt(np.maximum(w, 1e-12))
+    mref, wref = ray.put(mean), ray.put(W)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "proj": pa.array([], pa.list_(pa.float64())),
+            })
+        m, Wl = ray.get(mref), ray.get(wref)
+        ids, V = _stack_arrow(batch)
+        P = (V - m) @ Wl
+        kk = P.shape[1]
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "proj": pa.ListArray.from_arrays(
+                np.arange(len(ids) + 1, dtype=np.int64) * kk,
+                pa.array(P.ravel(), pa.float64()),
+            ),
+        })
+
+    return (
+        ds_emb.map_batches(project, batch_format="pyarrow"),
+        w, W, mean,
+    )

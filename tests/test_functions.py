@@ -1344,3 +1344,61 @@ def test_text_cleaner_matches_duckdb_on_adversarial_strings(ray_session):
     assert got == want
     assert got[0] == "abc" and got[1] == "x\ny" and got[2] == "a b c"
     assert got[3] == "p1\n\np2" and got[4] == "lead and trail"
+
+
+def test_embedding_covariance_and_pca(ray_session):
+    """Distributed sufficient-statistic covariance == numpy np.cov; PCA
+    projection == the full-data numpy reference under the same sign rule;
+    whitened projection has unit variance per component; deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.similarity import (
+        embedding_covariance,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 600, 12
+    # anisotropic cloud so eigenvalues separate cleanly
+    A = rng.standard_normal((d, d))
+    X = rng.standard_normal((n, d)) @ A + rng.standard_normal(d) * 3
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array([r.tolist() for r in X.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    Xf = X.astype(np.float32).astype(np.float64)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    cn, mean, cov = embedding_covariance(ds)
+    assert cn == n
+    np.testing.assert_allclose(mean, Xf.mean(axis=0), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(Xf, rowvar=False), rtol=1e-9)
+
+    k = 4
+    proj_ds, w, W, m = pca_project(ds, k=k)
+    # descending eigenvalues, orthonormal basis
+    assert list(w) == sorted(w, reverse=True)
+    np.testing.assert_allclose(W.T @ W, np.eye(k), atol=1e-10)
+    got = proj_ds.to_pandas().sort_values("vec_id")
+    P = np.stack(got["proj"].to_numpy())
+    # numpy reference with the same sign rule
+    wv, U = np.linalg.eigh(np.cov(Xf, rowvar=False))
+    order = np.argsort(wv)[::-1][:k]
+    U = U[:, order]
+    flip = np.sign(U[np.abs(U).argmax(axis=0), np.arange(k)])
+    ref = (Xf - Xf.mean(axis=0)) @ (U * flip)
+    np.testing.assert_allclose(P, ref, atol=1e-6)
+    # projected variance per component ~= eigenvalue
+    np.testing.assert_allclose(P.var(axis=0, ddof=1), w[:k], rtol=1e-6)
+
+    # whiten: unit variance per component
+    pw, _, _, _ = pca_project(ds, k=k, whiten=True)
+    PW = np.stack(pw.to_pandas().sort_values("vec_id")["proj"].to_numpy())
+    np.testing.assert_allclose(PW.var(axis=0, ddof=1), np.ones(k), rtol=1e-6)
+
+    # determinism across runs
+    p2, w2, W2, _ = pca_project(ds, k=k)
+    np.testing.assert_array_equal(W, W2)
