@@ -1000,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": embedding_clusters,
         "revenue_rollup": A.revenue_rollup,
         "orders_cube": A.orders_cube,
+        "orders_grouping_sets": A.orders_grouping_sets,
         "top_supplier_per_brand": A.top_supplier_per_brand,
         "customer_order_history": A.customer_order_history,
         "revenue_by_region": A.revenue_by_region,
@@ -1993,6 +1994,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        # orders_grouping_sets mirror: the general grouping-sets form —
+        # marginals + grand total, finest pair NOT in the output
+        "orders_grouping_sets": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         # top_supplier_per_brand mirror: grouped argmax over the 3-table
         # join, exact integer cents, ties to the smallest suppkey

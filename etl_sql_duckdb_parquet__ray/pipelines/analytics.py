@@ -975,6 +975,50 @@ def orders_cube(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) — the general
+    form CUBE/ROLLUP specialize: the ONE finest-level shuffle computes the
+    (status, priority) partials, each requested set is a tiny driver-side
+    re-aggregation of that result, and (unlike CUBE) the finest pair
+    itself is NOT in the output. SUM/COUNT re-aggregate losslessly from
+    the partials, so the raw data is aggregated exactly once at 100 TB."""
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "total_x100": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    finest = _rename(
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("total_x100"), Count()),
+        ["o_orderstatus", "o_orderpriority", "revenue_x100", "n_orders"],
+    ).to_pandas()  # |statuses| x |priorities| rows
+
+    vals = ["revenue_x100", "n_orders"]
+    cols = ["o_orderstatus", "o_orderpriority", *vals]
+    frames = []
+    for keys in (["o_orderstatus"], ["o_orderpriority"], []):
+        if keys:
+            g = finest.groupby(keys, as_index=False)[vals].sum()
+        else:
+            g = pd.DataFrame({v: [finest[v].sum()] for v in vals})
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in keys:
+                g[c] = "ALL"
+        frames.append(g[cols])
+    out = pd.concat(frames, ignore_index=True)
+    for v in vals:
+        out[v] = out[v].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def customer_order_moving_avg(sf_dir: str):
     """Rows-frame window: per customer, the moving average of the last 3
     orders' prices ordered by (o_orderdate, o_orderkey) — one hash
