@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_variant_clusters": supplier_name_variant_clusters,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "orders_1997_revenue": A.orders_1997_revenue,
+        "urgent_lineitem_stats": A.urgent_lineitem_stats,
         "customer_order_coverage": A.customer_order_coverage,
         "event_segment_chi2": A.event_segment_chi2,
         "orders_daily_gapfilled": A.orders_daily_gapfilled,
@@ -2224,6 +2225,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY o_orderpriority
+        """,
+        # bloom_semi_join mirror: the Bloom pre-filter + distinct-key
+        # verify must be invisible in the result — a plain IN subquery
+        "urgent_lineitem_stats": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_x100
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
         """,
         # embedding_dim_stats mirror: list_extract per dim, FLOOR (not
         # ROUND — half-away vs half-even) of the identical f64 product

@@ -1822,3 +1822,40 @@ def embedding_dim_stats(sf_dir: str, n_dims: int = 8):
         .sum(["n", "sum_x1e6"])
     )
     return _rename(out, ["dim", "n", "sum_x1e6"])
+
+
+def urgent_lineitem_stats(sf_dir: str):
+    """Per-returnflag item counts over the lineitems of URGENT orders —
+    the large-by-large SEMI join regime (both sides are fact tables, the
+    build side's distinct keys don't fit a broadcast at 100 TB).
+
+    Uses :func:`~..stages.relational.bloom_semi_join`: a tree-reduced
+    Bloom over the urgent order keys is broadcast once and pre-filters
+    lineitem IN PLACE, so ~4/5 of the probe rows (the non-urgent share)
+    never enter the hash exchange; one exact inner join against the
+    distinct keys removes Bloom false positives. Result is identical to
+    the plain ``IN (SELECT …)`` oracle."""
+    from ..stages.relational import bloom_semi_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    urgent = read_table(
+        sf_dir, "orders", ["o_orderkey"],
+        row_filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    semi = bloom_semi_join(li, urgent, on="l_orderkey", right_on="o_orderkey",
+                           bits=1 << 20)
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty_x100": _cents(t.column("l_quantity")),
+            }
+        )
+
+    out = (
+        semi.map_batches(scale, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(), Sum("qty_x100"))
+    )
+    return _rename(out, ["l_returnflag", "n_items", "sum_qty_x100"])

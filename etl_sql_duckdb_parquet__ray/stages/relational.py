@@ -767,3 +767,174 @@ def skew_join(
         c for c in _plan_schema(right).names if c != rk
     ]
     return hot_joined.select_columns(cols).union(cold_joined.select_columns(cols))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join — pre-filter the probe side before the exchange
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 multiplier
+
+
+def _bloom_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams for a key column (ints or
+    strings), fully vectorized. ``pd.util.hash_array`` (SipHash in C) gives
+    the first; the second is its murmur3-finalizer mix — ``hash_key`` only
+    perturbs OBJECT arrays in pandas, so deriving h2 from h1 is the only
+    form that stays consistent across int64 and string keys."""
+    if isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
+    if pa.types.is_integer(col.type):
+        # cast BEFORE to_numpy: a nullable int column converts to float64
+        # + NaN otherwise (hash mismatch vs the null-free side), and int32
+        # keys must hash identically to int64 keys on the other side.
+        # Callers strip nulls first, so the cast column is dense int64.
+        vals = col.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    elif pa.types.is_floating(col.type):
+        vals = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        vals = np.asarray(col, dtype=object)
+    h1 = pd.util.hash_array(vals).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 ^ (h1 >> np.uint64(33))) * _BLOOM_MIX
+        h2 ^= h2 >> np.uint64(29)
+    return h1, h2
+
+
+def build_key_bloom(ds, column: str, bits: int = 1 << 23) -> bytes:
+    """Distributed Bloom filter (k=2) over ``ds[column]``.
+
+    Each input block folds its keys into one ``bits/8``-byte bitmap inside
+    ``map_batches`` (rows never leave their block), then the per-block
+    bitmaps are OR-merged by a fan-in-8 TREE of Ray tasks — log-depth, the
+    driver receives exactly one final bitmap and never a partial, so the
+    reduction works unchanged when the build side is 10^5 blocks on a real
+    cluster. ``bits`` must be a power of two; size it at ~8-10 bits per
+    expected distinct key (the default 2^23 = 1 MiB bitmap holds ~1M keys
+    at ~5% FPR — and an undersized filter only loses pruning, never
+    correctness). NULL keys are skipped (SQL ``IN`` semantics)."""
+    import ray
+
+    if bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two, got {bits}")
+    mask = np.uint64(bits - 1)
+    nbytes = bits >> 3
+
+    def _block_bloom(t: pa.Table) -> pa.Table:
+        buf = np.zeros(nbytes, dtype=np.uint8)
+        col = t.column(column)
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        if len(col):
+            for h in _bloom_hashes(col):
+                p = h & mask
+                np.bitwise_or.at(
+                    buf,
+                    (p >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (p & np.uint64(7)).astype(np.uint8),
+                )
+        return pa.table({"bloom": pa.array([buf.tobytes()], pa.large_binary())})
+
+    refs = (
+        ds.select_columns([column])
+        .map_batches(_block_bloom, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    if not refs:
+        return b"\x00" * nbytes
+
+    @ray.remote
+    def _or_merge(*tables: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for tb in tables:
+            # zero-row input blocks pass through map_batches with their
+            # ORIGINAL schema — skip anything that isn't a bitmap row
+            if "bloom" not in tb.schema.names:
+                continue
+            for blob in tb.column("bloom").to_pylist():
+                np.bitwise_or(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.large_binary())})
+
+    while len(refs) > 1:
+        refs = [_or_merge.remote(*refs[i:i + 8]) for i in range(0, len(refs), 8)]
+    final = ray.get(refs[0])
+    if "bloom" not in final.schema.names or not final.num_rows:
+        return b"\x00" * nbytes  # empty build side: nothing can match
+    return final.column("bloom").to_pylist()[0]
+
+
+def bloom_prefilter(ds, column: str, bloom: bytes, bits: int):
+    """Keep only rows whose key MIGHT be in the Bloom filter (false
+    positives pass — pair with an exact verify; false negatives are
+    impossible). One ``ray.put`` of the bitmap, probed per batch."""
+    import ray
+
+    ref = ray.put(np.frombuffer(bloom, dtype=np.uint8))
+    mask = np.uint64(bits - 1)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if col.null_count:  # NULL keys never match (SQL IN semantics) —
+            # drop FIRST so nullable ints don't hash through float64
+            t = t.filter(pc.is_valid(col))
+            col = t.column(column)
+        if not t.num_rows:
+            return t
+        bm = ray.get(ref)
+        h1, h2 = _bloom_hashes(col)
+        keep = np.ones(t.num_rows, dtype=bool)
+        for h in (h1, h2):
+            p = h & mask
+            keep &= (
+                bm[(p >> np.uint64(3)).astype(np.int64)]
+                >> (p & np.uint64(7)).astype(np.uint8)
+            ) & 1 > 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def bloom_semi_join(left, right, on: str, right_on: str | None = None,
+                    bits: int = 1 << 23, num_partitions: int | None = None):
+    """Large-by-large SEMI join (``left WHERE on IN (SELECT rk FROM
+    right)``) for the regime where the build side's distinct key set is
+    too big to broadcast exactly but its Bloom fits in every worker.
+
+    At 100 TB the expensive thing is the exchange: a plain hash semi-join
+    ships EVERY probe-side row. Here (1) a 1-MiB-scale Bloom over the
+    build keys is tree-reduced and broadcast once, (2) the probe side is
+    pre-filtered in place — with a selective predicate on the build side
+    almost all non-matching rows die before any shuffle, (3) the
+    survivors go through one exact hash-partitioned inner join against
+    the build side's DISTINCT keys (distinct ⇒ inner emits each
+    surviving left row at most once ⇒ true semi semantics, and Bloom
+    false positives are eliminated). Result is exact for ANY filter
+    load — the Bloom only sizes the exchange, never the answer."""
+    import ray.data
+
+    rk = right_on or on
+    right_keys = right.select_columns([rk])
+    bloom = build_key_bloom(right_keys, rk, bits)
+    survivors = bloom_prefilter(left, on, bloom, bits)
+    distinct = right_keys.groupby(rk).count().select_columns([rk])
+
+    # all-NULL sentinel rows keep every hash-join partition schema-ful
+    # when a side is legitimately empty (cf. skew_join); NULL keys never
+    # match, so they add zero result rows.
+    def _sentinel(sch):
+        return ray.data.from_arrow(
+            pa.table({n: pa.nulls(1, type=t) for n, t in zip(sch.names, sch.types)})
+        )
+
+    lsch = _plan_schema(left)
+    # the distinct side's schema comes from the INPUT projection (an
+    # aggregate's plan schema isn't resolvable without executing it)
+    rsch = _plan_schema(right_keys)
+    ksch = pa.schema([(rk, rsch.types[list(rsch.names).index(rk)])])
+    joined = hash_join(
+        survivors.union(_sentinel(lsch)),
+        distinct.union(_sentinel(ksch)),
+        on=on,
+        right_on=rk,
+        num_partitions=num_partitions,
+    )
+    return joined.select_columns(list(lsch.names))

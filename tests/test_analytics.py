@@ -508,3 +508,88 @@ def test_grouped_string_agg_null_semantics(ray_session):
     }
     assert got["a"] == ("x,y", 2)  # ordered by o, NULL skipped
     assert got["b"] == (None, 0)
+
+
+def test_bloom_semi_join_exact_vs_pandas(ray_session):
+    """Bloom pre-filter + distinct-key verify must equal a plain semi
+    join — including with a deliberately SATURATED filter (tiny bits →
+    ~every probe passes → the exact join alone carries correctness),
+    string keys, duplicate build keys, and NULLs on both sides."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    n = 30000
+    lk = rng.integers(0, 5000, n)
+    lk_obj = lk.astype(object)
+    lk_obj[::97] = None  # NULL probe keys never match
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk_obj, type=pa.int64()), "v": np.arange(n)})
+    )
+    # build side: only even keys < 2000, each duplicated 3x, plus NULLs
+    rk = np.repeat(np.arange(0, 2000, 2), 3).astype(object)
+    rk[::50] = None
+    right = ray.data.from_arrow(pa.table({"rk": pa.array(rk, type=pa.int64())}))
+
+    expect = pd.DataFrame({"k": lk, "v": np.arange(n)})
+    expect = expect[pd.Series(lk_obj).notna().to_numpy()]
+    keep = set(range(0, 2000, 2))
+    expect = expect[expect["k"].isin(keep)].sort_values(["k", "v"]).reset_index(drop=True)
+
+    for bits in (1 << 20, 1 << 10):  # healthy and saturated filters
+        got = (
+            bloom_semi_join(left, right, on="k", right_on="rk", bits=bits)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64"}), expect.astype({"k": "int64"})
+        )
+
+
+def test_bloom_semi_join_string_keys_and_empty_build(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import bloom_semi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": ["a", "b", "c", "d"] * 25, "v": list(range(100))})
+    )
+    right = ray.data.from_arrow(pa.table({"k": ["b", "d", "d", "zz"]}))
+    got = bloom_semi_join(left, right, on="k").to_pandas()
+    assert sorted(got["k"].unique()) == ["b", "d"] and len(got) == 50
+
+    # empty build side -> empty result (the all-zero bitmap prunes
+    # everything before the exchange; sentinels keep the join alive)
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
+    got2 = bloom_semi_join(left, empty, on="k").to_pandas()
+    assert len(got2) == 0
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    """Every true member must survive the Bloom pre-filter (false
+    negatives impossible by construction); selectivity should bite on a
+    healthy filter."""
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.relational import (
+        bloom_prefilter, build_key_bloom,
+    )
+
+    members = np.arange(0, 100000, 7)
+    right = ray.data.from_arrow(pa.table({"k": members}))
+    bits = 1 << 21
+    bloom = build_key_bloom(right, "k", bits=bits)
+
+    probe = ray.data.from_arrow(pa.table({"k": np.arange(100000)}))
+    out = bloom_prefilter(probe, "k", bloom, bits).to_pandas()["k"].to_numpy()
+    assert np.isin(members, out).all()  # zero false negatives
+    # FPR sanity: non-members passing should be well under 10%
+    non_members = np.setdiff1d(np.arange(100000), members)
+    fpr = np.isin(non_members, out).mean()
+    assert fpr < 0.10, fpr
