@@ -1011,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot_priority": A.orders_pivot_priority,
         "orders_above_customer_avg": A.orders_above_customer_avg,
         "user_event_gaps": A.user_event_gaps,
+        "user_scd2_history": A.user_scd2_history,
         "quantity_mode_by_flag": A.quantity_mode_by_flag,
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
@@ -2116,6 +2117,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        # user_scd2_history mirror: SCD Type-2 from a change log — classic
+        # gaps-and-islands run-id (SUM of IS-DISTINCT-FROM flags), one row
+        # per run with LEAD(valid_from) closing each version (open =
+        # INT64_MAX high-date sentinel, the standard warehouse convention)
+        "user_scd2_history": """
+            WITH o AS (
+                SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN event_type IS DISTINCT FROM
+                                 LAG(event_type) OVER (
+                                     PARTITION BY user_id ORDER BY ts, event_id)
+                            THEN 1 ELSE 0 END AS new_run
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, event_type, ts_us,
+                       SUM(new_run) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id) AS run_id
+                FROM o
+            ),
+            g AS (
+                SELECT user_id, run_id, MIN(event_type) AS event_type,
+                       MIN(ts_us) AS valid_from_us,
+                       COUNT(*) AS n_rows
+                FROM r GROUP BY user_id, run_id
+            )
+            SELECT user_id, event_type, valid_from_us,
+                   COALESCE(LEAD(valid_from_us) OVER (
+                       PARTITION BY user_id ORDER BY run_id),
+                       9223372036854775807) AS valid_to_us,
+                   n_rows
+            FROM g
         """,
         # quantity_mode_by_flag mirror: deterministic MODE() (count DESC,
         # value ASC) — SQL's mode() has unspecified ties, so mirror the

@@ -1859,3 +1859,64 @@ def urgent_lineitem_stats(sf_dir: str):
         .aggregate(Count(), Sum("qty_x100"))
     )
     return _rename(out, ["l_returnflag", "n_items", "sum_qty_x100"])
+
+
+def user_scd2_history(sf_dir: str):
+    """SCD Type-2 history build from a change log (the classic warehouse
+    ETL shape the reference's star-schema loader implies but never does,
+    ``src/etl/load.py``): per user, collapse consecutive runs of the same
+    ``event_type`` in (ts, event_id) order into one versioned row with
+    ``valid_from_us`` / ``valid_to_us`` (open interval = the warehouse
+    "high date" sentinel ``INT64_MAX``) and the run length. ONE hash
+    exchange on the natural key; run detection is a vectorized
+    shift-compare per group — no per-row Python, no second shuffle (the
+    LEAD that closes each interval is a roll within the already-collocated
+    group)."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": _ts_us(t.column("ts")),
+            }
+        )
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_scd2_collapse, batch_format="pandas")
+    )
+
+
+SCD2_HIGH_US = np.iinfo(np.int64).max  # warehouse "high date" open interval
+
+
+def _scd2_collapse(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user SCD2 run collapse (already collocated by the exchange):
+    sort by (ts_us, event_id), find run starts with a vectorized
+    shift-compare, and close each version with the next run's start."""
+    g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+    v = g["event_type"]
+    prev = v.shift()
+    # IS DISTINCT FROM: NULL vs NULL is NOT a new run; first row always is
+    new_run = (v.ne(prev) & ~(v.isna() & prev.isna())).to_numpy()
+    new_run[0] = True
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(g))
+    ts = g["ts_us"].to_numpy()
+    valid_from = ts[starts]
+    # LEAD(valid_from): next run's start closes this version; the
+    # last (current) version stays open at the high-date sentinel
+    valid_to = np.append(valid_from[1:], SCD2_HIGH_US)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(starts), g["user_id"].iloc[0], dtype=np.int64),
+            "event_type": v.to_numpy()[starts],
+            "valid_from_us": valid_from,
+            "valid_to_us": valid_to,
+            "n_rows": (ends - starts).astype(np.int64),
+        }
+    )

@@ -593,3 +593,41 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     non_members = np.setdiff1d(np.arange(100000), members)
     fpr = np.isin(non_members, out).mean()
     assert fpr < 0.10, fpr
+
+
+def test_user_scd2_history_collapses_runs(ray_session):
+    """SCD2 collapse: consecutive equal types merge into one versioned
+    row; valid_to = next run's valid_from; the open (current) version
+    carries the INT64_MAX high-date sentinel; NULL-vs-NULL is NOT a new
+    run (IS DISTINCT FROM semantics)."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import (
+        SCD2_HIGH_US, _scd2_collapse,
+    )
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 6 + [2] * 2,
+            "event_id": [10, 11, 12, 13, 14, 15, 20, 21],
+            "event_type": ["a", "a", None, None, "b", "b", "x", "y"],
+            "ts_us": [100, 200, 300, 400, 500, 600, 50, 60],
+        }
+    )
+    out = (
+        ray.data.from_pandas(df)
+        .groupby("user_id")
+        .map_groups(_scd2_collapse, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "valid_from_us"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert list(u1.event_type) == ["a", None, "b"]
+    assert list(u1.n_rows) == [2, 2, 2]
+    assert list(u1.valid_from_us) == [100, 300, 500]
+    assert list(u1.valid_to_us) == [300, 500, SCD2_HIGH_US]
+    u2 = out[out.user_id == 2]
+    assert list(u2.event_type) == ["x", "y"]
+    assert list(u2.valid_to_us) == [60, SCD2_HIGH_US]
