@@ -1012,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": A.orders_above_customer_avg,
         "user_event_gaps": A.user_event_gaps,
         "user_scd2_history": A.user_scd2_history,
+        "orders_snapshot_diff": A.orders_snapshot_diff,
         "quantity_mode_by_flag": A.quantity_mode_by_flag,
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
@@ -2149,6 +2150,39 @@ def oracle_sql() -> dict[str, str]:
                        9223372036854775807) AS valid_to_us,
                    n_rows
             FROM g
+        """,
+        # orders_snapshot_diff mirror: data reconciliation — both snapshots
+        # are the same deterministic derivations of orders, FULL OUTER
+        # joined on the key; only differing rows survive the WHERE
+        "orders_snapshot_diff": """
+            WITH old_s AS (
+                SELECT o_orderkey, o_orderstatus AS status,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_x100
+                FROM orders WHERE o_orderkey % 97 <> 0
+            ),
+            new_s AS (
+                SELECT o_orderkey, o_orderstatus AS status,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT)
+                         + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END
+                           AS price_x100
+                FROM orders WHERE o_orderkey % 101 <> 3
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS diff_status,
+                   CAST(CASE WHEN o.o_orderkey IS NOT NULL
+                                  AND n.o_orderkey IS NOT NULL
+                                  AND o.status IS DISTINCT FROM n.status
+                             THEN 1 ELSE 0 END AS BIGINT) AS status_changed,
+                   CAST(CASE WHEN o.o_orderkey IS NOT NULL
+                                  AND n.o_orderkey IS NOT NULL
+                                  AND o.price_x100 <> n.price_x100
+                             THEN 1 ELSE 0 END AS BIGINT) AS price_changed
+            FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.status IS DISTINCT FROM n.status
+               OR o.price_x100 <> n.price_x100
         """,
         # quantity_mode_by_flag mirror: deterministic MODE() (count DESC,
         # value ASC) — SQL's mode() has unspecified ties, so mirror the

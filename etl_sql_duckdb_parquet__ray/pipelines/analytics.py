@@ -1920,3 +1920,108 @@ def _scd2_collapse(g: pd.DataFrame) -> pd.DataFrame:
             "n_rows": (ends - starts).astype(np.int64),
         }
     )
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """Table diff / data reconciliation between two snapshots of the same
+    table by primary key — the ETL audit op behind every incremental-load
+    validation (the reference diffs only *schemas*, ``src/etl/schema.py``;
+    this diffs DATA). The two snapshots are derived deterministically from
+    ``orders`` (old = keys not divisible by 97; new = keys ≢ 3 mod 101,
+    with a 1.00 price bump on keys divisible by 89) so the SQL oracle can
+    build the identical sides. One hash-partitioned FULL OUTER join on the
+    key, then a fully vectorized per-batch classifier emits ONLY the
+    differing rows: added / removed / changed (+ per-column change flags).
+    Scale shape: the join is the only exchange; same-row filtering happens
+    before anything reaches the driver."""
+    from ..stages.relational import hash_join
+
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def old_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        keep = pc.not_equal(_pc_mod(k, 97), 0)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "old_status": t.column("o_orderstatus"),
+                "old_price_x100": _cents(t.column("o_totalprice")),
+                # explicit presence marker: Ray's outer join coalesces the
+                # key columns, so side presence must ride a data column
+                "old_present": pa.nulls(len(t), pa.int8()).fill_null(1),
+            }
+        )
+
+    def new_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        keep = pc.not_equal(_pc_mod(k, 101), 3)
+        t = t.filter(keep)
+        k = t.column("o_orderkey")
+        bump = pc.multiply(
+            pc.equal(_pc_mod(k, 89), 0).cast(pa.int64()), pa.scalar(100, pa.int64())
+        )
+        return pa.table(
+            {
+                "n_orderkey": k,
+                "new_status": t.column("o_orderstatus"),
+                "new_price_x100": pc.add(_cents(t.column("o_totalprice")), bump),
+                "new_present": pa.nulls(len(t), pa.int8()).fill_null(1),
+            }
+        )
+
+    old = read_table(sf_dir, "orders", base_cols).map_batches(
+        old_side, batch_format="pyarrow"
+    )
+    new = read_table(sf_dir, "orders", base_cols).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    j = hash_join(old, new, on="o_orderkey", right_on="n_orderkey",
+                  join_type="full_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        o_ok = pc.is_valid(t.column("old_present"))
+        n_ok = pc.is_valid(t.column("new_present"))
+        both = pc.and_(o_ok, n_ok)
+        # IS DISTINCT FROM on non-null data: not_equal then fill the
+        # null-side rows (added/removed) to False
+        st_chg = pc.and_(
+            both,
+            pc.fill_null(
+                pc.not_equal(t.column("old_status"), t.column("new_status")), False
+            ),
+        )
+        pr_chg = pc.and_(
+            both,
+            pc.fill_null(
+                pc.not_equal(
+                    t.column("old_price_x100"), t.column("new_price_x100")
+                ),
+                False,
+            ),
+        )
+        keep = pc.or_(pc.invert(both), pc.or_(st_chg, pr_chg))
+        t2 = pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "diff_status": pc.if_else(
+                    pc.invert(o_ok),
+                    pa.scalar("added"),
+                    pc.if_else(
+                        pc.invert(n_ok), pa.scalar("removed"), pa.scalar("changed")
+                    ),
+                ),
+                "status_changed": st_chg.cast(pa.int64()),
+                "price_changed": pr_chg.cast(pa.int64()),
+            }
+        )
+        return t2.filter(keep)
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+def _pc_mod(arr, m: int):
+    """Arrow has no modulo kernel; n mod m for non-negative int64 via
+    n - (n/m)*m (integer division truncates toward zero)."""
+    q = pc.divide(arr, pa.scalar(m, pa.int64()))
+    return pc.subtract(arr, pc.multiply(q, pa.scalar(m, pa.int64())))

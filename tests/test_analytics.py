@@ -631,3 +631,29 @@ def test_user_scd2_history_collapses_runs(ray_session):
     u2 = out[out.user_id == 2]
     assert list(u2.event_type) == ["x", "y"]
     assert list(u2.valid_to_us) == [60, SCD2_HIGH_US]
+
+
+def test_orders_snapshot_diff_classification(ray_session):
+    """Snapshot diff emits ONLY differing rows with the right class:
+    right-only -> added, left-only -> removed, value drift -> changed
+    with per-column flags; identical matched rows are dropped."""
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import (
+        orders_snapshot_diff,
+    )
+
+    out = orders_snapshot_diff("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {
+        "o_orderkey", "diff_status", "status_changed", "price_changed",
+    }
+    assert set(out.diff_status) <= {"added", "removed", "changed"}
+    # snapshots are modulus-derived: every removed key is ≡0 mod 97 of the
+    # new filter domain; every added key is ≡3 mod 101; changed = 89|key
+    added = out[out.diff_status == "added"]
+    removed = out[out.diff_status == "removed"]
+    changed = out[out.diff_status == "changed"]
+    assert (removed.o_orderkey % 101 == 3).all()
+    assert (added.o_orderkey % 97 == 0).all()
+    assert (changed.o_orderkey % 89 == 0).all()
+    assert (changed.price_changed == 1).all()
+    assert (changed.status_changed == 0).all()
+    assert len(added) and len(removed) and len(changed)
