@@ -1013,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": A.user_event_gaps,
         "user_scd2_history": A.user_scd2_history,
         "orders_snapshot_diff": A.orders_snapshot_diff,
+        "user_activity_islands": A.user_activity_islands,
         "quantity_mode_by_flag": A.quantity_mode_by_flag,
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
@@ -2150,6 +2151,43 @@ def oracle_sql() -> dict[str, str]:
                        9223372036854775807) AS valid_to_us,
                    n_rows
             FROM g
+        """,
+        # user_activity_islands mirror: variable-interval gaps-and-islands —
+        # running MAX(e) over the (s, event_id) total order detects island
+        # starts; touching intervals merge (strict > test)
+        "user_activity_islands": """
+            WITH iv AS (
+                SELECT user_id, event_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                         + CAST(ROUND(value*100) AS BIGINT)*600000 AS e
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, event_id, s, e,
+                       MAX(e) OVER (
+                           PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ),
+            fl AS (
+                SELECT user_id, event_id, s, e,
+                       CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END AS new_island
+                FROM m
+            ),
+            isl AS (
+                SELECT user_id, s, e,
+                       SUM(new_island) OVER (
+                           PARTITION BY user_id
+                           ORDER BY s, event_id) AS island_id
+                FROM fl
+            )
+            SELECT user_id,
+                   MIN(s) AS island_start_us,
+                   MAX(e) AS island_end_us,
+                   COUNT(*) AS n_events
+            FROM isl GROUP BY user_id, island_id
         """,
         # orders_snapshot_diff mirror: data reconciliation — both snapshots
         # are the same deterministic derivations of orders, FULL OUTER

@@ -2025,3 +2025,60 @@ def _pc_mod(arr, m: int):
     n - (n/m)*m (integer division truncates toward zero)."""
     q = pc.divide(arr, pa.scalar(m, pa.int64()))
     return pc.subtract(arr, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+def user_activity_islands(sf_dir: str):
+    """Variable-length interval merge (gaps-and-islands over true
+    intervals — distinct from fixed-gap sessionization in
+    :func:`user_sessions`): each event opens an activity interval
+    ``[ts, ts + value minutes]``; overlapping or touching intervals per
+    user coalesce into one island. ONE hash exchange on the user; island
+    detection is a vectorized running-max inside each collocated group.
+    Duration scaling is exact integer math (``round(value*100) * 600000``
+    us) so the SQL mirror agrees bit-for-bit."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        s = _ts_us(t.column("ts"))
+        dur = pc.multiply(
+            pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)))
+            .cast(pa.int64()),
+            pa.scalar(600_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "s": s,
+                "e": pc.add(s, dur),
+            }
+        )
+
+    return (
+        ds.map_batches(to_iv, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_interval_merge, batch_format="pandas")
+    )
+
+
+def _interval_merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Coalesce one user's sorted intervals: a new island starts when the
+    interval opens strictly after the running max end of everything
+    before it (touching intervals merge)."""
+    g = g.sort_values(["s", "event_id"], kind="mergesort")
+    s = g["s"].to_numpy()
+    e = g["e"].to_numpy()
+    cummax = np.maximum.accumulate(e)
+    new_island = np.empty(len(g), dtype=bool)
+    new_island[0] = True
+    new_island[1:] = s[1:] > cummax[:-1]
+    starts = np.flatnonzero(new_island)
+    ends = np.append(starts[1:], len(g))
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(starts), g["user_id"].iloc[0], dtype=np.int64),
+            "island_start_us": s[starts],
+            "island_end_us": cummax[ends - 1],
+            "n_events": (ends - starts).astype(np.int64),
+        }
+    )

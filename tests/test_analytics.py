@@ -657,3 +657,36 @@ def test_orders_snapshot_diff_classification(ray_session):
     assert (changed.price_changed == 1).all()
     assert (changed.status_changed == 0).all()
     assert len(added) and len(removed) and len(changed)
+
+
+def test_interval_merge_touching_and_contained(ray_session):
+    """Interval coalescing edges: touching intervals merge (end == next
+    start), contained intervals don't extend the island, and a strictly
+    later start opens a new island even when an EARLIER interval's end
+    was the running max (cummax, not last-end, is the comparison
+    basis)."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import _interval_merge
+
+    df = pd.DataFrame(
+        {
+            "user_id": [7] * 5,
+            "event_id": [1, 2, 3, 4, 5],
+            #        long first interval; contained; touching; gap; new
+            "s":     [0,   10,  100, 101, 500],
+            "e":     [100, 20,  101, 300, 600],
+        }
+    )
+    out = (
+        ray.data.from_pandas(df)
+        .groupby("user_id")
+        .map_groups(_interval_merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("island_start_us")
+        .reset_index(drop=True)
+    )
+    assert list(out.island_start_us) == [0, 500]
+    assert list(out.island_end_us) == [300, 600]
+    assert list(out.n_events) == [4, 1]
