@@ -882,6 +882,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return corpus.pack_sequences(ds, seq_len=2048, num_buckets=8)
 
+    def chunk_docs(sf_dir: str):
+        # RAG chunking: 64-token windows, stride 48 (16-token overlap) —
+        # embarrassingly parallel expansion, no exchange
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return corpus.chunk_documents(ds, chunk_tokens=64, stride=48)
+
     def split_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id"])
         return corpus.split_assignments(
@@ -983,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignments": shard_assignments,
         "quota_sample_by_lang": quota_sample_by_lang,
         "pack_sequences": pack_sequences_docs,
+        "chunk_docs": chunk_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "split_docs": split_docs,
         "redact_docs": redact_docs,
@@ -1729,6 +1736,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(cum AS BIGINT) AS cum_tokens
             FROM c WHERE cum <= 5000
+        """,
+        # chunk_docs mirror: RAG windowing — DuckDB list slicing over the
+        # same single-space tokenization; 1-based inclusive slice bounds,
+        # integer ceil for the chunk count, LATERAL series per doc
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            ct AS (
+                SELECT doc_id, t, n,
+                       unnest(range(1 + (GREATEST(n - 64, 0) + 47) // 48)) AS i
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(LEAST(n - i*48, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       t[i*48 + 1 : LEAST(i*48 + 64, n)], ' '
+                   ) AS chunk_text
+            FROM ct
         """,
         # pack_sequences mirror: the engine's two-pass distributed prefix
         # sum must equal the sequential window scan exactly

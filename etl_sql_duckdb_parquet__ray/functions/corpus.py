@@ -383,3 +383,72 @@ def sample_n_per_group(
         .groupby(group_col)
         .map_groups(head_n, batch_format="pandas")
     )
+
+
+def chunk_documents(
+    docs_ds,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAG-style document chunking with overlap: split each document's
+    token stream (single-space tokenization, the corpus convention shared
+    with ``doc_token_stats``) into windows of ``chunk_tokens`` advancing
+    by ``stride`` (< chunk_tokens ⇒ overlapping context windows). A
+    document with ≤ ``chunk_tokens`` tokens yields exactly one chunk.
+
+    Embarrassingly parallel — no exchange at all: each batch expands
+    independently inside ``map_batches``. The expansion is fully
+    vectorized: one Arrow ``split_pattern`` per batch, window token
+    indices built with the repeat/cumsum trick, one ``take`` gather, one
+    ``binary_join`` to re-join chunk text. Output: (doc_id, chunk_idx,
+    n_tokens, chunk_text).
+
+    At 100 TB this is the standard pre-embedding fan-out stage; output
+    rows ≈ rows × ceil(tokens/stride), so downstream batch sizes should
+    be divided accordingly."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}")
+
+    def expand(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ").combine_chunks()
+        n = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # chunks per doc: 1 + ceil(max(n - C, 0) / S)
+        extra = np.maximum(n - chunk_tokens, 0)
+        n_chunks = 1 + (extra + stride - 1) // stride
+        doc_rep = np.repeat(np.arange(len(n)), n_chunks)
+        # chunk_idx within each doc (0..n_chunks-1), vectorized
+        total = int(n_chunks.sum())
+        chunk_idx = np.arange(total) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        tok_start = chunk_idx * stride
+        tok_len = np.minimum(n[doc_rep] - tok_start, chunk_tokens)
+        # gather indices into the FLAT token values: doc list offset +
+        # window start + intra-window arange (repeat/cumsum trick)
+        doc_off = toks.offsets.to_numpy(zero_copy_only=False)[:-1].astype(np.int64)
+        starts_flat = doc_off[doc_rep] + tok_start
+        m = int(tok_len.sum())
+        intra = np.arange(m) - np.repeat(np.cumsum(tok_len) - tok_len, tok_len)
+        gather = np.repeat(starts_flat, tok_len) + intra
+        flat = toks.values.take(pa.array(gather, pa.int64()))
+        new_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(tok_len, out=new_off[1:])
+        # per-batch token count is bounded by batch_size × doc length —
+        # far under 2^31; a LargeList branch would be dead code here
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()), flat
+        )
+        return pa.table(
+            {
+                id_col: pc.take(t.column(id_col), pa.array(doc_rep, pa.int64())),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "n_tokens": pa.array(tok_len, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_lists, pa.scalar(" ")),
+            }
+        )
+
+    return docs_ds.map_batches(expand, batch_format="pyarrow")

@@ -213,3 +213,45 @@ def test_sample_n_per_group_exact_and_deterministic(ray_session):
         for r in corpus.sample_n_per_group(ds, "lang", n=5, seed=7).take_all()
     )
     assert out1 != out3  # a different seed picks a different sample
+
+
+def test_chunk_documents_overlap_and_edges(ray_session):
+    """Chunk windows: a short doc yields ONE chunk; a doc of exactly
+    chunk_tokens yields one; one token past that opens a second window;
+    overlapping windows share the stride-overlap suffix/prefix; token
+    counts and reassembled text are exact."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions import corpus
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c",                                # short: 1 chunk
+                " ".join(f"t{i}" for i in range(8)),    # == C: 1 chunk
+                " ".join(f"w{i}" for i in range(11)),   # C+3: 2 chunks
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    out = (
+        corpus.chunk_documents(ds, chunk_tokens=8, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "a b c" and d1.iloc[0].n_tokens == 3
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_tokens == 8
+    d3 = out[out.doc_id == 3].reset_index(drop=True)
+    assert len(d3) == 2
+    assert d3.iloc[0].chunk_text == " ".join(f"w{i}" for i in range(8))
+    # second window starts at stride=4: w4..w10 (7 tokens)
+    assert d3.iloc[1].chunk_text == " ".join(f"w{i}" for i in range(4, 11))
+    assert list(d3.n_tokens) == [8, 7]
+    # overlap region w4..w7 appears in both windows
+    assert d3.iloc[0].chunk_text.endswith("w4 w5 w6 w7")
+    assert d3.iloc[1].chunk_text.startswith("w4 w5 w6 w7")
