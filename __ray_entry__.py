@@ -278,6 +278,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(stats, batch_format="pyarrow")
 
+    def doc_token_stats_orc(sf_dir: str):
+        # ORC interchange path: documents -> sharded ORC (write_orc, one
+        # content-addressed file per block) -> read_orc (per-file pyarrow
+        # ORC reader tasks, projection pushed into the reader) -> same
+        # vectorized token stats. Oracled by the doc_token_stats SQL —
+        # the ORC hop must be value-lossless.
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.sources.ingest import read_orc, write_orc
+
+        oc = _orc_cache.get(sf_dir)
+        if oc is None:
+            oc = tempfile.mkdtemp(prefix="orc-", dir="/tmp")
+            write_orc(
+                read_table(sf_dir, "documents", ["doc_id", "n_chars", "text"]), oc
+            )
+            _orc_cache[sf_dir] = oc
+        ds = read_orc(oc, columns=["doc_id", "n_chars", "text"])
+
+        def stats(t):
+            import pyarrow as pa
+
+            n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(
+                pa.int64()
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_chars": t.column("n_chars"),
+                    "n_tokens": n_tok,
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
     def clean_docs(sf_dir: str):
         # canonical corpus cleanup (control-char strip, whitespace
         # collapse, paragraph-preserving newline squeeze, trim) — pure
@@ -601,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     _encoded_cache: dict[str, str] = {}
     _jsonl_cache: dict[str, str] = {}
+    _orc_cache: dict[str, str] = {}
 
     def _encoded_transcripts_dir(sf_dir: str) -> str:
         # the three encoded-corpus queries (conv_stats / text_search /
@@ -943,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash_docs": incremental_minhash_docs,
         "clean_docs": clean_docs,
         "doc_token_stats_jsonl": doc_token_stats_jsonl,
+        "doc_token_stats_orc": doc_token_stats_orc,
         "multimodal_thumbnails": multimodal_thumbnails,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
@@ -1414,6 +1451,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same mirror as doc_token_stats: the JSONL hop must be lossless
         "doc_token_stats_jsonl": """
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        # same mirror again: the ORC hop must be lossless
+        "doc_token_stats_orc": """
             SELECT doc_id, n_chars,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents

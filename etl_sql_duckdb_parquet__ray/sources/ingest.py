@@ -98,3 +98,89 @@ def ingest_file(path: str, ingested_at: str, sep: str | None = None):
     return add_audit_columns(
         read_delimited(path, sep), os.path.basename(path), ingested_at
     )
+
+
+def write_orc(ds, out_dir: str, prefix: str = "part"):
+    """Dataset -> sharded ORC directory (interchange with Hive/Spark
+    estates, which still ship ORC heavily). One ORC file per input block,
+    written inside the map task — the driver never sees data, only the
+    returned (path, rows) manifest. File names are content-addressed
+    (block row-hash) so a re-run over identical input is idempotent
+    rather than accumulating duplicates."""
+    import os
+
+    import pyarrow.orc as orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import os
+
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            t.to_pandas(), index=False
+        ).to_numpy().sum()  # wrapping uint64 sum — order-stable per block
+        path = os.path.join(out_dir, f"{prefix}-{int(h) & 0xFFFFFFFFFFFFFFFF:016x}.orc")
+        tmp = path + ".tmp"
+        orc.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic: readers never see partial files
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    # batch_size=None -> one task per block; the manifest is tiny
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+
+
+def read_orc(paths, columns: list[str] | None = None):
+    """ORC -> Dataset (Ray 2.49 has no ``read_orc``; this is the
+    idiomatic substitute): expand the path list driver-side (names only),
+    then ONE map task per file decodes its stripes with
+    ``pyarrow.orc.read_table`` — column projection is pushed into the ORC
+    reader so unrequested columns never leave storage. Column names get
+    the same normalization as ``read_delimited`` (reference M5)."""
+    import os
+
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".orc")
+            )
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no .orc files under {paths}")
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        tables = []
+        for path in batch.column("path").to_pylist():
+            f = orc.ORCFile(path)
+            orig = f.schema.names
+            if columns is not None:
+                # projection is requested in NORMALIZED names; the file may
+                # carry unnormalized ones — map back before the reader
+                by_norm = {n.strip().lower(): n for n in orig}
+                sel = [by_norm.get(c, c) for c in columns]
+            else:
+                sel = None
+            t = f.read(columns=sel)
+            norm = [n.strip().lower() for n in t.column_names]
+            if norm != t.column_names:
+                t = t.rename_columns(norm)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    src = ray.data.from_items([{"path": f} for f in files])
+    # batch_size=1 -> per-file tasks (per-stripe splitting would need a
+    # custom Datasource; files are the shard unit here)
+    return src.map_batches(read_file, batch_format="pyarrow", batch_size=1)

@@ -62,3 +62,46 @@ def test_write_parquet_uri_scheme(ray_session, tmp_path):
     ds.write_parquet(f"file://{dest}")
     back = ray.data.read_parquet(dest).count()
     assert back == 1000
+
+
+def test_orc_roundtrip_and_projection(ray_session, tmp_path):
+    """ORC interchange: write sharded ORC, read back losslessly; column
+    projection returns only requested columns; idempotent re-write does
+    not duplicate files (content-addressed names)."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.sources.ingest import read_orc, write_orc
+
+    df = pd.DataFrame(
+        {
+            "ID": [1, 2, 3, 4],           # name normalization: ID -> id
+            "txt": ["a", "b", None, "d"],
+            "val": [1.5, 2.5, 3.5, None],
+        }
+    )
+    out = str(tmp_path / "orc")
+    man1 = write_orc(ray.data.from_pandas(df), out)
+    assert man1["rows"].sum() == 4
+    files1 = sorted(os.listdir(out))
+
+    back = (
+        read_orc(out)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == ["id", "txt", "val"]
+    pd.testing.assert_series_equal(
+        back["txt"], df["txt"].rename("txt"), check_names=False
+    )
+
+    # projection pushdown: only requested columns come back
+    proj = read_orc(out, columns=["id"]).to_pandas()
+    assert list(proj.columns) == ["id"] and len(proj) == 4
+
+    # idempotent rewrite: same content -> same file names, no growth
+    write_orc(ray.data.from_pandas(df), out)
+    assert sorted(os.listdir(out)) == files1
