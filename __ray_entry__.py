@@ -213,6 +213,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         drop_column(out, "tool")
         return decode_dataset(out)
 
+    def transcript_rename(sf_dir: str):
+        # schema evolution: metadata-only RENAME COLUMN — encode, rename
+        # role->speaker and tool->tool_name (one _schema.json write, no
+        # data rewrite), decode the full corpus. Hash-checked against the
+        # roundtrip mirror with the aliases applied in SQL.
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset,
+            encode_transcripts,
+            rename_column,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="rtrn-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        rename_column(out, "role", "speaker")
+        rename_column(out, "tool", "tool_name")
+        return decode_dataset(out)
+
     def supplier_name_ed1_pairs(sf_dir: str):
         # fuzzy self-join: distinct supplier-name pairs within edit
         # distance 1 via SymSpell deletion-neighborhood blocking —
@@ -996,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_drop_column": transcript_drop_column,
+        "transcript_rename": transcript_rename,
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
@@ -1672,6 +1696,26 @@ def oracle_sql() -> dict[str, str]:
                    ts
             FROM (
                 SELECT user_id, event_id, ts, props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events) t
+        """,
+        # rename mirror: the same roundtrip derivation with the SQL
+        # aliases the metadata rename presents (role->speaker,
+        # tool->tool_name); values must be bit-identical
+        "transcript_rename": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   CAST(rn - 1 AS INTEGER) AS turn_idx,
+                   CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                     WHEN 1 THEN 'assistant'
+                                     WHEN 2 THEN 'system'
+                                     ELSE 'tool' END AS speaker,
+                   COALESCE(props, '') AS text,
+                   CASE WHEN (rn - 1) % 4 = 3 THEN event_type END AS tool_name,
+                   ts
+            FROM (
+                SELECT user_id, event_id, ts, event_type, props,
                        ROW_NUMBER() OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                        ) AS rn

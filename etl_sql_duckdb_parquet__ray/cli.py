@@ -288,6 +288,17 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_rename_column(args) -> int:
+    """RENAME COLUMN over an encoded corpus: metadata-only (one schema-
+    file write, no data rewrite); every decode presents the new name and
+    the old name stops resolving."""
+    from .pipelines.encode import rename_column
+
+    info = rename_column(args.input, args.old, args.new)
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     _ray()
     import ray
@@ -422,6 +433,7 @@ def cmd_describe(args) -> int:
     meta = load_run_meta(args.encoded) or {}
     from .pipelines.deletes import load_deleted_convs
     from .pipelines.encode import load_dropped_columns as _dropped
+    from .pipelines.encode import load_renames as _renames
 
     out = {
         "buckets": len(recs),
@@ -435,6 +447,8 @@ def cmd_describe(args) -> int:
         # base columns hidden by metadata-only DROP (drop_column); still
         # physically present until a purge/compaction rewrite
         "dropped_columns": _dropped(args.encoded),
+        # stored -> visible display renames (rename_column, metadata-only)
+        "renamed_columns": _renames(args.encoded),
         "codecs_first_chunk": {
             c["name"]: c["meta"]["codec"] for c in header["columns"]
         },
@@ -613,6 +627,16 @@ def main(argv=None) -> int:
     dc.add_argument("--input", required=True, help="encoded dir")
     dc.add_argument("--name", required=True, help="column to drop")
     dc.set_defaults(fn=cmd_drop_column)
+
+    rn = sub.add_parser(
+        "rename-column",
+        help="rename a base column of an encoded corpus (metadata-only; "
+             "survives purge/compaction)",
+    )
+    rn.add_argument("--input", required=True, help="encoded dir")
+    rn.add_argument("--old", required=True, help="current (visible) name")
+    rn.add_argument("--new", required=True, help="new name")
+    rn.set_defaults(fn=cmd_rename_column)
 
     ab = sub.add_parser(
         "ann-build", help="build a persisted ANN index over an embeddings dir"

@@ -112,10 +112,15 @@ def purge_deleted(out_dir: str, dest_dir: str, **encode_kw) -> dict:
     corpus carries no ``_deletes.parquet``; the source dir is untouched
     (swap/retire is the caller's call — keeps the operation resumable and
     the old corpus readable until the new manifest is complete)."""
-    from .encode import decode_dataset, encode_transcripts
+    from .encode import carry_renames, decode_dataset, encode_transcripts
 
     n_dead = len(load_deleted_convs(out_dir))
-    stats = encode_transcripts(decode_dataset(out_dir), dest_dir, **encode_kw)
+    stats = encode_transcripts(
+        decode_dataset(out_dir, _raw_names=True), dest_dir, **encode_kw
+    )
+    # renames are presentation metadata — carry them; dropped columns were
+    # excluded by the decode, so the new corpus needs no dropped list
+    carry_renames(out_dir, dest_dir)
     return {"n_tombstoned_convs": n_dead, "encode": stats}
 
 

@@ -1101,6 +1101,139 @@ def load_dropped_columns(out_dir: str) -> list[str]:
         return sorted(_json.load(f).get("dropped", []))
 
 
+def load_renames(out_dir: str) -> dict:
+    """Base-column renames for this corpus (metadata-only DDL — see
+    :func:`rename_column`): mapping STORED name -> VISIBLE name. Empty
+    when none / no schema file."""
+    import json as _json
+
+    path = schema_meta_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return dict(_json.load(f).get("renamed", {}))
+
+
+def rename_column(out_dir: str, old: str, new: str,
+                  lock_timeout: float = 10.0) -> dict:
+    """Schema evolution: RENAME COLUMN without rewriting the corpus —
+    metadata-only, like :func:`drop_column`'s base case. The mapping
+    (stored name -> visible name) lives in ``_schema.json`` under the
+    same O_EXCL lock discipline; every ``decode_dataset`` path then
+    presents the visible name: full scans and projections return it,
+    ``columns=`` requests are translated back to the stored name before
+    planning, and the old name stops resolving (consistent reads — a
+    corpus must never answer to both names).
+
+    Scope rules:
+    - ``conv_id`` / ``turn_idx`` are structural (ordering, point-lookup
+      planning, tombstone filtering) — not renamable, and not usable as
+      targets.
+    - Only BASE chunk columns rename; a derived sidecar column is its own
+      file set keyed by name — drop and re-derive it instead.
+    - The target must not collide with any visible base column, any
+      stored base column (even one renamed away — ``columns=`` requests
+      must stay unambiguous), or any sidecar column.
+    - Renaming a renamed column composes (stored key stays the original
+      physical name); renaming back to the stored name clears the entry.
+
+    Physical rewrites (``purge_deleted`` / ``compact``) read with
+    ``_raw_names=True`` and carry the mapping forward, so renames survive
+    compaction without ever forcing a data rewrite themselves."""
+    import json as _json
+
+    from ._lockfile import excl_lock
+
+    structural = ("conv_id", "turn_idx")
+    if old in structural or new in structural:
+        raise ValueError(
+            f"conv_id/turn_idx are structural and cannot participate in a "
+            f"rename (got {old!r} -> {new!r})"
+        )
+    if old == new:
+        raise ValueError(f"rename {old!r} -> {new!r} is a no-op")
+    records = load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    base_cols = set(_base_chunk_columns(records))
+    sidecars = _sidecar_column_names(out_dir)
+    if old in sidecars:
+        raise ValueError(
+            f"{old!r} is a derived sidecar column — its files are keyed "
+            "by name; drop_column + derive_column under the new name "
+            "instead of renaming"
+        )
+    path = schema_meta_path(out_dir)
+    with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
+        meta: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = _json.load(f)
+        renames: dict = dict(meta.get("renamed", {}))
+        dropped = set(meta.get("dropped", []))
+        visible = {renames.get(c, c) for c in base_cols if c not in dropped}
+        if old not in visible:
+            raise ValueError(
+                f"column {old!r} not visible in this corpus (visible base "
+                f"columns: {sorted(visible)})"
+            )
+        stored = next(s for s in base_cols if renames.get(s, s) == old)
+        # new == stored means "rename back to the physical name" — always
+        # legal (it clears the mapping); anything else must not collide
+        if new != stored and (
+            new in visible or new in base_cols or new in sidecars
+        ):
+            raise ValueError(
+                f"rename target {new!r} collides with an existing column "
+                "(visible, stored or sidecar) — reads would be ambiguous"
+            )
+        if new == stored:
+            renames.pop(stored, None)  # renamed back to the physical name
+        else:
+            renames[stored] = new
+        meta["renamed"] = renames
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, path)
+    return {"stored": stored, "visible": renames.get(stored, stored),
+            "renamed": renames}
+
+
+def carry_renames(src_dir: str, dest_dir: str) -> None:
+    """Copy a corpus's rename mapping onto a physically rewritten copy
+    (purge/compact): renames are presentation metadata and must survive
+    rewrites that decode with ``_raw_names=True``."""
+    import json as _json
+
+    renames = load_renames(src_dir)
+    if not renames:
+        return
+    path = schema_meta_path(dest_dir)
+    meta: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            meta = _json.load(f)
+    meta["renamed"] = renames
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _sidecar_column_names(out_dir: str) -> set:
+    """Names of all derived sidecar columns present in this corpus (one
+    glob over the record files — metadata only)."""
+    import glob as _glob
+
+    names = set()
+    for p in _glob.glob(os.path.join(out_dir, "column-*-[0-9]*.json")):
+        base = os.path.basename(p)
+        # column-<name>-<NNNNN>.json; <name> may itself contain dashes
+        names.add(base[len("column-"):base.rindex("-")])
+    return names
+
+
 def drop_column(out_dir: str, name: str, lock_timeout: float = 10.0) -> dict:
     """Schema evolution: DROP COLUMN without rewriting the corpus — the
     inverse of :func:`derive_column` and the columnar-engine analog of the
@@ -1139,6 +1272,18 @@ def drop_column(out_dir: str, name: str, lock_timeout: float = 10.0) -> dict:
     records = load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    # renamed columns drop by their VISIBLE name; the stored (old) name of
+    # a renamed column no longer resolves — same consistency rule as reads
+    renames = load_renames(out_dir)
+    if renames:
+        inv = {v: s for s, v in renames.items()}
+        if name in inv:
+            name = inv[name]
+        elif name in renames:
+            raise ValueError(
+                f"column {name!r} was renamed to {renames[name]!r}; drop "
+                "it by its current name"
+            )
     # sidecar? delete its files — physical and complete
     n_files = 0
     for r in records:
@@ -1196,11 +1341,14 @@ def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
     # scans return the original — inconsistent reads for the same corpus
     # (ADVICE r3). Validate against the actual base chunk schema.
     base_cols = _base_chunk_columns(records)
-    if name in base_cols:
+    visible = sorted(
+        {load_renames(out_dir).get(c, c) for c in base_cols} | set(base_cols)
+    )
+    if name in visible:
         raise ValueError(
             f"derived column {name!r} collides with a base column of this "
-            f"corpus ({base_cols}); pick a new name — sidecars must not "
-            "shadow stored columns"
+            f"corpus (stored or renamed: {visible}); pick a new name — "
+            "sidecars must not shadow stored columns"
         )
     items = ray.data.from_items(
         [{"bucket": r["bucket"], "path": r["path"]} for r in records]
@@ -1404,6 +1552,7 @@ def decode_dataset(
     tool_eq: str | None = None,
     conv_ids: Sequence[str] | None = None,
     col_ranges: dict | None = None,
+    _raw_names: bool = False,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
 
@@ -1441,6 +1590,13 @@ def decode_dataset(
     it away (per-column offsets mean its payload is never read), and an
     explicit ``columns=`` request or pushdown predicate naming it raises.
 
+    Renamed columns: a base column renamed by :func:`rename_column` is
+    presented under its visible name everywhere; ``columns=`` and
+    ``col_ranges`` requests in the visible name are translated to the
+    stored name before planning, and the stored (old) name raises. The
+    fixed-semantics predicates (``role_eq``/``tool_eq``/``text_contains``)
+    keep addressing the role/tool/text columns whatever they are named.
+
     Tombstones: when the corpus has a ``_deletes.parquet``
     (``pipelines.deletes.delete_convs``), every path above additionally
     anti-filters the deleted conversations (broadcast ``is_in`` per batch,
@@ -1449,6 +1605,43 @@ def decode_dataset(
     import ray
 
     from .deletes import load_deleted_convs, tombstone_filter
+
+    # renamed base columns (metadata-only DDL — rename_column): requests
+    # arrive in VISIBLE names and are translated to stored names before
+    # planning; outputs are renamed back at the end. A stored name that
+    # has been renamed away no longer resolves (consistent reads).
+    # ``_raw_names=True`` (purge/compact internals) disables both sides so
+    # physical rewrites see the stored schema.
+    renames = {} if _raw_names else load_renames(out_dir)
+    if renames:
+        inv = {v: s for s, v in renames.items()}
+
+        def _to_stored(c: str) -> str:
+            if c in inv:
+                return inv[c]
+            if c in renames:
+                raise ValueError(
+                    f"column {c!r} was renamed to {renames[c]!r} "
+                    "(rename_column); request it by its current name"
+                )
+            return c
+
+        if columns is not None:
+            columns = [_to_stored(c) for c in columns]
+        if col_ranges is not None:
+            col_ranges = {_to_stored(c): b for c, b in col_ranges.items()}
+
+    def _present(ds):
+        """stored -> visible names on the way out (zero-copy rename)."""
+        if not renames:
+            return ds
+
+        def rb(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [renames.get(c, c) for c in t.column_names]
+            )
+
+        return ds.map_batches(rb, batch_format="pyarrow")
 
     # dropped base columns (metadata-only DDL — drop_column): every read
     # path must exclude them. Explicit requests and pushdown predicates on
@@ -1525,9 +1718,9 @@ def decode_dataset(
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
         paths = ray.data.from_items([{"path": r["path"]} for r in records])
-        return _with_tombstones(paths.map_batches(
+        return _present(_with_tombstones(paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
-        ))
+        )))
     plan = [] if force_empty_plan else plan_chunks(
         out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
         text_contains, role_eq, tool_eq, conv_ids, col_ranges)
@@ -1545,17 +1738,20 @@ def decode_dataset(
         cols = [c for c in cols if c not in drop_helper]
         if all(c in canon for c in cols):
             return ray.data.from_arrow(
-                pa.table({c: pa.array([], type=canon[c]) for c in cols})
+                pa.table(
+                    {renames.get(c, c): pa.array([], type=canon[c])
+                     for c in cols}
+                )
             )
         return ray.data.from_items([]).map_batches(lambda t: t)
     items = ray.data.from_items(plan)
-    return _with_tombstones(items.map_batches(
+    return _present(_with_tombstones(items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
                          text_contains, role_eq, tool_eq, conv_ids,
                          col_ranges),
         batch_format="pyarrow",
         batch_size=1,
-    ))
+    )))
 
 
 def roundtrip_ok(input_ds, out_dir: str) -> bool:

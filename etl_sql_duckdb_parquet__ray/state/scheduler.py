@@ -215,10 +215,20 @@ def compact(encoded_dirs: list[str], out_dir: str, num_buckets: int = 32, **kw):
     contiguous again — point lookups go back to touching one chunk, and
     per-chunk FSST/dict tables retrain on the full corpus (better ratio
     than many small tick-sized tables). Stream-decode -> re-encode; the
-    usual resume semantics apply to the output dir."""
-    from ..pipelines.encode import decode_dataset, encode_transcripts
+    usual resume semantics apply to the output dir.
 
-    ds = decode_dataset(encoded_dirs[0])
+    Renamed columns (``rename_column``): the physical rewrite decodes
+    STORED names (``_raw_names=True`` — dirs may disagree on renames; the
+    stored schema is the common ground) and the BASE dir's rename mapping
+    is carried onto the compacted output, so display names survive
+    compaction without forcing this rewrite to materialize them."""
+    from ..pipelines.encode import (
+        carry_renames, decode_dataset, encode_transcripts,
+    )
+
+    ds = decode_dataset(encoded_dirs[0], _raw_names=True)
     for d in encoded_dirs[1:]:
-        ds = ds.union(decode_dataset(d))
-    return encode_transcripts(ds, out_dir, num_buckets=num_buckets, **kw)
+        ds = ds.union(decode_dataset(d, _raw_names=True))
+    stats = encode_transcripts(ds, out_dir, num_buckets=num_buckets, **kw)
+    carry_renames(encoded_dirs[0], out_dir)
+    return stats
