@@ -1082,6 +1082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_scd2_history": A.user_scd2_history,
         "orders_snapshot_diff": A.orders_snapshot_diff,
         "user_activity_islands": A.user_activity_islands,
+        "customer_first_last_order": A.customer_first_last_order,
+        "price_equidepth_hist": A.price_equidepth_hist,
         "quantity_mode_by_flag": A.quantity_mode_by_flag,
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
@@ -2267,6 +2269,48 @@ def oracle_sql() -> dict[str, str]:
                        9223372036854775807) AS valid_to_us,
                    n_rows
             FROM g
+        """,
+        # price_equidepth_hist mirror: edges are quantile_disc order
+        # statistics (the engine's exact_quantiles is bit-parity with
+        # DuckDB's); bin = count of edges strictly below the value
+        "price_equidepth_hist": """
+            WITH e AS (
+                SELECT quantile_disc(l_extendedprice,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS ed
+                FROM lineitem
+            )
+            SELECT bin, COUNT(*) AS n FROM (
+                SELECT CAST(
+                      CASE WHEN l.l_extendedprice > ed[1] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[2] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[3] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[4] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[5] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[6] THEN 1 ELSE 0 END
+                    + CASE WHEN l.l_extendedprice > ed[7] THEN 1 ELSE 0 END
+                    AS BIGINT) AS bin
+                FROM lineitem l, e
+            ) GROUP BY bin
+        """,
+        # customer_first_last_order mirror: FIRST_VALUE/LAST_VALUE over the
+        # (o_orderdate, o_orderkey) total order — the window frame must be
+        # UNBOUNDED..UNBOUNDED for LAST_VALUE (SQL's default frame stops at
+        # CURRENT ROW); DISTINCT collapses the per-row window output
+        "customer_first_last_order": """
+            SELECT DISTINCT o_custkey,
+                   FIRST_VALUE(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w
+                       AS first_price_x100,
+                   LAST_VALUE(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w
+                       AS last_price_x100,
+                   (MAX(epoch_us(o_orderdate)) OVER w
+                      - MIN(epoch_us(o_orderdate)) OVER w) // 86400000000
+                       AS span_days,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         # user_activity_islands mirror: variable-interval gaps-and-islands —
         # running MAX(e) over the (s, event_id) total order detects island

@@ -2082,3 +2082,68 @@ def _interval_merge(g: pd.DataFrame) -> pd.DataFrame:
             "n_events": (ends - starts).astype(np.int64),
         }
     )
+
+
+def customer_first_last_order(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window surface: each customer's earliest
+    and latest order price (total (o_orderdate, o_orderkey) order), the
+    day span between them, and the order count. One hash exchange on the
+    customer; first/last are O(1) picks off the per-group vectorized
+    sort."""
+    ds = read_table(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "date_us": _ts_us(t.column("o_orderdate")),
+                "p": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    def first_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["date_us", "o_orderkey"], kind="mergesort")
+        d = g["date_us"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "first_price_x100": [int(g["p"].iloc[0])],
+                "last_price_x100": [int(g["p"].iloc[-1])],
+                "span_days": [int((d[-1] - d[0]) // US_PER_DAY)],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(first_last, batch_format="pandas")
+    )
+
+
+def price_equidepth_hist(sf_dir: str, nbins: int = 8):
+    """EQUI-DEPTH histogram (the optimizer-statistics complement of the
+    fixed-width :func:`value_histogram`): bin edges are the exact
+    distributed ``quantile_disc`` order statistics at k/nbins, then one
+    vectorized searchsorted pass counts rows per depth bin — only
+    (bin, count) partials enter the combiner exchange. Bins are equal-
+    population up to duplicate mass at the edges (ties stay with the
+    lower bin on both engines: ``v > edge`` opens the next bin)."""
+    from ..stages.profile import exact_quantiles
+
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [k / nbins for k in range(1, nbins)]
+    edges = np.asarray(exact_quantiles(ds, "l_extendedprice", qs), dtype=np.float64)
+
+    def binit(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("l_extendedprice").drop_null(), dtype=np.float64)
+        # bin = #edges strictly below v (ties -> lower bin, mirrors v > e)
+        return pa.table(
+            {"bin": np.searchsorted(edges, v, side="left").astype(np.int64)}
+        )
+
+    out = ds.map_batches(binit, batch_format="pyarrow").groupby("bin").aggregate(Count())
+    return _rename(out, ["bin", "n"])

@@ -690,3 +690,18 @@ def test_interval_merge_touching_and_contained(ray_session):
     assert list(out.island_start_us) == [0, 500]
     assert list(out.island_end_us) == [300, 600]
     assert list(out.n_events) == [4, 1]
+
+
+def test_equidepth_bins_are_balanced(ray_session):
+    """Equi-depth bins hold ~n/nbins rows each on a continuous column
+    (exact up to duplicate mass at the edges)."""
+    from etl_sql_duckdb_parquet__ray.pipelines.analytics import (
+        price_equidepth_hist,
+    )
+
+    out = price_equidepth_hist("/root/testdata/sf0.001").to_pandas()
+    n = out["n"].sum()
+    assert len(out) == 8
+    # each depth bin within 2% of the ideal population (duplicate ties
+    # can shift a handful of rows across an edge)
+    assert (abs(out["n"] - n / 8) <= max(2, 0.02 * n)).all(), out
