@@ -840,6 +840,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return conv_stats(_encoded_transcripts_dir(sf_dir))
 
+    def transcript_segment_stats(sf_dir: str):
+        # encoded corpus × relational dimension: conv_id-only projection
+        # decode -> per-conv combiner counts -> key derived from conv_id
+        # -> broadcast customer join -> per-segment aggregate
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            segment_engagement,
+        )
+
+        return segment_engagement(_encoded_transcripts_dir(sf_dir), sf_dir)
+
     def transcript_text_search(sf_dir: str):
         from etl_sql_duckdb_parquet__ray.pipelines.flagship import text_search
 
@@ -1020,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_drop_column": transcript_drop_column,
         "transcript_rename": transcript_rename,
+        "transcript_segment_stats": transcript_segment_stats,
         "transcript_proj_pushdown": transcript_proj_pushdown,
         "minhash_dedup_docs": minhash_dedup_docs,
         "supplier_name_ed1_pairs": supplier_name_ed1_pairs,
@@ -1084,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_islands": A.user_activity_islands,
         "customer_first_last_order": A.customer_first_last_order,
         "price_equidepth_hist": A.price_equidepth_hist,
+        "price_winsorized_stats": A.price_winsorized_stats,
         "quantity_mode_by_flag": A.quantity_mode_by_flag,
         "customer_balance_quartiles": A.customer_balance_quartiles,
         "event_order_users_intersect": A.event_order_users_intersect,
@@ -1703,6 +1715,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events) t
         """,
+        # transcript_segment_stats mirror: each user is one conversation
+        # (conv-%08d of user_id), each event one turn; join the customer
+        # dimension and aggregate by segment
+        "transcript_segment_stats": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(SUM(n) AS BIGINT) AS n_turns
+            FROM (SELECT user_id, COUNT(*) AS n
+                  FROM events GROUP BY user_id) u
+            JOIN customer c ON c.c_custkey = u.user_id
+            GROUP BY c_mktsegment
+        """,
         # rename mirror: the same roundtrip derivation with the SQL
         # aliases the metadata rename presents (role->speaker,
         # tool->tool_name); values must be bit-identical
@@ -2269,6 +2293,25 @@ def oracle_sql() -> dict[str, str]:
                        9223372036854775807) AS valid_to_us,
                    n_rows
             FROM g
+        """,
+        # price_winsorized_stats mirror: clip bounds are the same exact
+        # quantile_disc order statistics; money is integer cents (2-decimal
+        # source values — *100 never sits on a .5 rounding boundary)
+        "price_winsorized_stats": """
+            WITH e AS (
+                SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+                       quantile_disc(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(
+                       LEAST(GREATEST(l_extendedprice, lo), hi)*100
+                   ) AS BIGINT)) AS BIGINT) AS win_sum_x100,
+                   CAST(SUM(CASE WHEN l_extendedprice < lo
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+                   CAST(SUM(CASE WHEN l_extendedprice > hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+            FROM lineitem, e
         """,
         # price_equidepth_hist mirror: edges are quantile_disc order
         # statistics (the engine's exact_quantiles is bit-parity with

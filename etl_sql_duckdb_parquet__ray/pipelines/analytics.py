@@ -2147,3 +2147,43 @@ def price_equidepth_hist(sf_dir: str, nbins: int = 8):
 
     out = ds.map_batches(binit, batch_format="pyarrow").groupby("bin").aggregate(Count())
     return _rename(out, ["bin", "n"])
+
+
+def price_winsorized_stats(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
+    """Winsorized aggregate (robust-statistics V-family: trim tail
+    influence before the mean — the standard pre-step for noisy metric
+    columns): clip l_extendedprice at the exact P01/P99 order statistics
+    (distributed ``quantile_disc``, no sort), then one vectorized
+    clip+sum pass — only scalar partials cross the exchange. Money is
+    integer cents on both engines, so the winsorized sum matches the SQL
+    mirror exactly."""
+    from ..stages.profile import exact_quantiles
+
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+    lo, hi = exact_quantiles(ds, "l_extendedprice", [lo_q, hi_q])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("l_extendedprice").drop_null(), dtype=np.float64)
+        w = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "win_sum_x100": pa.array(
+                    [int(np.rint(w * 100).astype(np.int64).sum())], pa.int64()
+                ),
+                "n_clip_lo": pa.array([int((v < lo).sum())], pa.int64()),
+                "n_clip_hi": pa.array([int((v > hi).sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(clip, batch_format="pyarrow").sum(
+        ["n", "win_sum_x100", "n_clip_lo", "n_clip_hi"]
+    )
+    return pa.table(
+        {
+            "n": pa.array([int(agg["sum(n)"])], pa.int64()),
+            "win_sum_x100": pa.array([int(agg["sum(win_sum_x100)"])], pa.int64()),
+            "n_clip_lo": pa.array([int(agg["sum(n_clip_lo)"])], pa.int64()),
+            "n_clip_hi": pa.array([int(agg["sum(n_clip_hi)"])], pa.int64()),
+        }
+    )

@@ -147,3 +147,59 @@ def role_transitions(encoded_dir: str):
         return t.rename_columns(["prev_role", "role", "n_transitions"])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def segment_engagement(encoded_dir: str, sf_dir: str):
+    """Encoded-corpus × relational-dimension integration: per-market-
+    segment engagement stats joining the ENCODED transcript corpus back
+    to the customer dimension. Decode only ``conv_id`` (projection
+    pushdown — no text bytes leave the chunk files), combiner-count turns
+    per conversation, derive the customer key from the conv_id
+    (``conv-%08d`` — vectorized slice+cast, no per-row Python), then ONE
+    broadcast join against the (c_custkey, c_mktsegment) dimension and a
+    tiny per-segment combiner groupby. The 100-TB shape: corpus side
+    streams, dimension side ships once via ``ray.put``."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.relational import broadcast_join, read_arrow
+
+    ds = decode_dataset(encoded_dir, columns=["conv_id"])
+
+    def conv_partial(t: pa.Table) -> pa.Table:
+        # map-side partial count per conv (combiner before the exchange)
+        c = t.column("conv_id")
+        vc = c.value_counts()
+        return pa.table(
+            {
+                "conv_id": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(conv_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n"))
+    )
+
+    def to_key(t: pa.Table) -> pa.Table:
+        # conv-00000042 -> 42 (slice is codeunit-safe: ASCII ids)
+        key = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
+        )
+        return pa.table(
+            {"c_custkey": key, "n_turns": t.column("sum(n)")}
+        )
+
+    dim = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        per_conv.map_batches(to_key, batch_format="pyarrow"), dim, ["c_custkey"]
+    )
+    out = joined.groupby("c_mktsegment").aggregate(Count(), Sum("n_turns"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_mktsegment", "n_convs", "n_turns"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
