@@ -346,6 +346,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return clean_text(ds)
 
+    def bpe_pair_counts(sf_dir: str):
+        # first-iteration BPE pair statistics: char-bigram counts weighted
+        # by word frequency, over the vocabulary-sized word-count table
+        # (functions/bpe.py). Hash-oracled vs the substr × generate_series
+        # SQL mirror.
+        from etl_sql_duckdb_parquet__ray.functions import bpe
+
+        ds = read_table(sf_dir, "documents", ["text"])
+        return bpe.pair_counts_table(bpe.word_frequencies(ds))
+
+    def bpe_token_counts(sf_dir: str):
+        # full BPE pipeline: ONE distributed word-count pass -> driver
+        # merge loop over the vocabulary-sized table (Sennrich 2016) ->
+        # broadcast-apply actor stage with per-actor word cache. Iterative
+        # algorithm — no SQL mirror (rows-only); segmentation properties
+        # (roundtrip, monotonicity, classic-corpus merges) are pytest-pinned
+        # in tests/test_bpe.py.
+        from etl_sql_duckdb_parquet__ray.functions import bpe
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return bpe.bpe_tokenize_counts(ds, num_merges=50)
+
     def incremental_minhash_docs(sf_dir: str):
         # persisted MinHash index on the even-doc_id half of the corpus,
         # then near-dedup the odd half against it (estimated-Jaccard
@@ -1102,6 +1124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_only_customers_except": A.order_only_customers_except,
         "price_mad_by_flag": price_mad_by_flag,
         "corpus_bigrams": corpus_bigrams_docs,
+        "bpe_pair_counts": bpe_pair_counts,
+        "bpe_token_counts": bpe_token_counts,
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "events_prop_k_stats": A.events_prop_k_stats,
@@ -2803,6 +2827,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS bigram, COUNT(*) AS n FROM bg
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # bpe_pair_counts mirror: word frequencies from single-space splits
+        # (string_split(text, ' ') == pc.split_pattern(text, " ")), then
+        # char bigrams per unique word via unnest(generate_series) weighted
+        # by word frequency
+        "bpe_pair_counts": """
+            WITH words AS (
+                SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+                FROM documents
+            ), wf AS (
+                SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w
+            ), iw AS (
+                SELECT w, f,
+                       unnest(generate_series(1, CAST(length(w) AS BIGINT) - 1)) AS i
+                FROM wf
+            )
+            SELECT substr(w, CAST(i AS INT), 1) AS a,
+                   substr(w, CAST(i AS INT) + 1, 1) AS b,
+                   CAST(SUM(f) AS BIGINT) AS freq
+            FROM iw GROUP BY a, b
         """,
         # transcript_role_transitions mirror: LAG window over the derived
         # transcript (role cycles with rn%4), transitions counted within a

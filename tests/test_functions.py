@@ -1375,7 +1375,13 @@ def test_embedding_covariance_and_pca(ray_session):
     cn, mean, cov = embedding_covariance(ds)
     assert cn == n
     np.testing.assert_allclose(mean, Xf.mean(axis=0), rtol=0, atol=1e-9)
-    np.testing.assert_allclose(cov, np.cov(Xf, rowvar=False), rtol=1e-9)
+    # distributed float64 partial sums are summation-ORDER-dependent (block
+    # layout can differ run to run), and near-zero off-diagonal entries make
+    # a pure-rtol check equivalent to exact equality — use a scale-aware atol
+    ref_cov = np.cov(Xf, rowvar=False)
+    np.testing.assert_allclose(
+        cov, ref_cov, rtol=1e-7, atol=1e-9 * np.abs(ref_cov).max()
+    )
 
     k = 4
     proj_ds, w, W, m = pca_project(ds, k=k)
