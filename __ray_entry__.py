@@ -368,6 +368,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return bpe.bpe_tokenize_counts(ds, num_merges=50)
 
+    def window_dup_docs(sf_dir: str):
+        # Lee-et-al-style sliding k-token-window exact substring dedup:
+        # catches copied passages at ANY offset (paragraph_dedup only sees
+        # disjoint block boundaries). Hash-oracled — md5-low-64 window
+        # hashes == DuckDB md5_number_lower over the same window strings.
+        from etl_sql_duckdb_parquet__ray.functions.dedup import (
+            duplicate_window_docs,
+        )
+
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return duplicate_window_docs(ds, k=8)
+
     def incremental_minhash_docs(sf_dir: str):
         # persisted MinHash index on the even-doc_id half of the corpus,
         # then near-dedup the odd half against it (estimated-Jaccard
@@ -1126,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bigrams": corpus_bigrams_docs,
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_token_counts": bpe_token_counts,
+        "window_dup_docs": window_dup_docs,
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "events_prop_k_stats": A.events_prop_k_stats,
@@ -2847,6 +2860,32 @@ def oracle_sql() -> dict[str, str]:
                    substr(w, CAST(i AS INT) + 1, 1) AS b,
                    CAST(SUM(f) AS BIGINT) AS freq
             FROM iw GROUP BY a, b
+        """,
+        # window_dup_docs mirror: every overlapping 8-token window, distinct
+        # per doc; keeper = min doc_id per window string (the Ray side joins
+        # on md5_number_lower of the same string — collision-free at 64 bits
+        # on this corpus, verified id-for-id)
+        "window_dup_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(COALESCE(text, ''), ' '),
+                                   w -> w <> '') AS t
+                FROM documents
+            ), iw AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, CAST(len(t) AS BIGINT) - 7)) AS i
+                FROM toks WHERE len(t) >= 8
+            ), wins AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS win
+                FROM iw
+            ), m AS (
+                SELECT win, MIN(doc_id) AS keeper FROM wins GROUP BY win
+            )
+            SELECT w.doc_id, COUNT(*) AS n_dup_windows
+            FROM wins w JOIN m ON w.win = m.win
+            WHERE w.doc_id > m.keeper
+            GROUP BY w.doc_id
         """,
         # transcript_role_transitions mirror: LAG window over the derived
         # transcript (role cycles with rn%4), transitions counted within a

@@ -1442,3 +1442,70 @@ def variant_clusters(ds, col: str):
         .groupby("name")
         .map_groups(keep_min, batch_format="pandas")
     )
+
+
+def duplicate_window_docs(docs_ds, k: int = 8, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Sliding-window exact-substring duplicate detection (the Lee et al.
+    2022 "Deduplicating Training Data" shape, public algorithm): every
+    OVERLAPPING ``k``-token window of every document is hashed; a window
+    that also occurs in a smaller ``doc_id`` marks this document. Returns
+    (doc_id, n_dup_windows) — the count of DISTINCT duplicated windows per
+    flagged document. Differs from ``paragraph_dedup`` (disjoint fixed
+    blocks): windows slide one token at a time, so a copied passage is
+    caught at ANY offset, not only on block boundaries.
+
+    Scale shape: text never crosses the exchange — the map stage emits
+    (doc_id, window md5-low-64) pairs, distinct WITHIN each doc first (caps
+    the exchange at distinct-windows, and makes the per-group keeper drop
+    exact); one groupby(hash) keeps min(doc_id) per window and emits only
+    the flagged mentions; one doc_id-sized groupby-count folds the result.
+    The window hash is md5-low-64 of the space-joined window string so the
+    DuckDB mirror (``md5_number_lower(array_to_string(t[i:i+k-1], ' '))``)
+    is bit-identical. The per-window Python md5 loop is bounded by distinct
+    windows per batch (a corpus-prep map cost, not a shuffle cost); swap in
+    the winnowing poly-hash if it ever dominates a profile."""
+    import hashlib
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        out_id: list[int] = []
+        out_h: list[int] = []
+        for did, s in zip(ids, texts):
+            words = [w for w in (s or "").split(" ") if w]
+            n = len(words) - k + 1
+            if n <= 0:
+                continue
+            seen: set[int] = set()
+            for i in range(n):
+                h = int.from_bytes(
+                    hashlib.md5(
+                        " ".join(words[i:i + k]).encode("utf-8")
+                    ).digest()[8:16],
+                    "little",
+                )
+                if h not in seen:
+                    seen.add(h)
+                    out_id.append(int(did))
+                    out_h.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "h": pa.array(out_h, pa.uint64()),
+        })
+
+    wins = docs_ds.map_batches(win_rows, batch_format="pyarrow")
+
+    def flagged_in_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("doc_id"))
+        keep = ids != ids.min()
+        return pa.table({"doc_id": g.column("doc_id").filter(pa.array(keep))})
+
+    flagged = wins.groupby("h").map_groups(
+        flagged_in_group, batch_format="pyarrow"
+    )
+    agg = flagged.groupby("doc_id").count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_dup_windows"]),
+        batch_format="pyarrow",
+    )

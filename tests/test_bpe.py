@@ -98,3 +98,58 @@ def test_bpe_tokenize_counts_end_to_end(ray_session):
         lambda t: sum(len(w) for w in (t or "").split(" ") if w)
     ).sort_index()
     assert (z["n_bpe_tokens"] == chars).all()
+
+
+def test_duplicate_window_docs_planted(ray_session):
+    # separate op, same file: sliding-window exact-substring dedup
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import (
+        duplicate_window_docs,
+    )
+
+    w = [f"w{i}" for i in range(30)]
+    passage = " ".join(w[:10])                       # 10 tokens
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            passage + " " + " ".join(w[10:20]),      # source of the passage
+            " ".join(w[20:28]),                      # unrelated, 8 tokens
+            "zz yy " + passage,                      # copy at a SHIFTED offset
+            " ".join(reversed(w[:8])),               # same words, wrong order
+        ]),
+    })
+    out = (
+        duplicate_window_docs(ray.data.from_arrow(docs), k=8)
+        .to_pandas().set_index("doc_id")["n_dup_windows"]
+    )
+    # only doc 2 shares any 8-token window with a smaller doc_id; the
+    # 10-token passage contributes exactly 3 sliding windows
+    assert dict(out) == {2: 3}
+
+    # brute-force recomputation on the sf0.001 corpus
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    wins: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [x for x in (s or "").split(" ") if x]
+        per_doc[did] = {
+            " ".join(toks[i:i + 8]) for i in range(len(toks) - 7)
+        }
+        for win in per_doc[did]:
+            wins[win] = min(wins.get(win, did), did)
+    ref = {
+        did: sum(1 for win in ws if wins[win] < did)
+        for did, ws in per_doc.items()
+        if any(wins[win] < did for win in ws)
+    }
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        duplicate_window_docs(ds, k=8)
+        .to_pandas().set_index("doc_id")["n_dup_windows"]
+    )
+    assert dict(got) == ref and len(ref) > 0
