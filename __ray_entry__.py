@@ -1156,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_regression": A.price_qty_regression,
         "event_type_entropy": A.event_type_entropy,
         "supplier_balance_pctrank": A.supplier_balance_pctrank,
+        "customer_balance_window": A.customer_balance_window,
     }
 
 
@@ -2720,6 +2721,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.s AS a, b.s AS b FROM v a, v b
             WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
               AND levenshtein(a.s, b.s) <= 1
+        """,
+        # customer_balance_window mirror: DENSE_RANK / CUME_DIST /
+        # NTH_VALUE(3) share one window; NTH_VALUE's default RANGE frame
+        # includes the current row's peers, so the 3rd-smallest value
+        # appears exactly when the frame holds >= 3 rows
+        "customer_balance_window": """
+            SELECT c_custkey, c_mktsegment, bal_x100,
+                   DENSE_RANK()   OVER w AS dense_rnk,
+                   CUME_DIST()    OVER w AS cume_dist,
+                   NTH_VALUE(bal_x100, 3) OVER w AS nth3_bal_x100
+            FROM (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_x100
+                FROM customer
+            ) t
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_x100)
         """,
         # supplier_balance_pctrank mirror: PERCENT_RANK with shared tie
         # ranks over integer-cents keys (int/int double division — exact

@@ -1633,6 +1633,55 @@ def supplier_balance_pctrank(sf_dir: str):
     )
 
 
+def customer_balance_window(sf_dir: str):
+    """DENSE_RANK + CUME_DIST + NTH_VALUE(3) in one partitioned window
+    (PARTITION BY mktsegment ORDER BY balance) — the remaining W-family
+    members. One hash exchange, one vectorized sort per group:
+    dense rank via searchsorted into the group's unique values, CUME_DIST
+    as rows-at-or-below / n (ties share the last peer's value — pinned by
+    the int/int double division, bit-exact vs DuckDB), NTH_VALUE(3) with
+    the default RANGE frame (peers included): the group's 3rd-smallest
+    value where the current frame already holds >= 3 rows, NULL before
+    that. Integer-cents keys keep every hash comparable."""
+    ds = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "bal_x100": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bal_x100", "c_custkey"], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g["bal_x100"].to_numpy()
+        n = len(v)
+        uniq = np.unique(v)
+        g["dense_rnk"] = (np.searchsorted(uniq, v) + 1).astype(np.int64)
+        hi = np.searchsorted(v, v, side="right")  # rows <= current (peers in)
+        g["cume_dist"] = hi / np.float64(n)
+        # NULL before the frame holds 3 rows — carried as float64 NaN, the
+        # same representation DuckDB's nullable BIGINT lands in via .df()
+        nth = np.full(n, np.nan)
+        if n >= 3:
+            nth[hi >= 3] = v[2]
+        g["nth3_bal_x100"] = nth
+        return g[
+            ["c_custkey", "c_mktsegment", "bal_x100", "dense_rnk",
+             "cume_dist", "nth3_bal_x100"]
+        ]
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(win, batch_format="pandas")
+    )
+
+
 def orders_1997_revenue(sf_dir: str):
     """Read-predicate pushdown demo query: revenue by priority over one
     order year, with the date predicate pushed INTO the parquet scan
