@@ -336,6 +336,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(stats, batch_format="pyarrow")
 
+    def doc_token_stats_ipc(sf_dir: str):
+        # Arrow IPC (Feather V2) interchange path: documents -> sharded
+        # .arrow files (write_ipc, content-addressed per block) -> read_ipc
+        # (per-file tasks, projection pushed into the IPC reader) -> the
+        # same vectorized token stats. Oracled by the doc_token_stats SQL —
+        # the IPC hop must be value-lossless.
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.sources.ingest import read_ipc, write_ipc
+
+        ic = _ipc_cache.get(sf_dir)
+        if ic is None:
+            ic = tempfile.mkdtemp(prefix="ipc-", dir="/tmp")
+            write_ipc(
+                read_table(sf_dir, "documents", ["doc_id", "n_chars", "text"]), ic
+            )
+            _ipc_cache[sf_dir] = ic
+        ds = read_ipc(ic, columns=["doc_id", "n_chars", "text"])
+
+        def stats(t):
+            import pyarrow as pa
+
+            n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(
+                pa.int64()
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_chars": t.column("n_chars"),
+                    "n_tokens": n_tok,
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
     def clean_docs(sf_dir: str):
         # canonical corpus cleanup (control-char strip, whitespace
         # collapse, paragraph-preserving newline squeeze, trim) — pure
@@ -694,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _encoded_cache: dict[str, str] = {}
     _jsonl_cache: dict[str, str] = {}
     _orc_cache: dict[str, str] = {}
+    _ipc_cache: dict[str, str] = {}
 
     def _encoded_transcripts_dir(sf_dir: str) -> str:
         # the three encoded-corpus queries (conv_stats / text_search /
@@ -1047,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_docs": clean_docs,
         "doc_token_stats_jsonl": doc_token_stats_jsonl,
         "doc_token_stats_orc": doc_token_stats_orc,
+        "doc_token_stats_ipc": doc_token_stats_ipc,
         "multimodal_thumbnails": multimodal_thumbnails,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_token_stats": _q(A.doc_token_stats),
@@ -1533,6 +1570,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same mirror again: the ORC hop must be lossless
         "doc_token_stats_orc": """
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        # same mirror again: the Arrow IPC hop must be lossless
+        "doc_token_stats_ipc": """
             SELECT doc_id, n_chars,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents

@@ -184,3 +184,85 @@ def read_orc(paths, columns: list[str] | None = None):
     # batch_size=1 -> per-file tasks (per-stripe splitting would need a
     # custom Datasource; files are the shard unit here)
     return src.map_batches(read_file, batch_format="pyarrow", batch_size=1)
+
+
+def write_ipc(ds, out_dir: str, prefix: str = "part",
+              compression: str = "zstd"):
+    """Dataset -> sharded Arrow IPC (Feather V2) directory — the zero-parse
+    interchange format for Arrow-native consumers (Polars, DuckDB, pandas,
+    Arrow Flight estates). Same shape as ``write_orc``: one file per input
+    block written inside the map task, content-addressed names so re-runs
+    are idempotent, the driver only sees the (path, rows) manifest."""
+    import os
+
+    import pyarrow.feather as feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import os
+
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        h = pd.util.hash_pandas_object(
+            t.to_pandas(), index=False
+        ).to_numpy().sum()
+        path = os.path.join(
+            out_dir, f"{prefix}-{int(h) & 0xFFFFFFFFFFFFFFFF:016x}.arrow"
+        )
+        tmp = path + ".tmp"
+        feather.write_feather(t, tmp, compression=compression)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+
+
+def read_ipc(paths, columns: list[str] | None = None):
+    """Arrow IPC / Feather -> Dataset: one map task per file, column
+    projection pushed into ``feather.read_table`` (IPC record batches are
+    columnar — unrequested columns are never decompressed). Column names
+    get the same normalization as ``read_delimited`` (reference M5)."""
+    import os
+
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith((".arrow", ".feather", ".ipc"))
+            )
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no .arrow/.feather files under {paths}")
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+        import pyarrow.ipc as ipc
+
+        tables = []
+        for path in batch.column("path").to_pylist():
+            if columns is not None:
+                with open(path, "rb") as fh:
+                    orig = ipc.open_file(fh).schema.names
+                by_norm = {n.strip().lower(): n for n in orig}
+                sel = [by_norm.get(c, c) for c in columns]
+            else:
+                sel = None
+            t = feather.read_table(path, columns=sel)
+            norm = [n.strip().lower() for n in t.column_names]
+            if norm != t.column_names:
+                t = t.rename_columns(norm)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    src = ray.data.from_items([{"path": f} for f in files])
+    return src.map_batches(read_file, batch_format="pyarrow", batch_size=1)

@@ -105,3 +105,45 @@ def test_orc_roundtrip_and_projection(ray_session, tmp_path):
     # idempotent rewrite: same content -> same file names, no growth
     write_orc(ray.data.from_pandas(df), out)
     assert sorted(os.listdir(out)) == files1
+
+
+def test_ipc_roundtrip_and_projection(ray_session, tmp_path):
+    """Arrow IPC (Feather V2) interchange: same contract as the ORC pair —
+    lossless roundtrip, projection pushdown, name normalization, and
+    content-addressed idempotent rewrites."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.sources.ingest import read_ipc, write_ipc
+
+    df = pd.DataFrame(
+        {
+            "ID": [1, 2, 3, 4],           # name normalization: ID -> id
+            "txt": ["a", "b", None, "d"],
+            "val": [1.5, 2.5, 3.5, None],
+        }
+    )
+    out = str(tmp_path / "ipc")
+    man1 = write_ipc(ray.data.from_pandas(df), out)
+    assert man1["rows"].sum() == 4
+    files1 = sorted(os.listdir(out))
+    assert files1 and all(f.endswith(".arrow") for f in files1)
+
+    back = (
+        read_ipc(out)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == ["id", "txt", "val"]
+    pd.testing.assert_series_equal(
+        back["txt"], df["txt"].rename("txt"), check_names=False
+    )
+
+    proj = read_ipc(out, columns=["id"]).to_pandas()
+    assert list(proj.columns) == ["id"] and len(proj) == 4
+
+    write_ipc(ray.data.from_pandas(df), out)
+    assert sorted(os.listdir(out)) == files1
