@@ -190,6 +190,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
         delete_convs(out, doomed)
         return decode_dataset(out)
 
+    def transcript_time_travel(sf_dir: str):
+        # TIME TRAVEL over the encoded corpus: base (epoch 0) -> upsert
+        # rewriting convs ending '1' (epoch 1) -> upsert rewriting convs
+        # ending '2' (epoch 2) -> delete convs ending '0' (epoch 3); the
+        # result is the per-conversation turn/text-length profile of ALL
+        # FOUR as-of views (read_as_of reconstructs each from the
+        # epoch-stamped tombstones — no snapshot copies exist). Mirrored
+        # in SQL by the equivalent CASE/filter reconstruction.
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+            delete_convs, read_as_of, upsert_convs,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            decode_dataset, encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        dirs = _ttl_cache.get(sf_dir)
+        if dirs is None:
+            base = tempfile.mkdtemp(prefix="ttl-base-", dir="/tmp")
+            t1 = tempfile.mkdtemp(prefix="ttl-t1-", dir="/tmp")
+            t2 = tempfile.mkdtemp(prefix="ttl-t2-", dir="/tmp")
+            encode_transcripts(
+                events_to_transcripts(sf_dir), base, num_buckets=8,
+                resume=False, encoder_concurrency=(1, 4),
+            )
+
+            def rewritten(suffix: str, tag: str):
+                # the new conversation versions, derived from the PRISTINE
+                # base (before any tombstones land)
+                def rewrite(t):
+                    import pyarrow as pa
+                    import pyarrow.compute as pc
+
+                    keep = pc.ends_with(t.column("conv_id"), suffix)
+                    t = t.filter(keep)
+                    # scalar broadcast (not pa.array([tag]*n)): an empty
+                    # filtered batch would make that a null-typed array and
+                    # fail the kernel's type resolution
+                    return t.set_column(
+                        t.schema.get_field_index("text"), "text",
+                        pc.binary_join_element_wise(
+                            tag, t.column("text"), " "
+                        ).cast(pa.string()),
+                    )
+
+                return decode_dataset(base).map_batches(
+                    rewrite, batch_format="pyarrow"
+                )
+
+            upsert_convs(base, rewritten("1", "V1"), t1,
+                         num_buckets=4, resume=False,
+                         encoder_concurrency=(1, 4))          # epoch 1
+            upsert_convs(base, rewritten("2", "V2"), t2,
+                         prior_tick_dirs=[t1], num_buckets=4, resume=False,
+                         encoder_concurrency=(1, 4))          # epoch 2
+            doomed = [
+                c for c in decode_dataset(
+                    base, columns=["conv_id"], as_of_epoch=0
+                ).unique("conv_id") if c.endswith("0")
+            ]
+            for d in (base, t1, t2):
+                delete_convs(d, doomed, epoch=3)              # epoch 3
+            dirs = (base, t1, t2)
+            _ttl_cache[sf_dir] = dirs
+
+        base, t1, t2 = dirs
+
+        def profile(t):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "conv_id": t.column("conv_id"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "len": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            })
+
+        views = []
+        for e in range(4):
+            agg = (
+                read_as_of(base, [t1, t2], e)
+                .map_batches(profile, batch_format="pyarrow")
+                .groupby("conv_id").sum(["n", "len"])
+            )
+            def tag_epoch(t, e=e):
+                import pyarrow as pa
+
+                return pa.table({
+                    "epoch": pa.array([e] * t.num_rows, pa.int64()),
+                    "conv_id": t.column("conv_id"),
+                    "n_turns": t.column("sum(n)"),
+                    "sum_text_len": t.column("sum(len)"),
+                })
+
+            views.append(agg.map_batches(tag_epoch, batch_format="pyarrow"))
+        out = views[0]
+        for v in views[1:]:
+            out = out.union(v)
+        return out
+
     def transcript_drop_column(sf_dir: str):
         # schema evolution: metadata-only DROP COLUMN — encode, drop
         # 'tool' (one tiny _schema.json write, no data rewrite), decode
@@ -730,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _jsonl_cache: dict[str, str] = {}
     _orc_cache: dict[str, str] = {}
     _ipc_cache: dict[str, str] = {}
+    _ttl_cache: dict[str, tuple] = {}
 
     def _encoded_transcripts_dir(sf_dir: str) -> str:
         # the three encoded-corpus queries (conv_stats / text_search /
@@ -1099,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine + training-data ops
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
+        "transcript_time_travel": transcript_time_travel,
         "transcript_drop_column": transcript_drop_column,
         "transcript_rename": transcript_rename,
         "transcript_segment_stats": transcript_segment_stats,
@@ -1776,6 +1883,40 @@ def oracle_sql() -> dict[str, str]:
                            ) AS rn
                     FROM events) t1) t2
             WHERE conv_id NOT LIKE '%0'
+        """,
+        # transcript_time_travel mirror: reconstruct all four as-of views
+        # of the mutation log (epoch 1 rewrites convs LIKE '%1', epoch 2
+        # rewrites convs LIKE '%2', epoch 3 deletes convs LIKE '%0') with
+        # CASE/filters over the same transcript derivation, then profile
+        # each view per conversation
+        "transcript_time_travel": """
+            WITH t AS (
+                SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                       COALESCE(props, '') AS text
+                FROM events
+            ), e AS (
+                SELECT 0 AS epoch, conv_id, text FROM t
+                UNION ALL
+                SELECT 1, conv_id,
+                       CASE WHEN conv_id LIKE '%1' THEN 'V1 ' || text
+                            ELSE text END
+                FROM t
+                UNION ALL
+                SELECT 2, conv_id,
+                       CASE WHEN conv_id LIKE '%2' THEN 'V2 ' || text
+                            WHEN conv_id LIKE '%1' THEN 'V1 ' || text
+                            ELSE text END
+                FROM t
+                UNION ALL
+                SELECT 3, conv_id,
+                       CASE WHEN conv_id LIKE '%2' THEN 'V2 ' || text
+                            WHEN conv_id LIKE '%1' THEN 'V1 ' || text
+                            ELSE text END
+                FROM t WHERE conv_id NOT LIKE '%0'
+            )
+            SELECT epoch, conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+            FROM e GROUP BY epoch, conv_id
         """,
         # roundtrip mirror minus the dropped column: drop_column('tool')
         # is metadata-only, so the decode must return every other column

@@ -192,6 +192,7 @@ def cmd_decode(args) -> int:
         tool_eq=args.tool_eq,
         conv_ids=args.conv_ids.split(",") if args.conv_ids else None,
         col_ranges=_parse_col_ranges(args.col_range),
+        as_of_epoch=args.as_of_epoch,
     )
     # STREAM the write (a decode must not pin everything in the object
     # store) and report rows from the written files' footers; a
@@ -578,6 +579,11 @@ def main(argv=None) -> int:
     dec.add_argument(
         "--tool-eq", default=None,
         help="equality predicate on tool; prunes via per-chunk value sets",
+    )
+    dec.add_argument(
+        "--as-of-epoch", type=int, default=None, dest="as_of_epoch",
+        help="time travel: apply only tombstones laid at or before this "
+             "mutation epoch (this dir's layer of the as-of view)",
     )
     dec.set_defaults(fn=cmd_decode)
 

@@ -37,13 +37,31 @@ def deletes_path(out_dir: str) -> str:
     return os.path.join(out_dir, DELETES_FILE)
 
 
-def load_deleted_convs(out_dir: str) -> pa.Array:
-    """The corpus's deleted conv_id set (empty array when none)."""
+def _load_tombstones(out_dir: str) -> pa.Table:
+    """The corpus's tombstone table (conv_id, epoch) — epoch is the
+    mutation ordinal that hid the conversation (0 = plain deletes).
+    Back-compat: files written before epochs carry conv_id only and read
+    as epoch 0."""
     p = deletes_path(out_dir)
     if not os.path.exists(p):
-        return pa.array([], type=pa.string())
-    col = pq.read_table(p, columns=["conv_id"]).column("conv_id")
-    return col.combine_chunks()
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "epoch": pa.array([], pa.int64())})
+    t = pq.read_table(p)
+    if "epoch" not in t.column_names:
+        t = t.append_column(
+            "epoch", pa.array([0] * t.num_rows, pa.int64())
+        )
+    return t.select(["conv_id", "epoch"])
+
+
+def load_deleted_convs(out_dir: str, as_of_epoch: int | None = None) -> pa.Array:
+    """The corpus's deleted conv_id set (empty array when none). With
+    ``as_of_epoch`` only tombstones laid at or before that epoch apply —
+    the time-travel read: later mutations are invisible."""
+    t = _load_tombstones(out_dir)
+    if as_of_epoch is not None:
+        t = t.filter(pc.less_equal(t.column("epoch"), as_of_epoch))
+    return t.column("conv_id").combine_chunks()
 
 
 def delete_convs(
@@ -51,6 +69,7 @@ def delete_convs(
     conv_ids: Sequence[str],
     lock_timeout: float = 10.0,
     stale_after: float = 60.0,
+    epoch: int = 0,
 ) -> dict:
     """Mark conversations deleted. Metadata-only: merges ``conv_ids`` into
     the tombstone parquet atomically; data files are untouched. Returns
@@ -69,21 +88,28 @@ def delete_convs(
 
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
-    new = pa.array(sorted({str(c) for c in conv_ids}), type=pa.string())
+    uniq = sorted({str(c) for c in conv_ids})
+    new = pa.table({
+        "conv_id": pa.array(uniq, pa.string()),
+        "epoch": pa.array([int(epoch)] * len(uniq), pa.int64()),
+    })
     path = deletes_path(out_dir)
     with excl_lock(f"{path}.lock", lock_timeout, stale_after, "tombstone"):
         # merge INSIDE the lock: the read and the replace must see no
-        # interleaved writer
-        existing = load_deleted_convs(out_dir)
-        merged = pc.unique(pa.concat_arrays([existing.cast(pa.string()), new]))
-        merged = merged.take(pc.sort_indices(merged))
+        # interleaved writer. Keep the MIN epoch per conv — the earliest
+        # mutation that hid it governs every as-of view from there on
+        # (idempotent re-deletes at later epochs change nothing).
+        existing = _load_tombstones(out_dir)
+        both = pa.concat_tables([existing, new])
+        merged = pa.TableGroupBy(both, "conv_id").aggregate([("epoch", "min")])
+        merged = merged.rename_columns(["conv_id", "epoch"]).sort_by("conv_id")
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(pa.table({"conv_id": merged}), tmp, compression="zstd")
+        pq.write_table(merged, tmp, compression="zstd")
         os.replace(tmp, path)
     return {
-        "n_requested": len(new),
-        "n_already": len(existing),
-        "n_total": len(merged),
+        "n_requested": len(uniq),
+        "n_already": existing.num_rows,
+        "n_total": merged.num_rows,
     }
 
 
@@ -125,7 +151,8 @@ def purge_deleted(out_dir: str, dest_dir: str, **encode_kw) -> dict:
 
 
 def upsert_convs(out_dir: str, new_ds, tick_dir: str,
-                 prior_tick_dirs: Sequence[str] = (), **encode_kw) -> dict:
+                 prior_tick_dirs: Sequence[str] = (),
+                 epoch: int | None = None, **encode_kw) -> dict:
     """MERGE / upsert at conversation granularity: replace every
     conversation present in ``new_ds`` (and add the brand-new ones).
 
@@ -144,13 +171,17 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str,
     conversations are physically dropped)."""
     from .encode import decode_dataset, encode_transcripts
 
+    if epoch is None:
+        # tick N is mutation epoch N (1-based): the base corpus is the
+        # epoch-0 state, each upsert advances the clock by one
+        epoch = len(prior_tick_dirs) + 1
     stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
     new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
-    info = delete_convs(out_dir, new_convs)
+    info = delete_convs(out_dir, new_convs, epoch=epoch)
     for prior in prior_tick_dirs:
-        delete_convs(prior, new_convs)
-    return {"n_upserted_convs": len(new_convs), "tombstones": info,
-            "encode": stats}
+        delete_convs(prior, new_convs, epoch=epoch)
+    return {"n_upserted_convs": len(new_convs), "epoch": epoch,
+            "tombstones": info, "encode": stats}
 
 
 def read_upserted(out_dir: str, tick_dirs: Sequence[str]):
@@ -161,4 +192,25 @@ def read_upserted(out_dir: str, tick_dirs: Sequence[str]):
     ds = decode_dataset(out_dir)
     for t in tick_dirs:
         ds = ds.union(decode_dataset(t))
+    return ds
+
+
+def read_as_of(out_dir: str, tick_dirs: Sequence[str], epoch: int):
+    """TIME-TRAVEL read: the corpus exactly as it stood after mutation
+    ``epoch`` (0 = the pristine base, N = after the Nth upsert/delete).
+
+    The mutation log is already materialized on disk — the base + the
+    per-tick directories, each with an epoch-stamped tombstone table — so
+    no snapshot copies exist anywhere: an as-of view is the union of the
+    base and the ticks up to ``epoch``, each decoded with only tombstones
+    laid at or before ``epoch`` applied (``as_of_epoch`` pushdown in
+    ``decode_dataset``). A conversation upserted at epochs 2 and 5 reads
+    as v2 for 2 <= epoch < 5 and v5 after — tick 2's own tombstone (laid
+    at epoch 5) is ignored until then. O(1) metadata per view; the same
+    streaming decode paths, pruning and projection apply."""
+    from .encode import decode_dataset
+
+    ds = decode_dataset(out_dir, as_of_epoch=epoch)
+    for t in list(tick_dirs)[:max(0, int(epoch))]:
+        ds = ds.union(decode_dataset(t, as_of_epoch=epoch))
     return ds

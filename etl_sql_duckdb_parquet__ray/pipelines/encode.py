@@ -1552,6 +1552,7 @@ def decode_dataset(
     tool_eq: str | None = None,
     conv_ids: Sequence[str] | None = None,
     col_ranges: dict | None = None,
+    as_of_epoch: int | None = None,
     _raw_names: bool = False,
 ):
     """Bucket chunk files -> Dataset with the original transcript schema.
@@ -1684,7 +1685,10 @@ def decode_dataset(
     # corpus's deleted-conv set — a broadcast is_in per batch, so deleted
     # conversations vanish from full scans, projections and point lookups
     # alike until a purge/compaction physically drops them
-    deleted = load_deleted_convs(out_dir)
+    # as_of_epoch = time travel: only tombstones laid at or before that
+    # mutation epoch apply, so this read sees the corpus as it stood then
+    # (pipelines.deletes.read_as_of composes this across upsert ticks)
+    deleted = load_deleted_convs(out_dir, as_of_epoch=as_of_epoch)
     force_empty_plan = False
     if len(deleted):
         # point lookups of tombstoned conversations prune at the METADATA:

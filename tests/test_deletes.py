@@ -354,3 +354,87 @@ def test_delete_convs_lock_contention_raises_and_stale_lock_steals(tmp_path):
     info = delete_convs(out, ["c1"], lock_timeout=0.5)
     assert info["n_total"] == 1
     assert not os.path.exists(lock)
+
+
+def test_time_travel_as_of_epoch(ray_session, tmp_path):
+    """Time travel: read_as_of(epoch) reconstructs the corpus exactly as
+    it stood after each mutation — including a conversation upserted in
+    TWO ticks (v1 visible only in the [1, 2) epoch window) and a plain
+    delete as the final epoch."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        read_as_of,
+        read_upserted,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(3000, seed=29)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    convs = sorted(df["conv_id"].unique())
+    a, b = convs[0], convs[1]
+
+    def version(conv, tag):
+        v = df[df["conv_id"] == conv].copy()
+        v["text"] = f"{tag} " + v["text"]
+        return pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+
+    # epoch 1: conv a -> A1 ; epoch 2: conv a -> A2 AND conv b -> B2
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    upsert_convs(base, ray.data.from_arrow(version(a, "A1")), t1,
+                 num_buckets=2, chunk_rows=1024)
+    upsert_convs(
+        base,
+        ray.data.from_arrow(
+            pa.concat_tables([version(a, "A2"), version(b, "B2")])
+        ),
+        t2, prior_tick_dirs=[t1], num_buckets=2, chunk_rows=1024,
+    )
+    # epoch 3: plain delete of conv b
+    delete_convs(base, [b], epoch=3)
+    delete_convs(t2, [b], epoch=3)
+
+    def snap(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    def expect(frames):
+        return (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    rest = df[~df["conv_id"].isin([a, b])]
+    a1 = version(a, "A1").to_pandas()
+    a2 = version(a, "A2").to_pandas()
+    b2 = version(b, "B2").to_pandas()
+
+    ticks = [t1, t2]
+    got0 = snap(read_as_of(base, ticks, 0))
+    pd.testing.assert_frame_equal(got0, expect([df])[got0.columns])
+
+    got1 = snap(read_as_of(base, ticks, 1))
+    exp1 = expect([rest, df[df["conv_id"] == b], a1])
+    pd.testing.assert_frame_equal(got1, exp1[got1.columns])
+    assert got1[got1["conv_id"] == a]["text"].str.startswith("A1").all()
+
+    got2 = snap(read_as_of(base, ticks, 2))
+    exp2 = expect([rest, a2, b2])
+    pd.testing.assert_frame_equal(got2, exp2[got2.columns])
+
+    got3 = snap(read_as_of(base, ticks, 3))
+    exp3 = expect([rest, a2])
+    pd.testing.assert_frame_equal(got3, exp3[got3.columns])
+
+    # the present-day union view agrees with the latest epoch
+    now = snap(read_upserted(base, ticks))
+    pd.testing.assert_frame_equal(now, exp3[now.columns])
