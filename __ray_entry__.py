@@ -820,6 +820,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vals = quantile_cont(ds, "l_extendedprice", qs)
         return pd.DataFrame({"q": qs, "value": vals})
 
+    def price_quantiles_sampled(sf_dir: str):
+        # APPROXIMATE quantiles over a DETERMINISTIC 10% hash sample (the
+        # 100-TB scale path: one pass over the sample instead of three over
+        # everything). Seeded md5 membership makes the approximation itself
+        # SQL-reproducible — value-hash-oracled, which sketch quantiles
+        # (merge-order-dependent) can never be.
+        import pandas as pd
+
+        from etl_sql_duckdb_parquet__ray.stages.profile import sampled_quantiles
+
+        qs = [0.25, 0.5, 0.75, 0.95]
+        ds = read_table(
+            sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
+
+        def rowkey(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            k = pc.add(
+                pc.multiply(
+                    t.column("l_orderkey").cast(pa.int64()), pa.scalar(8, pa.int64())
+                ),
+                t.column("l_linenumber").cast(pa.int64()),
+            )
+            return pa.table({
+                "rk": k, "l_extendedprice": t.column("l_extendedprice"),
+            })
+
+        keyed = ds.map_batches(rowkey, batch_format="pyarrow")
+        vals = sampled_quantiles(
+            keyed, "l_extendedprice", "rk", qs, rate_bp=1000, seed=42
+        )
+        return pd.DataFrame({"q": qs, "value": vals})
+
     def customer_running_total(sf_dir: str):
         return A.customer_running_total(sf_dir)
 
@@ -1252,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_proj": embedding_pca_proj,
         "price_quantiles": price_quantiles,
         "price_quantiles_cont": price_quantiles_cont,
+        "price_quantiles_sampled": price_quantiles_sampled,
         "customer_running_total": customer_running_total,
         "price_quantiles_by_flag": price_quantiles_by_flag,
         "events_by_segment_skewjoin": events_by_segment_skewjoin,
@@ -2301,6 +2337,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
             UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
             UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem
+        """,
+        # price_quantiles_sampled mirror: the SAME deterministic 10% hash
+        # sample (md5_number_lower(seed || '|' || rowkey) under the exact
+        # floor(2^64/10) threshold), then quantile_disc over it — the
+        # approximation is reproducible, so it hash-checks end to end
+        "price_quantiles_sampled": """
+            WITH s AS (
+                SELECT l_extendedprice FROM lineitem
+                WHERE md5_number_lower(
+                        '42|' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+                      ) < 1844674407370955161
+            )
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value FROM s
+            UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM s
+            UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM s
+            UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM s
         """,
         # price_quantiles_cont mirror: interpolated quantiles; the engine
         # uses DuckDB's weighted interpolation form for double bit-parity

@@ -698,3 +698,44 @@ def mad_by_group(ds, group_col: str, value_col: str):
         return pa.table({group_col: t.column(group_col), "mad": t.column("value")})
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def sampled_quantiles(
+    ds,
+    column: str,
+    key_col: str,
+    qs: list[float],
+    rate_bp: int = 1000,
+    seed: int = 42,
+):
+    """APPROXIMATE quantiles over a DETERMINISTIC hash sample — the scale
+    path when even :func:`exact_quantiles`' 2-3 column-pruned scans are too
+    expensive (a 100-TB nightly profile wants one pass over ~0.1-10% of the
+    rows, not three over all of them).
+
+    The sample is seeded-hash membership, not an RNG: a row joins when
+    ``md5_number_lower(seed || '|' || key) < floor(2^64 * rate_bp/10000)``
+    (``corpus.det_keys`` md5 mode) — restart-stable, topology-independent,
+    and exactly reproducible in SQL, so the whole approximate pipeline is
+    value-hash-oracled, unlike sketch-based quantiles whose answers depend
+    on merge order. Expected sample error for quantile q is
+    O(sqrt(q(1-q)/m)) in rank with m = sampled rows — pinned by test
+    against the exact quantiles.
+
+    ``key_col`` must be a distinct-ish int64 row key (a primary key or a
+    composed one like orderkey*8+linenumber); the quantile machinery then
+    runs :func:`exact_quantiles` over the sampled subset."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.corpus import det_keys
+
+    threshold = np.uint64(((1 << 64) * int(rate_bp)) // 10000)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        keep = det_keys(ids, seed, hash_fn="md5") < threshold
+        return t.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    return exact_quantiles(sampled, column, qs)

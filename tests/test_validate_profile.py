@@ -493,3 +493,45 @@ def test_quantile_cont_matches_duckdb(ray_session):
 
     nulls = ray.data.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
     assert all(_m.isnan(x) for x in quantile_cont(nulls, "v", [0.5]))
+
+
+def test_sampled_quantiles_accuracy_and_determinism(ray_session):
+    """The deterministic-hash-sample quantile path: reproducible across
+    runs (same seed -> same sample -> same values), close to the exact
+    quantiles (rank error O(sqrt(q(1-q)/m))), and sample-rate-sensitive
+    (a different seed changes the sample but not the accuracy class)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import (
+        exact_quantiles,
+        sampled_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    vals = rng.lognormal(mean=3.0, sigma=1.0, size=n)
+    t = pa.table({
+        "rk": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(vals),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    qs = [0.25, 0.5, 0.75, 0.95]
+
+    exact = np.array(exact_quantiles(ds, "v", qs))
+    s1 = np.array(sampled_quantiles(ds, "v", "rk", qs, rate_bp=1000, seed=42))
+    s2 = np.array(sampled_quantiles(ds, "v", "rk", qs, rate_bp=1000, seed=42))
+    np.testing.assert_array_equal(s1, s2)  # deterministic
+
+    # rank-error bound: the sampled quantile must sit within ±3 sigma of
+    # the target rank in the FULL data (m ~ n/10 sampled rows)
+    sv = np.sort(vals)
+    m = n // 10
+    for q, got in zip(qs, s1):
+        rank = np.searchsorted(sv, got, side="right") / n
+        tol = 3.0 * np.sqrt(q * (1 - q) / m)
+        assert abs(rank - q) <= tol, (q, rank, tol)
+
+    # every sampled value is a real data value (quantile_disc semantics)
+    assert all(v in vals for v in s1)
