@@ -1158,6 +1158,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, group_col="lang", budget_tokens=5000, seed=42, hash_fn="md5"
         )
 
+    def mixture_sample_docs(sf_dir: str):
+        # data-mixing: target token PROPORTIONS across sources (50/30/20
+        # over three of the twenty), deterministic seeded-hash prefix per
+        # source — md5 mode, so the mixture is SQL-reproducible
+        ds = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+        return corpus.mixture_sample(
+            ds, weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            total_budget_tokens=2000, group_col="source",
+            seed=42, hash_fn="md5",
+        )
+
     def pack_sequences_docs(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return corpus.pack_sequences(ds, seq_len=2048, num_buckets=8)
@@ -1273,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "shard_assignments": shard_assignments,
         "quota_sample_by_lang": quota_sample_by_lang,
+        "mixture_sample_docs": mixture_sample_docs,
         "pack_sequences": pack_sequences_docs,
         "chunk_docs": chunk_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
@@ -2107,6 +2119,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(cum AS BIGINT) AS cum_tokens
             FROM c WHERE cum <= 5000
+        """,
+        # mixture_sample mirror: per-source budgets = floor(weight * total),
+        # same seeded-hash priority prefix per source as quota_sample
+        "mixture_sample_docs": """
+            WITH t AS (
+                SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+                       md5_number_lower('42|' || doc_id) AS priority,
+                       CASE source WHEN 'src0' THEN 1000
+                                   WHEN 'src1' THEN 600
+                                   ELSE 400 END AS budget
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            ), c AS (
+                SELECT *, SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY priority, doc_id) AS cum
+                FROM t
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens,
+                   CAST(budget AS BIGINT) AS budget_tokens
+            FROM c WHERE cum <= budget
         """,
         # chunk_docs mirror: RAG windowing — DuckDB list slicing over the
         # same single-space tokenization; 1-based inclusive slice bounds,

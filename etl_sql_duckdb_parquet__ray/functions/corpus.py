@@ -452,3 +452,61 @@ def chunk_documents(
         )
 
     return docs_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def mixture_sample(
+    docs_ds, weights: dict[str, float], total_budget_tokens: int,
+    group_col: str = "source", seed: int = 42, hash_fn: str = "siphash",
+):
+    """Training-mixture sampling: hit TARGET TOKEN PROPORTIONS across
+    sources (the Pile/Dolma "data mixing" recipe — 60% web, 30% wiki, ...)
+    rather than :func:`quota_sample`'s uniform per-group cap. Each group's
+    budget is ``floor(weight * total_budget_tokens)``; groups absent from
+    ``weights`` contribute nothing. Selection within a group is the same
+    deterministic seeded-hash priority prefix (restart-stable,
+    topology-independent, SQL-reproducible in md5 mode).
+
+    Scale shape (same as quota_sample): one vectorized map emits
+    (doc_id, group, n_tokens, priority) — 28 B/row, text never shuffles —
+    then one hash-partition by group and one vectorized sort+cumsum per
+    group. Returns (doc_id, group, n_tokens, cum_tokens, budget_tokens)."""
+    budgets = {
+        g: int(np.floor(float(w) * total_budget_tokens))
+        for g, w in weights.items()
+    }
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column(group_col),
+            value_set=pa.array(list(budgets), pa.string()),
+        )
+        batch = batch.filter(keep)
+        n_tok = pc.add(
+            pc.count_substring(batch.column("text"), " "), 1
+        ).cast(pa.int64())
+        ids = np.asarray(batch.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                group_col: batch.column(group_col),
+                "n_tokens": n_tok,
+                "priority": pa.array(det_keys(ids, seed, hash_fn)),
+            }
+        )
+
+    def take_until(g: pd.DataFrame) -> pd.DataFrame:
+        budget = budgets[g[group_col].iloc[0]]
+        g = g.sort_values(["priority", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        cum = g["n_tokens"].cumsum()
+        out = g.loc[cum <= budget, ["doc_id", group_col, "n_tokens"]].copy()
+        out["cum_tokens"] = cum[cum <= budget]
+        out["budget_tokens"] = np.int64(budget)
+        return out
+
+    return (
+        docs_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(take_until, batch_format="pandas")
+    )

@@ -255,3 +255,54 @@ def test_chunk_documents_overlap_and_edges(ray_session):
     # overlap region w4..w7 appears in both windows
     assert d3.iloc[0].chunk_text.endswith("w4 w5 w6 w7")
     assert d3.iloc[1].chunk_text.startswith("w4 w5 w6 w7")
+
+
+def test_mixture_sample_proportions_and_determinism(ray_session):
+    """Data mixing: per-source token budgets = floor(weight * total);
+    selection is a deterministic hash prefix (same seed -> identical
+    sample; different seed -> different sample), budgets never exceeded,
+    unlisted sources excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.corpus import mixture_sample
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in ("a", "b", "c"):
+        for i in range(200):
+            n = int(rng.integers(5, 30))
+            rows.append({
+                "doc_id": len(rows),
+                "source": s,
+                "text": " ".join(["w"] * n),
+            })
+    ds = ray.data.from_items(rows).repartition(4)
+    weights = {"a": 0.5, "b": 0.3}   # 'c' unlisted -> excluded
+    total = 3000
+    out = mixture_sample(
+        ds, weights, total, group_col="source", seed=7
+    ).to_pandas()
+
+    assert set(out["source"]) == {"a", "b"}
+    for g, w in weights.items():
+        sel = out[out["source"] == g]
+        budget = int(np.floor(w * total))
+        assert (sel["budget_tokens"] == budget).all()
+        assert sel["n_tokens"].sum() <= budget
+        # greedy prefix: adding the next doc would overflow — the budget
+        # is actually approached, not trivially undershot
+        assert sel["n_tokens"].sum() > budget - 30
+
+    out2 = mixture_sample(
+        ds, weights, total, group_col="source", seed=7
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    out3 = mixture_sample(
+        ds, weights, total, group_col="source", seed=8
+    ).to_pandas()
+    assert set(out3["doc_id"]) != set(out["doc_id"])
