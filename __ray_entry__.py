@@ -295,6 +295,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out = out.union(v)
         return out
 
+    def transcript_add_column(sf_dir: str):
+        # schema evolution: metadata-only ADD COLUMN with a constant
+        # default — one _schema.json write, no data rewrite; every decode
+        # synthesizes the constant. Hash-checked against the roundtrip
+        # mirror plus SQL literals.
+        from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+            add_column_default,
+            decode_dataset,
+            encode_transcripts,
+        )
+        from etl_sql_duckdb_parquet__ray.pipelines.flagship import (
+            events_to_transcripts,
+        )
+
+        out = tempfile.mkdtemp(prefix="rtac-", dir="/tmp")
+        encode_transcripts(
+            events_to_transcripts(sf_dir), out, num_buckets=8, resume=False,
+            encoder_concurrency=(1, 4),
+        )
+        add_column_default(out, "corpus_tag", "gold", "string")
+        add_column_default(out, "schema_ver", 3, "int64")
+        return decode_dataset(out)
+
     def transcript_drop_column(sf_dir: str):
         # schema evolution: metadata-only DROP COLUMN — encode, drop
         # 'tool' (one tiny _schema.json write, no data rewrite), decode
@@ -1253,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_time_travel": transcript_time_travel,
         "transcript_drop_column": transcript_drop_column,
+        "transcript_add_column": transcript_add_column,
         "transcript_rename": transcript_rename,
         "transcript_segment_stats": transcript_segment_stats,
         "transcript_proj_pushdown": transcript_proj_pushdown,
@@ -1965,6 +1989,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch, conv_id, COUNT(*) AS n_turns,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
             FROM e GROUP BY epoch, conv_id
+        """,
+        # transcript_add_column mirror: the roundtrip derivation plus the
+        # two constant defaults as SQL literals — ADD COLUMN is
+        # metadata-only, so every row must carry exactly the default
+        "transcript_add_column": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   CAST(rn - 1 AS INTEGER) AS turn_idx,
+                   CASE (rn - 1) % 4 WHEN 0 THEN 'user'
+                                     WHEN 1 THEN 'assistant'
+                                     WHEN 2 THEN 'system'
+                                     ELSE 'tool' END AS role,
+                   COALESCE(props, '') AS text,
+                   CASE WHEN (rn - 1) % 4 = 3 THEN event_type END AS tool,
+                   ts,
+                   'gold' AS corpus_tag,
+                   CAST(3 AS BIGINT) AS schema_ver
+            FROM (
+                SELECT user_id, event_id, ts, event_type, props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events) t
         """,
         # roundtrip mirror minus the dropped column: drop_column('tool')
         # is metadata-only, so the decode must return every other column

@@ -278,6 +278,22 @@ def cmd_derive(args) -> int:
     return 0
 
 
+def cmd_add_column(args) -> int:
+    """ADD COLUMN with a constant default — metadata-only (every decode
+    synthesizes it; the next purge/compaction materializes it)."""
+    from .pipelines.encode import add_column_default
+
+    value = args.value
+    if value is not None:
+        value = {
+            "int64": int, "double": float, "string": str,
+            "bool": lambda s: s.lower() in ("1", "true", "t", "yes"),
+        }[args.type](value)
+    info = add_column_default(args.input, args.name, value, args.type)
+    print(json.dumps({"column": args.name, **info}))
+    return 0
+
+
 def cmd_drop_column(args) -> int:
     """DROP COLUMN over an encoded corpus: sidecar columns are deleted
     physically, base columns are hidden via the metadata-only schema file
@@ -624,6 +640,19 @@ def main(argv=None) -> int:
         choices=["token_count", "char_count"],
     )
     dv.set_defaults(fn=cmd_derive)
+
+    ac = sub.add_parser(
+        "add-column",
+        help="add a constant-default column to an encoded corpus "
+             "(metadata-only; materialized by the next purge/compaction)",
+    )
+    ac.add_argument("--input", required=True, help="encoded dir")
+    ac.add_argument("--name", required=True, help="new column name")
+    ac.add_argument("--value", default=None,
+                    help="default value (omit for all-NULL)")
+    ac.add_argument("--type", required=True,
+                    choices=["int64", "double", "string", "bool"])
+    ac.set_defaults(fn=cmd_add_column)
 
     dc = sub.add_parser(
         "drop-column",

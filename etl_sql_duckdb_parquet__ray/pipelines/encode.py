@@ -1114,6 +1114,94 @@ def load_renames(out_dir: str) -> dict:
         return dict(_json.load(f).get("renamed", {}))
 
 
+_ADDED_TYPES = {"int64", "double", "string", "bool"}
+
+
+def _added_arrow_type(name: str) -> pa.DataType:
+    return {
+        "int64": pa.int64(), "double": pa.float64(),
+        "string": pa.string(), "bool": pa.bool_(),
+    }[name]
+
+
+def load_added_columns(out_dir: str) -> dict:
+    """Metadata-only ADD COLUMN entries for this corpus: mapping name ->
+    ``{"value": constant, "type": "int64"|"double"|"string"|"bool"}``
+    (see :func:`add_column_default`). Empty when none / no schema file."""
+    import json as _json
+
+    path = schema_meta_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return dict(_json.load(f).get("added", {}))
+
+
+def add_column_default(out_dir: str, name: str, value, dtype: str,
+                       lock_timeout: float = 10.0) -> dict:
+    """Schema evolution: ADD COLUMN with a constant default WITHOUT
+    touching any data file — the third member of the metadata-only DDL
+    family (drop/rename/add), and the lakehouse semantics (Iceberg/Delta):
+    the default lives in ``_schema.json``; every ``decode_dataset`` path
+    synthesizes the constant per batch; the next physical rewrite
+    (``purge_deleted``/``compact``) materializes it for real (those decode
+    with ``_raw_names=True``, which includes added columns so the rewrite
+    sees them as data).
+
+    Use :func:`derive_column` instead when the new column is COMPUTED from
+    existing ones — that stores real per-row values as sidecars; this op
+    is for constants (corpus tags, schema version markers, source labels)
+    where storing N copies of one value would be waste.
+
+    ``dtype`` is one of int64/double/string/bool; ``value`` must fit it
+    (or be None for an all-NULL column). Collisions with any visible,
+    stored, sidecar or previously added column are refused at DDL time."""
+    import json as _json
+
+    from ._lockfile import excl_lock
+
+    if name in ("conv_id", "turn_idx"):
+        raise ValueError(f"column {name!r} is structural; pick a new name")
+    if dtype not in _ADDED_TYPES:
+        raise ValueError(f"dtype {dtype!r} not in {sorted(_ADDED_TYPES)}")
+    if value is not None:
+        ok = {"int64": (int,), "double": (int, float),
+              "string": (str,), "bool": (bool,)}[dtype]
+        if not isinstance(value, ok) or isinstance(value, bool) != (dtype == "bool"):
+            raise ValueError(
+                f"default {value!r} does not fit declared type {dtype!r}"
+            )
+    records = load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no completed buckets under {out_dir}")
+    base_cols = set(_base_chunk_columns(records))
+    renames = load_renames(out_dir)
+    visible = {renames.get(c, c) for c in base_cols}
+    # a dropped base column's name stays reserved too: reusing it would
+    # make purge/compact materialization ambiguous
+    taken = (base_cols | visible | _sidecar_column_names(out_dir)
+             | set(load_dropped_columns(out_dir)))
+    path = schema_meta_path(out_dir)
+    with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
+        meta: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = _json.load(f)
+        added = dict(meta.get("added", {}))
+        if name in taken or name in added:
+            raise ValueError(
+                f"column {name!r} collides with an existing column "
+                "(stored, visible, sidecar or added)"
+            )
+        added[name] = {"value": value, "type": dtype}
+        meta["added"] = added
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, path)
+    return {"added": added}
+
+
 def rename_column(out_dir: str, old: str, new: str,
                   lock_timeout: float = 10.0) -> dict:
     """Schema evolution: RENAME COLUMN without rewriting the corpus —
@@ -1163,6 +1251,12 @@ def rename_column(out_dir: str, old: str, new: str,
             "by name; drop_column + derive_column under the new name "
             "instead of renaming"
         )
+    added = load_added_columns(out_dir)
+    if old in added:
+        raise ValueError(
+            f"{old!r} is a metadata-only added column — drop_column + "
+            "add_column_default under the new name instead of renaming"
+        )
     path = schema_meta_path(out_dir)
     with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
         meta: dict = {}
@@ -1182,10 +1276,12 @@ def rename_column(out_dir: str, old: str, new: str,
         # legal (it clears the mapping); anything else must not collide
         if new != stored and (
             new in visible or new in base_cols or new in sidecars
+            or new in added
         ):
             raise ValueError(
                 f"rename target {new!r} collides with an existing column "
-                "(visible, stored or sidecar) — reads would be ambiguous"
+                "(visible, stored, sidecar or added) — reads would be "
+                "ambiguous"
             )
         if new == stored:
             renames.pop(stored, None)  # renamed back to the physical name
@@ -1284,6 +1380,19 @@ def drop_column(out_dir: str, name: str, lock_timeout: float = 10.0) -> dict:
                 f"column {name!r} was renamed to {renames[name]!r}; drop "
                 "it by its current name"
             )
+    # added (metadata-only constant)? remove its entry — nothing physical
+    # exists anywhere
+    if name in load_added_columns(out_dir):
+        path = schema_meta_path(out_dir)
+        with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
+            with open(path) as f:
+                meta = _json.load(f)
+            meta.get("added", {}).pop(name, None)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(meta, f)
+            os.replace(tmp, path)
+        return {"kind": "added"}
     # sidecar? delete its files — physical and complete
     n_files = 0
     for r in records:
@@ -1304,12 +1413,24 @@ def drop_column(out_dir: str, name: str, lock_timeout: float = 10.0) -> dict:
         )
     path = schema_meta_path(out_dir)
     with excl_lock(f"{path}.lock", lock_timeout, what="schema"):
-        dropped = sorted(set(load_dropped_columns(out_dir)) | {name})
+        # merge into the EXISTING schema metadata — writing {"dropped"}
+        # fresh would clobber the "renamed" mapping (a renamed column
+        # silently reverting to its stored name on the next read). A
+        # dropped column's own rename entry is cleared: the mapping is
+        # meaningless once the column is gone and must not leak into
+        # purge/compact carries.
+        meta: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = _json.load(f)
+        meta["dropped"] = sorted(set(meta.get("dropped", [])) | {name})
+        if name in meta.get("renamed", {}):
+            meta["renamed"].pop(name)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            _json.dump({"dropped": dropped}, f)
+            _json.dump(meta, f)
         os.replace(tmp, path)
-    return {"kind": "base", "dropped": dropped}
+    return {"kind": "base", "dropped": meta["dropped"]}
 
 
 def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
@@ -1342,13 +1463,14 @@ def derive_column(out_dir: str, name: str, fn, input_columns: Sequence[str],
     # (ADVICE r3). Validate against the actual base chunk schema.
     base_cols = _base_chunk_columns(records)
     visible = sorted(
-        {load_renames(out_dir).get(c, c) for c in base_cols} | set(base_cols)
+        {load_renames(out_dir).get(c, c) for c in base_cols}
+        | set(base_cols) | set(load_added_columns(out_dir))
     )
     if name in visible:
         raise ValueError(
             f"derived column {name!r} collides with a base column of this "
-            f"corpus (stored or renamed: {visible}); pick a new name — "
-            "sidecars must not shadow stored columns"
+            f"corpus (stored, renamed or added: {visible}); pick a new "
+            "name — sidecars must not shadow stored columns"
         )
     items = ray.data.from_items(
         [{"bucket": r["bucket"], "path": r["path"]} for r in records]
@@ -1644,6 +1766,56 @@ def decode_dataset(
 
         return ds.map_batches(rb, batch_format="pyarrow")
 
+    # added columns (metadata-only DDL — add_column_default): constants
+    # synthesized per batch, never read from disk. ``_raw_names=True``
+    # INCLUDES them so a physical rewrite (purge/compact) materializes the
+    # default for real — the lakehouse ADD COLUMN lifecycle.
+    added = load_added_columns(out_dir)
+    want_added: dict = {}
+    added_helper: list[str] = []
+    added_force_empty = False
+    if added:
+        if columns is not None:
+            want_added = {c: added[c] for c in columns if c in added}
+            columns = [c for c in columns if c not in added]
+            if not columns and want_added:
+                # a request for ONLY added columns still needs real rows
+                # for the row count — decode conv_id, drop it at the end
+                columns = ["conv_id"]
+                added_helper = ["conv_id"]
+        else:
+            want_added = dict(added)
+        if col_ranges:
+            # a range predicate on a constant column is all-or-nothing:
+            # resolve it here instead of shipping it to the planner
+            for c in [c for c in col_ranges if c in added]:
+                lo, hi = col_ranges.pop(c)
+                v = added[c]["value"]
+                if v is None or (lo is not None and v < lo) or (
+                        hi is not None and v > hi):
+                    added_force_empty = True
+            if not col_ranges:
+                col_ranges = None
+
+    def _with_added(ds):
+        if not want_added and not added_helper:
+            return ds
+
+        def ap(t: pa.Table) -> pa.Table:
+            drop = [c for c in added_helper if c in t.column_names]
+            if drop:
+                t = t.drop_columns(drop)
+            for n, spec in want_added.items():
+                typ = _added_arrow_type(spec["type"])
+                if spec["value"] is None:
+                    col = pa.nulls(t.num_rows, type=typ)
+                else:
+                    col = pa.array([spec["value"]] * t.num_rows, type=typ)
+                t = t.append_column(n, col)
+            return t
+
+        return ds.map_batches(ap, batch_format="pyarrow")
+
     # dropped base columns (metadata-only DDL — drop_column): every read
     # path must exclude them. Explicit requests and pushdown predicates on
     # a dropped column raise (the caller's expectation can't be met);
@@ -1717,15 +1889,15 @@ def decode_dataset(
             and turn_hi is None and ts_lo is None and ts_hi is None
             and text_contains is None and role_eq is None
             and tool_eq is None and conv_ids is None
-            and col_ranges is None):
+            and col_ranges is None and not added_force_empty):
         records = load_manifest(out_dir)
         if not records:
             raise FileNotFoundError(f"no completed buckets under {out_dir}")
         paths = ray.data.from_items([{"path": r["path"]} for r in records])
-        return _present(_with_tombstones(paths.map_batches(
+        return _with_added(_present(_with_tombstones(paths.map_batches(
             _decode_file_batches, batch_format="pyarrow", batch_size=1
-        )))
-    plan = [] if force_empty_plan else plan_chunks(
+        ))))
+    plan = [] if (force_empty_plan or added_force_empty) else plan_chunks(
         out_dir, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
         text_contains, role_eq, tool_eq, conv_ids, col_ranges)
     if not plan:
@@ -1741,21 +1913,21 @@ def decode_dataset(
         cols = columns if columns is not None else list(canon)
         cols = [c for c in cols if c not in drop_helper]
         if all(c in canon for c in cols):
-            return ray.data.from_arrow(
+            return _with_added(ray.data.from_arrow(
                 pa.table(
                     {renames.get(c, c): pa.array([], type=canon[c])
                      for c in cols}
                 )
-            )
+            ))
         return ray.data.from_items([]).map_batches(lambda t: t)
     items = ray.data.from_items(plan)
-    return _present(_with_tombstones(items.map_batches(
+    return _with_added(_present(_with_tombstones(items.map_batches(
         _SelectiveDecode(columns, conv_id, turn_lo, turn_hi, ts_lo, ts_hi,
                          text_contains, role_eq, tool_eq, conv_ids,
                          col_ranges),
         batch_format="pyarrow",
         batch_size=1,
-    )))
+    ))))
 
 
 def roundtrip_ok(input_ds, out_dir: str) -> bool:

@@ -130,3 +130,16 @@ def test_rename_drop_interplay_and_purge_carry(corpus, tmp_path):
     )
     assert list(purged.columns) == list(want.columns)
     assert pa.Table.from_pandas(purged).equals(pa.Table.from_pandas(want))
+
+
+def test_rename_survives_later_drop(corpus):
+    """Regression: drop_column must MERGE into _schema.json — writing the
+    dropped list fresh used to clobber the rename mapping, silently
+    reverting a renamed column to its stored name on the next read."""
+    out, table = corpus
+    rename_column(out, "role", "speaker2")
+    drop_column(out, "tool")
+    got = decode_dataset(out).to_pandas()
+    assert "speaker2" in got.columns and "role" not in got.columns
+    assert "tool" not in got.columns
+    rename_column(out, "speaker2", "role")  # restore for sibling tests
