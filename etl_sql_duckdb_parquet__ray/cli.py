@@ -448,9 +448,18 @@ def cmd_describe(args) -> int:
         side.setdefault(cname, 0)
         side[cname] += 1
     meta = load_run_meta(args.encoded) or {}
-    from .pipelines.deletes import load_deleted_convs
+    from .pipelines.deletes import _load_tombstones, load_deleted_convs
+    from .pipelines.encode import load_added_columns as _added
     from .pipelines.encode import load_dropped_columns as _dropped
     from .pipelines.encode import load_renames as _renames
+
+    def _max_epoch(d):
+        t = _load_tombstones(d)
+        if t.num_rows == 0:
+            return 0
+        import pyarrow.compute as pc
+
+        return int(pc.max(t.column("epoch")).as_py())
 
     out = {
         "buckets": len(recs),
@@ -466,6 +475,12 @@ def cmd_describe(args) -> int:
         "dropped_columns": _dropped(args.encoded),
         # stored -> visible display renames (rename_column, metadata-only)
         "renamed_columns": _renames(args.encoded),
+        # constant-default columns (add_column_default, metadata-only;
+        # materialized by the next purge/compaction)
+        "added_columns": _added(args.encoded),
+        # highest tombstone epoch = the corpus's current mutation clock
+        # (time-travel reads address epochs 0..this)
+        "max_tombstone_epoch": _max_epoch(args.encoded),
         "codecs_first_chunk": {
             c["name"]: c["meta"]["codec"] for c in header["columns"]
         },

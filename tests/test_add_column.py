@@ -121,3 +121,20 @@ def test_purge_materializes_added_column(corpus, tmp_path):
     assert len(got) == N_ROWS - (
         table.to_pandas()["conv_id"] == convs[0]
     ).sum()
+
+
+def test_describe_shows_added_and_epoch(corpus, capsys):
+    import json
+
+    from etl_sql_duckdb_parquet__ray.cli import main
+
+    out, table = corpus
+    add_column_default(out, "tagged", True, "bool")
+    convs = sorted({c.as_py() for c in table.column("conv_id")})
+    delete_convs(out, [convs[0]], epoch=2)
+
+    assert main(["describe", "--encoded", out]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["added_columns"] == {"tagged": {"value": True, "type": "bool"}}
+    assert d["max_tombstone_epoch"] == 2
+    assert d["tombstoned_convs"] == 1
