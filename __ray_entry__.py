@@ -295,6 +295,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out = out.union(v)
         return out
 
+    def incremental_revenue_view(sf_dir: str):
+        # incremental materialized-view maintenance: three append ticks
+        # (orders split by o_orderkey % 3) folded one at a time into a
+        # persisted GROUP BY view — O(|delta| + |view|) per refresh, never
+        # a history re-scan — must equal the one-shot aggregate (mirror).
+        import pyarrow.compute as pc
+
+        from etl_sql_duckdb_parquet__ray.pipelines.ivm import (
+            read_view, refresh_view,
+        )
+
+        view = tempfile.mkdtemp(prefix="ivm-", dir="/tmp")
+        base = read_table(
+            sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+
+        def prep(t, residue):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            ids = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 3 == residue))
+            cents = pc.round(
+                pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+            ).cast(pa.int64())
+            return pa.table({
+                "o_orderpriority": t.column("o_orderpriority"),
+                "total_x100": cents,
+            })
+
+        for i in range(3):
+            tick = base.map_batches(
+                lambda t, i=i: prep(t, i), batch_format="pyarrow"
+            )
+            refresh_view(
+                view, tick, f"tick-{i}", group_cols=["o_orderpriority"],
+                sum_cols=["total_x100"], minmax_cols=["total_x100"],
+            )
+        return read_view(view)
+
     def transcript_add_column(sf_dir: str):
         # schema evolution: metadata-only ADD COLUMN with a constant
         # default — one _schema.json write, no data rewrite; every decode
@@ -1277,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_time_travel": transcript_time_travel,
         "transcript_drop_column": transcript_drop_column,
         "transcript_add_column": transcript_add_column,
+        "incremental_revenue_view": incremental_revenue_view,
         "transcript_rename": transcript_rename,
         "transcript_segment_stats": transcript_segment_stats,
         "transcript_proj_pushdown": transcript_proj_pushdown,
@@ -1989,6 +2031,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch, conv_id, COUNT(*) AS n_turns,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
             FROM e GROUP BY epoch, conv_id
+        """,
+        # incremental_revenue_view mirror: the one-shot aggregate the
+        # tick-by-tick view folds must equal exactly
+        "incremental_revenue_view": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                       AS sum_total_x100,
+                   CAST(MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                       AS min_total_x100,
+                   CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                       AS max_total_x100,
+                   COUNT(*) AS n_rows
+            FROM orders GROUP BY o_orderpriority
         """,
         # transcript_add_column mirror: the roundtrip derivation plus the
         # two constant defaults as SQL literals — ADD COLUMN is
