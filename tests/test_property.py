@@ -216,3 +216,38 @@ def test_explode_matching_tokens_matches_row_reference(ray_session, texts):
         if w and "or" in w
     )
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=10),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1, max_size=30,
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(deadline=None, max_examples=60)
+def test_bpe_train_apply_roundtrip_property(word_freqs, num_merges):
+    """BPE invariants over arbitrary word-frequency tables: applying the
+    learned merges reproduces every training word byte-for-byte, token
+    counts never increase with more merges, and training is deterministic."""
+    from etl_sql_duckdb_parquet__ray.functions import bpe
+
+    # dedup words (train_bpe expects a frequency TABLE, one row per word)
+    wf = sorted({w: f for w, f in word_freqs}.items())
+    merges = bpe.train_bpe(wf, num_merges=num_merges)
+    assert merges == bpe.train_bpe(wf, num_merges=num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in wf:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w
+        assert all(t for t in toks)
+    if num_merges > 0:
+        fewer = bpe.train_bpe(wf, num_merges=num_merges - 1)
+        ranks_f = {p: i for i, p in enumerate(fewer)}
+        for w, _ in wf:
+            assert len(bpe.encode_word(w, ranks)) <= len(
+                bpe.encode_word(w, ranks_f)
+            )
