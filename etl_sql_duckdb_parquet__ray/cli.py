@@ -380,6 +380,50 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_fsck(args) -> int:
+    """Source-free integrity check: stream-decode every bucket chunk file
+    and validate its per-column checksums (bit-rot / partial-write
+    detection without the original data — `verify` needs the source,
+    fsck does not). One task per file; corrupt files are reported, not
+    fatal, so one bad disk sector doesn't hide the rest of the report."""
+    ray = _ray()
+    from .state.manifest import load_manifest
+
+    recs = load_manifest(args.encoded)
+    if not recs:
+        print(json.dumps({"error": "no completed buckets"}))
+        return 1
+
+    def check(batch):
+        import pyarrow as pa
+
+        from .chunk import read_chunk_file
+
+        out = []
+        for row in batch.to_pylist():
+            try:
+                t = read_chunk_file(row["path"])
+                out.append({"path": row["path"], "ok": True,
+                            "rows": t.num_rows, "error": ""})
+            except Exception as e:  # checksum mismatch, bad magic, truncation
+                out.append({"path": row["path"], "ok": False, "rows": 0,
+                            "error": str(e)[:200]})
+        return pa.Table.from_pylist(out)
+
+    res = (
+        ray.data.from_items([{"path": r["path"]} for r in recs])
+        .map_batches(check, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    bad = [r for r in res if not r["ok"]]
+    print(json.dumps({
+        "buckets": len(res),
+        "rows_decoded": int(sum(r["rows"] for r in res)),
+        "corrupt": [{"path": r["path"], "error": r["error"]} for r in bad],
+    }))
+    return 0 if not bad else 1
+
+
 def cmd_report(args) -> int:
     ray = _ray()
     from .stages.report import build_report, write_html_report, write_markdown_report
@@ -655,6 +699,14 @@ def main(argv=None) -> int:
         choices=["token_count", "char_count"],
     )
     dv.set_defaults(fn=cmd_derive)
+
+    fs = sub.add_parser(
+        "fsck",
+        help="source-free integrity check: stream-decode every chunk file "
+             "and validate checksums; reports corrupt files",
+    )
+    fs.add_argument("--encoded", required=True)
+    fs.set_defaults(fn=cmd_fsck)
 
     ac = sub.add_parser(
         "add-column",

@@ -112,6 +112,62 @@ def main() -> int:
     hits = decode_dataset(merged, text_contains="v2 ").count()
     step("text_search", term="v2 ", rows=hits)
 
+    # TIME TRAVEL: the upsert stamped epoch 1; as-of 0 still shows the
+    # pre-upsert text, as-of 1 the v2 version — no snapshot copies exist
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import read_as_of
+
+    def _first_text(ds_):
+        import pandas as pd  # noqa: F401
+
+        df = ds_.to_pandas()
+        df = df[df["conv_id"] == convs[2]].sort_values("turn_idx")
+        return df["text"].iloc[0][:2] if len(df) else ""
+
+    step("time_travel",
+         epoch0_prefix=_first_text(read_as_of(base, [tick], 0)),
+         epoch1_prefix=_first_text(read_as_of(base, [tick], 1)))
+
+    # ADD COLUMN: metadata-only constant, visible on every read
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        add_column_default,
+    )
+
+    add_column_default(purged, "corpus_tag", "demo", "string")
+    tagged = decode_dataset(purged, columns=["corpus_tag"]).take(1)
+    step("add_column_default", column="corpus_tag",
+         value=tagged[0]["corpus_tag"] if tagged else None)
+
+    # IVM: a persisted per-role turn-count view maintained per tick —
+    # refreshing the same label twice is a no-op (exactly-once)
+    from etl_sql_duckdb_parquet__ray.pipelines.ivm import (
+        read_view, refresh_view,
+    )
+
+    view = os.path.join(root, "view")
+    refresh_view(view, decode_dataset(base, columns=["role", "turn_idx"]),
+                 "base", group_cols=["role"], sum_cols=["turn_idx"])
+    refresh_view(view, decode_dataset(tick, columns=["role", "turn_idx"]),
+                 "tick-1", group_cols=["role"], sum_cols=["turn_idx"])
+    again = refresh_view(view, decode_dataset(tick,
+                         columns=["role", "turn_idx"]),
+                         "tick-1", group_cols=["role"], sum_cols=["turn_idx"])
+    step("ivm_view", n_groups=read_view(view).num_rows,
+         reapply_was_noop=not again["applied"])
+
+    # fsck: source-free checksum validation of every chunk file (capture
+    # the CLI's own JSON line and fold it into one step record)
+    import contextlib
+    import io
+
+    from etl_sql_duckdb_parquet__ray.cli import main as _cli
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        code = _cli(["fsck", "--encoded", merged])
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    step("fsck", code=code, buckets=rep["buckets"],
+         rows_decoded=rep["rows_decoded"], corrupt=rep["corrupt"])
+
     ray.shutdown()
     return 0
 

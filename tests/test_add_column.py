@@ -138,3 +138,26 @@ def test_describe_shows_added_and_epoch(corpus, capsys):
     assert d["added_columns"] == {"tagged": {"value": True, "type": "bool"}}
     assert d["max_tombstone_epoch"] == 2
     assert d["tombstoned_convs"] == 1
+
+
+def test_fsck_detects_corruption(corpus, capsys):
+    import glob
+    import json
+
+    from etl_sql_duckdb_parquet__ray.cli import main
+
+    out, _ = corpus
+    assert main(["fsck", "--encoded", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_decoded"] == N_ROWS and not rep["corrupt"]
+
+    # flip one payload byte mid-file: fsck must name exactly that file
+    victim = sorted(glob.glob(os.path.join(out, "bucket-*.bin")))[0]
+    with open(victim, "r+b") as f:
+        f.seek(os.path.getsize(victim) // 2)
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert main(["fsck", "--encoded", out]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [c["path"] for c in rep["corrupt"]] == [victim]
