@@ -1210,6 +1210,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mod20(sf_dir, eq=False), _mod20(sf_dir, eq=True), n=5, hash_fn="md5"
         )
 
+    def contamination_fraction_docs(sf_dir: str):
+        # graded decontamination: per-doc benchmark 5-gram overlap in
+        # integer basis points, threshold at 20% — integer cross-multiply
+        # flag, bit-exact SQL mirror
+        return corpus.contamination_fraction(
+            _mod20(sf_dir, eq=False), _mod20(sf_dir, eq=True),
+            n=5, threshold_bp=2000, hash_fn="md5",
+        )
+
     def shard_assignments(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id"])
         return corpus.deterministic_shard(
@@ -1348,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_index_exact_topk": ann_index_exact_topk,
         "multimodal_features": multimodal_features,
         "decontaminate_docs": decontaminate_docs,
+        "contamination_fraction_docs": contamination_fraction_docs,
         "shard_assignments": shard_assignments,
         "quota_sample_by_lang": quota_sample_by_lang,
         "mixture_sample_docs": mixture_sample_docs,
@@ -2194,6 +2204,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
             FROM documents d WHERE d.doc_id % 20 <> 0
+        """,
+        # contamination_fraction mirror: overlap counted per gram POSITION
+        # (not distinct), basis points via integer floor division, the
+        # threshold flag via integer cross-multiply — no float anywhere
+        "contamination_fraction_docs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE doc_id % 20 = 0
+            ), pos AS (
+                SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+                WHERE doc_id % 20 <> 0
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN gram IN (SELECT gram FROM bg)
+                                THEN 1 ELSE 0 END) AS n_hit
+                FROM pos GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(COALESCE((10000 * a.n_hit) // a.n_grams, 0) AS BIGINT)
+                       AS overlap_bp,
+                   COALESCE(10000 * a.n_hit >= 2000 * a.n_grams, FALSE)
+                       AS contaminated
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
         """,
         # deterministic_shard mirror: md5_number_lower('seed|id') is
         # bit-identical to the engine's md5 mode (verified; same identity

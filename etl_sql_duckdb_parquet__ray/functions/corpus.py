@@ -510,3 +510,65 @@ def mixture_sample(
         .groupby(group_col)
         .map_groups(take_until, batch_format="pandas")
     )
+
+
+class FractionDecontaminator:
+    """Per-doc n-gram OVERLAP FRACTION vs the broadcast benchmark set —
+    the graded refinement of the binary :class:`Decontaminator`: a doc
+    quoting one benchmark line differs from a doc that IS the benchmark.
+    Same vectorized shape (flat gram hashes, one ``np.isin``, bincount
+    fold); the fraction is integer basis points (floor of
+    ``10000*n_hit/n_grams``) and the threshold compare is pure integer
+    cross-multiplication, so the SQL mirror is bit-exact."""
+
+    def __init__(self, bench_ref, n: int = 5, threshold_bp: int = 2000,
+                 hash_fn: str = "siphash"):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        )
+        self.n = n
+        self.threshold_bp = int(threshold_bp)
+        self.hash_fn = hash_fn
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = word_ngram_hashes(batch["text"], n=self.n, hash_fn=self.hash_fn)
+        n_grams = np.array([len(h) for h in hs], dtype=np.int64)
+        n_hit = np.zeros(len(batch), dtype=np.int64)
+        if n_grams.sum() > 0 and len(self.bench) > 0:
+            flat = np.concatenate(hs)
+            doc_idx = np.repeat(np.arange(len(hs)), n_grams)
+            hit = np.isin(flat, self.bench)
+            n_hit = np.bincount(
+                doc_idx[hit], minlength=len(hs)
+            ).astype(np.int64)
+        bp = np.zeros(len(batch), dtype=np.int64)
+        nz = n_grams > 0
+        bp[nz] = (10_000 * n_hit[nz]) // n_grams[nz]
+        out = batch[["doc_id"]].copy()
+        out["n_grams"] = n_grams
+        out["n_hit"] = n_hit
+        out["overlap_bp"] = bp
+        out["contaminated"] = (
+            (10_000 * n_hit >= self.threshold_bp * n_grams) & nz
+        )
+        return out
+
+
+def contamination_fraction(docs_ds, bench_ds, n: int = 5,
+                           threshold_bp: int = 2000,
+                           hash_fn: str = "siphash"):
+    """Graded eval-set decontamination: per-doc benchmark n-gram overlap
+    fraction with an integer-exact threshold flag. Returns
+    ``(doc_id, n_grams, n_hit, overlap_bp, contaminated)``."""
+    import ray
+
+    bench = benchmark_ngram_set(bench_ds, n=n, hash_fn=hash_fn)
+    ref = ray.put(bench)
+    return docs_ds.map_batches(
+        FractionDecontaminator,
+        fn_constructor_args=(ref, n, threshold_bp, hash_fn),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )

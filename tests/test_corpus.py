@@ -306,3 +306,36 @@ def test_mixture_sample_proportions_and_determinism(ray_session):
         ds, weights, total, group_col="source", seed=8
     ).to_pandas()
     assert set(out3["doc_id"]) != set(out["doc_id"])
+
+
+def test_contamination_fraction_planted(ray_session):
+    """Graded decontamination: a doc that IS a benchmark line scores
+    10000 bp; a doc quoting one line among fresh text scores its exact
+    positional fraction; clean docs score 0 and stay unflagged."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.corpus import (
+        contamination_fraction,
+    )
+
+    bench_line = "alpha beta gamma delta epsilon zeta"      # 6 words
+    docs = [
+        {"doc_id": 0, "text": bench_line},                   # exact copy
+        {"doc_id": 1, "text": bench_line + " q r s t u v"},  # half-quote
+        {"doc_id": 2, "text": "m n o p q r s t"},            # clean
+    ]
+    bench = ray.data.from_items([{"doc_id": 9, "text": bench_line}])
+    out = (
+        contamination_fraction(
+            ray.data.from_items(docs), bench, n=5, threshold_bp=2000
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc 0: 2 grams, both hit -> 10000 bp
+    assert out.loc[0, "overlap_bp"] == 10000 and out.loc[0, "contaminated"]
+    # doc 1: 8 grams, 2 hit -> 2500 bp (>= 2000 threshold)
+    assert out.loc[1, "n_grams"] == 8 and out.loc[1, "n_hit"] == 2
+    assert out.loc[1, "overlap_bp"] == 2500 and out.loc[1, "contaminated"]
+    # doc 2: zero overlap
+    assert out.loc[2, "overlap_bp"] == 0 and not out.loc[2, "contaminated"]
