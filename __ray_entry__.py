@@ -914,8 +914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         keyed = ds.map_batches(rowkey, batch_format="pyarrow")
+        # hash_fn="md5" for oracle parity; production callers keep the
+        # vectorized SipHash default (same convention as decontaminate)
         vals = sampled_quantiles(
-            keyed, "l_extendedprice", "rk", qs, rate_bp=1000, seed=42
+            keyed, "l_extendedprice", "rk", qs, rate_bp=1000, seed=42,
+            hash_fn="md5",
         )
         return pd.DataFrame({"q": qs, "value": vals})
 

@@ -707,6 +707,7 @@ def sampled_quantiles(
     qs: list[float],
     rate_bp: int = 1000,
     seed: int = 42,
+    hash_fn: str = "siphash",
 ):
     """APPROXIMATE quantiles over a DETERMINISTIC hash sample — the scale
     path when even :func:`exact_quantiles`' 2-3 column-pruned scans are too
@@ -734,8 +735,15 @@ def sampled_quantiles(
 
     def sample(t: pa.Table) -> pa.Table:
         ids = t.column(key_col).to_numpy(zero_copy_only=False)
-        keep = det_keys(ids, seed, hash_fn="md5") < threshold
+        keep = det_keys(ids, seed, hash_fn=hash_fn) < threshold
         return t.filter(pa.array(keep))
 
-    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    # materialize the sample ONCE: the quantile machinery makes 2-3 passes,
+    # and a lazy chain would re-run the full read+hash per pass — the whole
+    # point of sampling is that only rate_bp/10000 of the data is touched
+    # again. The materialized set is rate-bounded (object-store-resident,
+    # spillable), e.g. 0.1% of 100 TB = 100 GB across the cluster.
+    sampled = ds.map_batches(
+        sample, batch_format="pyarrow"
+    ).select_columns([column]).materialize()
     return exact_quantiles(sampled, column, qs)
