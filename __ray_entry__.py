@@ -1294,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_customers_by_priority": _q(A.distinct_customers_by_priority),
         "orders_per_day": _q(A.orders_per_day),
         "top_orders": _q(A.top_orders),
+        "top_orders_page2": _q(A.top_orders_page),
         "order_price_bands": _q(A.order_price_bands),
         "top3_orders_per_segment": _q(A.top3_orders_per_segment),
         "event_type_share": _q(A.event_type_share),
@@ -1475,6 +1476,11 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_x100
             FROM orders ORDER BY total_x100 DESC, o_orderkey LIMIT 10
+        """,
+        # pagination: page 2 of the same ordering — LIMIT k OFFSET k
+        "top_orders_page2": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_x100
+            FROM orders ORDER BY total_x100 DESC, o_orderkey LIMIT 10 OFFSET 10
         """,
         "order_price_bands": """
             SELECT o_orderstatus,

@@ -82,6 +82,10 @@ QUERY_NAMES = [
     "decontaminate_docs_prod",
     "pack_sequences_prod",
     "corpus_prep_prod",
+    # round-4 continuation headliners (new-op cost profile, BASELINE.md)
+    "window_dup_docs",
+    "bpe_token_counts",
+    "mixture_sample_docs",
 ]
 
 

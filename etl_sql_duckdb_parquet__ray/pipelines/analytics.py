@@ -191,6 +191,19 @@ def top_orders(sf_dir: str, k: int = 10):
     )
 
 
+def top_orders_page(sf_dir: str, k: int = 10, offset: int = 10):
+    """LIMIT k OFFSET off pagination: fetch the top ``offset + k`` rows
+    (Dataset has no offset primitive — and doesn't need one: the
+    bounded-k sorted head is the distributed part) and drop the first
+    ``offset`` driver-side. O(offset + k) driver rows, never a full
+    collect; deep pagination (offset ~ N) should keyset-paginate on the
+    (total_x100, o_orderkey) cursor instead — same sort, WHERE < cursor."""
+    import pandas as pd
+
+    head = top_orders(sf_dir, k=offset + k).to_pandas()
+    return head.iloc[offset:offset + k].reset_index(drop=True)
+
+
 def order_price_bands(sf_dir: str):
     """CASE WHEN price bands → grouped counts (reference Q3 qc_status CASE,
     ``sql/queries.sql:26-41``)."""
