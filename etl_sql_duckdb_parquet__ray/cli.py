@@ -386,6 +386,8 @@ def cmd_fsck(args) -> int:
     detection without the original data — `verify` needs the source,
     fsck does not). One task per file; corrupt files are reported, not
     fatal, so one bad disk sector doesn't hide the rest of the report."""
+    import glob as _glob
+
     ray = _ray()
     from .state.manifest import load_manifest
 
@@ -393,6 +395,10 @@ def cmd_fsck(args) -> int:
     if not recs:
         print(json.dumps({"error": "no completed buckets"}))
         return 1
+    # derived sidecar columns use the same chunk framing — check them too
+    paths = [r["path"] for r in recs] + sorted(
+        _glob.glob(os.path.join(args.encoded, "column-*.bin"))
+    )
 
     def check(batch):
         import pyarrow as pa
@@ -401,24 +407,31 @@ def cmd_fsck(args) -> int:
 
         out = []
         for row in batch.to_pylist():
+            is_bucket = os.path.basename(row["path"]).startswith("bucket-")
             try:
                 t = read_chunk_file(row["path"])
                 out.append({"path": row["path"], "ok": True,
+                            "is_bucket": is_bucket,
                             "rows": t.num_rows, "error": ""})
             except Exception as e:  # checksum mismatch, bad magic, truncation
-                out.append({"path": row["path"], "ok": False, "rows": 0,
+                out.append({"path": row["path"], "ok": False,
+                            "is_bucket": is_bucket, "rows": 0,
                             "error": str(e)[:200]})
         return pa.Table.from_pylist(out)
 
     res = (
-        ray.data.from_items([{"path": r["path"]} for r in recs])
+        ray.data.from_items([{"path": p} for p in paths])
         .map_batches(check, batch_format="pyarrow", batch_size=1)
         .take_all()
     )
     bad = [r for r in res if not r["ok"]]
+    n_side = len(paths) - len(recs)
     print(json.dumps({
-        "buckets": len(res),
-        "rows_decoded": int(sum(r["rows"] for r in res)),
+        "buckets": len(recs),
+        "sidecar_files": n_side,
+        "rows_decoded": int(
+            sum(r["rows"] for r in res if r["is_bucket"])
+        ),
         "corrupt": [{"path": r["path"], "error": r["error"]} for r in bad],
     }))
     return 0 if not bad else 1

@@ -939,6 +939,11 @@ def embedding_covariance(ds_emb, col: str = "embedding"):
     ).take_all()  # bounded: ONE partial row per input batch
     if not rows:
         raise ValueError("empty embedding dataset")
+    # float addition is not associative: partials arrive in task-completion
+    # order, which varies run to run — sort them by content so the reduce
+    # is DETERMINISTIC (same input + partitioning -> bit-identical cov,
+    # hence bit-identical eigenvectors downstream)
+    rows = sorted(rows, key=lambda r: (r["n"], r["s"], r["ss"]))
     n = sum(r["n"] for r in rows)
     s = np.sum([np.frombuffer(r["s"], dtype=np.float64) for r in rows], axis=0)
     ss = np.sum([np.frombuffer(r["ss"], dtype=np.float64) for r in rows], axis=0)

@@ -161,3 +161,33 @@ def test_fsck_detects_corruption(corpus, capsys):
     assert main(["fsck", "--encoded", out]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [c["path"] for c in rep["corrupt"]] == [victim]
+
+
+def test_fsck_covers_sidecar_files(corpus, capsys):
+    import glob
+    import json
+
+    import pyarrow.compute as pc
+
+    from etl_sql_duckdb_parquet__ray.cli import main
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import derive_column
+
+    out, _ = corpus
+    derive_column(
+        out, "n_chars",
+        lambda cols: pc.utf8_length(cols["text"]).cast(pa.int64()),
+        ["text"],
+    )
+    assert main(["fsck", "--encoded", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sidecar_files"] == 4 and not rep["corrupt"]
+
+    victim = sorted(glob.glob(os.path.join(out, "column-n_chars-*.bin")))[0]
+    with open(victim, "r+b") as f:
+        f.seek(os.path.getsize(victim) // 2)
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert main(["fsck", "--encoded", out]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [c["path"] for c in rep["corrupt"]] == [victim]

@@ -251,3 +251,53 @@ def test_bpe_train_apply_roundtrip_property(word_freqs, num_merges):
             assert len(bpe.encode_word(w, ranks)) <= len(
                 bpe.encode_word(w, ranks_f)
             )
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=20).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(deadline=None, max_examples=40)
+def test_window_dup_matches_bruteforce_property(texts, k):
+    """Sliding-window dedup vs an O(n^2) reference on tiny-alphabet
+    corpora (maximum hash-group collision pressure): flagged doc set and
+    per-doc distinct-dup-window counts must match exactly."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.functions.dedup import (
+        duplicate_window_docs,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in duplicate_window_docs(
+            ray.data.from_arrow(docs), k=k
+        ).take_all()
+    }
+    wins: dict[str, int] = {}
+    per_doc = {}
+    for did, s in enumerate(texts):
+        toks = [x for x in s.split(" ") if x]
+        per_doc[did] = {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+        for w in per_doc[did]:
+            wins[w] = min(wins.get(w, did), did)
+    ref = {
+        did: sum(1 for w in ws if wins[w] < did)
+        for did, ws in per_doc.items() if any(wins[w] < did for w in ws)
+    }
+    assert got == ref
