@@ -550,6 +550,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return clean_text(ds)
 
+    def corpus_collocations(sf_dir: str):
+        # phrase discovery: top-20 bigrams by PMI-proxy association
+        # (integer micro-ratio, exact-HUGEINT mirror); min_count=5 prunes
+        # the noisy tail
+        ds = read_table(sf_dir, "documents", ["text"])
+        return text.collocations(ds, k=20, min_count=5)
+
     def bpe_pair_counts(sf_dir: str):
         # first-iteration BPE pair statistics: char-bigram counts weighted
         # by word frequency, over the vocabulary-sized word-count table
@@ -1411,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_token_counts": bpe_token_counts,
         "window_dup_docs": window_dup_docs,
+        "corpus_collocations": corpus_collocations,
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "events_prop_k_stats": A.events_prop_k_stats,
@@ -3279,6 +3287,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS bigram, COUNT(*) AS n FROM bg
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # corpus_collocations mirror: PMI-proxy micro-ratio in exact
+        # HUGEINT floor division — n_ab*N_tok^2 overflows BIGINT, never
+        # HUGEINT/Python int; ties rank lexicographically
+        "corpus_collocations": r"""
+            WITH words AS (
+                SELECT list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (SELECT unnest(w) AS t FROM words),
+            uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+            ntok AS (SELECT COUNT(*) AS n FROM tok),
+            bi AS (
+                SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT)+1] AS b
+                FROM (SELECT w, unnest(generate_series(1, CAST(len(w) AS BIGINT)-1)) AS i
+                      FROM words WHERE len(w) >= 2) z
+            ), nbi AS (SELECT COUNT(*) AS n FROM bi),
+            bc AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY a, b)
+            SELECT a || ' ' || b AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST((CAST(1000000 AS HUGEINT) * n_ab
+                         * (SELECT n FROM ntok) * (SELECT n FROM ntok))
+                        // (CAST((SELECT n FROM nbi) AS HUGEINT) * ua.n * ub.n)
+                        AS BIGINT) AS pmi_micro
+            FROM bc JOIN uni ua ON bc.a = ua.t JOIN uni ub ON bc.b = ub.t
+            WHERE n_ab >= 5
+            ORDER BY pmi_micro DESC, bigram LIMIT 20
         """,
         # bpe_pair_counts mirror: word frequencies from single-space splits
         # (string_split(text, ' ') == pc.split_pattern(text, " ")), then

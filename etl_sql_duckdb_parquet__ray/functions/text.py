@@ -935,3 +935,101 @@ def clean_text(ds, text_col: str = "text", lowercase: bool = False):
     return ds.map_batches(
         TextCleaner(text_col, lowercase), batch_format="pyarrow"
     )
+
+
+def collocations(docs_ds, k: int = 20, min_count: int = 5,
+                 text_col: str = "text"):
+    """Collocation mining: top-k bigrams by a PMI-proxy association score
+    (Church & Hanks 1990, public) — the phrase-discovery classic a
+    tokenizer/vocab pipeline runs before merging multiwords. Score is the
+    pointwise-mutual-information RATIO in integer micro-units,
+    ``floor(1e6 * n_ab * N_tok^2 / (N_bi * n_a * n_b))``, computed in
+    exact arbitrary-precision ints (mirrors DuckDB HUGEINT floor division
+    bit-for-bit; production at 10^13 tokens would emit the float log-PMI
+    instead — the micro-ratio is the oracle-exact form).
+
+    Shape: both count tables are VOCABULARY-sized (batch-local combiners
+    feed one groupby-sum each); the unigram table is broadcast via
+    ``ray.put`` and joined batch-wise onto the distributed bigram table —
+    the per-row Python here runs over bigram-vocab rows, never corpus
+    rows. min_count prunes the long random tail before scoring (PMI is
+    notoriously noisy at count 1)."""
+    import ray
+    from collections import Counter
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n_bi = 0
+        for txt in t.column(text_col):
+            w = (txt.as_py() or "").split()
+            c.update(w)
+            n_bi += max(len(w) - 1, 0)
+        ks = list(c.keys())
+        return pa.table({
+            "t": pa.array(ks, pa.string()),
+            "n": pa.array([c[x] for x in ks], pa.int64()),
+            # ride the bigram-position count along as one extra row's worth
+            # of metadata: emit it under an impossible token key
+            "n_bi": pa.array([n_bi] + [0] * (len(ks) - 1) if ks else [n_bi],
+                             pa.int64()),
+            **({} if ks else {"t": pa.array([""], pa.string()),
+                              "n": pa.array([0], pa.int64())}),
+        })
+
+    # unigram counts + totals: vocabulary-sized take_all (same bounded
+    # pattern as BPE's word_frequencies)
+    uni_rows = docs_ds.map_batches(
+        uni_partial, batch_format="pyarrow"
+    ).take_all()
+    uni: dict[str, int] = {}
+    n_bi_total = 0
+    for r in uni_rows:
+        if r["t"]:
+            uni[r["t"]] = uni.get(r["t"], 0) + int(r["n"])
+        n_bi_total += int(r["n_bi"])
+    n_tok_total = sum(uni.values())
+    uni_ref = ray.put((uni, n_tok_total, n_bi_total))
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col):
+            w = (txt.as_py() or "").split()
+            if len(w) >= 2:
+                c.update(zip(w, w[1:]))
+        ks = list(c.keys())
+        return pa.table({
+            "a": pa.array([x[0] for x in ks], pa.string()),
+            "b": pa.array([x[1] for x in ks], pa.string()),
+            "n": pa.array([c[x] for x in ks], pa.int64()),
+        })
+
+    agg = docs_ds.map_batches(
+        bi_partial, batch_format="pyarrow"
+    ).groupby(["a", "b"]).sum("n")
+
+    def score(t: pa.Table) -> pa.Table:
+        u, n_tok, n_bi = ray.get(uni_ref)
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        n_ab = t.column("sum(n)").to_pylist()
+        keep, grams, counts, scores = [], [], [], []
+        for x, y, nab in zip(a, b, n_ab):
+            if nab < min_count:
+                continue
+            s = (1_000_000 * nab * n_tok * n_tok) // (n_bi * u[x] * u[y])
+            grams.append(f"{x} {y}")
+            counts.append(int(nab))
+            scores.append(int(s))
+        return pa.table({
+            "bigram": pa.array(grams, pa.string()),
+            "n_ab": pa.array(counts, pa.int64()),
+            "pmi_micro": pa.array(scores, pa.int64()),
+            "neg": pa.array([-s for s in scores], pa.int64()),
+        })
+
+    top = (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["neg", "bigram"])
+        .limit(k)
+    )
+    return top.drop_columns(["neg"])

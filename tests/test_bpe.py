@@ -153,3 +153,38 @@ def test_duplicate_window_docs_planted(ray_session):
         .to_pandas().set_index("doc_id")["n_dup_windows"]
     )
     assert dict(got) == ref and len(ref) > 0
+
+
+def test_collocations_planted_phrase(ray_session):
+    """Collocation mining: a planted always-together phrase must outrank
+    independent co-occurrences, and every score must equal the exact
+    integer PMI micro-ratio recomputed locally."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.text import collocations
+
+    # "zip zap" always together (10x); filler tokens co-occur at random
+    rows = [{"text": "zip zap " + " ".join(["w%d" % (i % 4) for i in range(10)])}
+            for _ in range(10)]
+    out = (
+        collocations(ray.data.from_items(rows), k=5, min_count=5)
+        .to_pandas()
+    )
+    assert out.iloc[0]["bigram"] == "zip zap"
+
+    # exact recompute
+    toks, bis = [], []
+    for r in rows:
+        w = r["text"].split()
+        toks.extend(w)
+        bis.extend(zip(w, w[1:]))
+    from collections import Counter
+
+    u, bcnt = Counter(toks), Counter(bis)
+    n_tok, n_bi = len(toks), len(bis)
+    for _, row in out.iterrows():
+        a, b = row["bigram"].split(" ")
+        exp = (1_000_000 * bcnt[(a, b)] * n_tok * n_tok) // (
+            n_bi * u[a] * u[b]
+        )
+        assert row["pmi_micro"] == exp and row["n_ab"] == bcnt[(a, b)]
