@@ -550,6 +550,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_table(sf_dir, "documents", ["doc_id", "text"])
         return clean_text(ds)
 
+    def doc_bigram_logprob(sf_dir: str):
+        # CCNet-style interpolated bigram LM quality score: improbable
+        # token SEQUENCES score low even when the unigrams are common
+        ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.bigram_logprob(ds, lam=0.7)
+
     def corpus_collocations(sf_dir: str):
         # phrase discovery: top-20 bigrams by PMI-proxy association
         # (integer micro-ratio, exact-HUGEINT mirror); min_count=5 prunes
@@ -1419,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": bpe_token_counts,
         "window_dup_docs": window_dup_docs,
         "corpus_collocations": corpus_collocations,
+        "doc_bigram_logprob": doc_bigram_logprob,
         "value_histogram": A.value_histogram,
         "lineitem_metrics_unpivot": A.lineitem_metrics_unpivot,
         "events_prop_k_stats": A.events_prop_k_stats,
@@ -3287,6 +3294,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS bigram, COUNT(*) AS n FROM bg
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        # doc_bigram_logprob mirror: same interpolation and the same
+        # association order ((lam*n_ab)/n_a + ((1-lam)*n_b)/total); the
+        # driver gate rounds doubles to 1e-6, far above ulp noise
+        "doc_bigram_logprob": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            ), tok AS (SELECT unnest(w) AS t FROM words),
+            uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM uni),
+            pos AS (
+                SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT)+1] AS b
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, CAST(len(w) AS BIGINT)-1)) AS i
+                      FROM words WHERE len(w) >= 2) z
+            ), bc AS (SELECT a, b, COUNT(*) AS n_ab FROM pos GROUP BY a, b)
+            SELECT p.doc_id,
+                   AVG(LN((0.7 * bc.n_ab) / ua.n + (0.3 * ub.n) / tot.total))
+                       AS logprob2,
+                   COUNT(*) AS n_bigrams
+            FROM pos p
+            JOIN bc ON p.a = bc.a AND p.b = bc.b
+            JOIN uni ua ON p.a = ua.t
+            JOIN uni ub ON p.b = ub.t
+            CROSS JOIN tot
+            GROUP BY p.doc_id
         """,
         # corpus_collocations mirror: PMI-proxy micro-ratio in exact
         # HUGEINT floor division — n_ab*N_tok^2 overflows BIGINT, never

@@ -1033,3 +1033,106 @@ def collocations(docs_ds, k: int = 20, min_count: int = 5,
         .limit(k)
     )
     return top.drop_columns(["neg"])
+
+
+class _BigramScore:
+    """Actor-pool scorer for :func:`bigram_logprob`: broadcast (bigram
+    log-table as a pd.Series over 'a b' keys is NOT used — interpolation
+    needs the raw counts) fetched once per worker; batch scoring is two
+    vectorized hash lookups over the flat position list plus a cumsum
+    segment reduction."""
+
+    def __init__(self, ref, lam: float, id_col: str, text_col: str):
+        import ray
+
+        uni, bi, total = ray.get(ref)
+        self.uni = uni      # pd.Series term -> count
+        self.bi = bi        # pd.Series "a b" -> count
+        self.total = float(total)
+        self.lam = float(lam)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        toks = [s.split() if s else [] for s in texts]
+        n_pos = np.array([max(len(x) - 1, 0) for x in toks], dtype=np.int64)
+        keep = n_pos > 0
+        a = [w for ws in toks for w in ws[:-1]]
+        b = [w for ws in toks for w in ws[1:]]
+        pair = [x + " " + y for x, y in zip(a, b)]
+        n_ab = pd.Series(pair, dtype=object).map(self.bi).to_numpy(
+            dtype=np.float64, na_value=0.0)
+        n_a = pd.Series(a, dtype=object).map(self.uni).to_numpy(
+            dtype=np.float64)
+        n_b = pd.Series(b, dtype=object).map(self.uni).to_numpy(
+            dtype=np.float64)
+        # same association order as the SQL mirror: (lam*n_ab)/n_a +
+        # ((1-lam)*n_b)/total — driver-gate hashing rounds to 1e-6, far
+        # above ulp-level association noise
+        p = (self.lam * n_ab) / n_a + ((1.0 - self.lam) * n_b) / self.total
+        vals = np.log(p)
+        cs = np.concatenate(([0.0], np.cumsum(vals)))
+        ends = np.cumsum(n_pos)
+        sums = cs[ends] - cs[ends - n_pos]
+        out_ids = t.column(self.id_col).filter(pa.array(keep))
+        return pa.table({
+            self.id_col: out_ids,
+            "logprob2": pa.array(
+                (sums[keep] / n_pos[keep]).astype(np.float64)
+            ),
+            "n_bigrams": pa.array(n_pos[keep], pa.int64()),
+        })
+
+
+def bigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                   lam: float = 0.7):
+    """Interpolated bigram language-model score per document — the CCNet-
+    style perplexity-filter upgrade of :func:`unigram_logprob`: each
+    bigram position scores ``ln(lam*P(b|a) + (1-lam)*P(b))`` with
+    ``P(b|a) = n_ab/n_a`` from the corpus' own counts (a doc of improbable
+    token SEQUENCES now scores low even when its unigrams are common).
+    Docs with fewer than two tokens are absent (no bigram positions —
+    mirrors the SQL unnest).
+
+    Scale shape: two vocabulary-sized combiner exchanges (unigram +
+    bigram counts), both tables broadcast ONCE, then an actor-pool map
+    with vectorized lookups — the same three-stage recipe as the unigram
+    scorer, one count table wider."""
+    from collections import Counter
+
+    import ray
+
+    def parts(t: pa.Table) -> pa.Table:
+        cu: Counter = Counter()
+        cb: Counter = Counter()
+        for txt in t.column(text_col):
+            w = (txt.as_py() or "").split()
+            cu.update(w)
+            cb.update(x + " " + y for x, y in zip(w, w[1:]))
+        ks = list(cu.keys()) + list(cb.keys())
+        return pa.table({
+            "term": pa.array(ks, pa.string()),
+            "n": pa.array(
+                [cu[k] for k in cu] + [cb[k] for k in cb], pa.int64()
+            ),
+            "is_bigram": pa.array(
+                [False] * len(cu) + [True] * len(cb), pa.bool_()
+            ),
+        })
+
+    freq = (
+        docs_ds.map_batches(parts, batch_format="pyarrow")
+        .groupby(["term", "is_bigram"]).sum("n").to_pandas()
+    )
+    freq.columns = ["term", "is_bigram", "n"]
+    uni = freq[~freq["is_bigram"]].set_index("term")["n"].astype(np.float64)
+    bi = freq[freq["is_bigram"]].set_index("term")["n"].astype(np.float64)
+    total = float(uni.sum())
+    ref = ray.put((uni, bi, total))
+    return docs_ds.map_batches(
+        _BigramScore,
+        fn_constructor_args=(ref, lam, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -188,3 +188,42 @@ def test_collocations_planted_phrase(ray_session):
             n_bi * u[a] * u[b]
         )
         assert row["pmi_micro"] == exp and row["n_ab"] == bcnt[(a, b)]
+
+
+def test_bigram_logprob_ranks_scrambled_below_natural(ray_session):
+    """Interpolated bigram LM: a document whose token SEQUENCES are
+    corpus-typical outranks a scrambled version with identical unigrams;
+    lam=1 edge uses pure bigram probability; <2-token docs are absent."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.text import bigram_logprob
+
+    natural = "the cat sat on the mat"
+    rows = [{"doc_id": i, "text": natural} for i in range(20)]
+    rows.append({"doc_id": 100, "text": "mat the on sat cat the"})  # scrambled
+    rows.append({"doc_id": 101, "text": "solo"})                    # 1 token
+    out = (
+        bigram_logprob(ray.data.from_items(rows), lam=0.7)
+        .to_pandas().set_index("doc_id")
+    )
+    assert 101 not in out.index
+    assert out.loc[0, "logprob2"] > out.loc[100, "logprob2"]
+    assert out.loc[0, "n_bigrams"] == 5
+
+    # exact recompute for the natural doc
+    from collections import Counter
+
+    toks, bis = [], []
+    for r in rows:                 # counts train on the FULL corpus
+        w = r["text"].split()
+        toks.extend(w)
+        bis.extend((a + " " + b) for a, b in zip(w, w[1:]))
+    u, bcnt = Counter(toks), Counter(bis)
+    total = float(len(toks))
+    w = natural.split()
+    vals = [
+        np.log((0.7 * bcnt[a + " " + b]) / u[a] + (0.3 * u[b]) / total)
+        for a, b in zip(w, w[1:])
+    ]
+    assert abs(out.loc[0, "logprob2"] - np.mean(vals)) < 1e-12
