@@ -336,6 +336,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return read_view(view)
 
+    def transcript_changelog(sf_dir: str):
+        # CDC over the same mutation log transcript_time_travel builds:
+        # epoch 1 replaces convs ending '1', epoch 2 replaces convs ending
+        # '2', epoch 3 plain-deletes convs ending '0' — the change feed
+        # must name exactly those conversations with the right verb.
+        # Derived from conv_id-only projection decodes + tombstone epochs.
+        from etl_sql_duckdb_parquet__ray.pipelines.deletes import changelog
+
+        transcript_time_travel(sf_dir)  # ensure the cached lifecycle dirs
+        base, t1, t2 = _ttl_cache[sf_dir]
+        return changelog(base, [t1, t2], from_epoch=0, to_epoch=3)
+
     def transcript_add_column(sf_dir: str):
         # schema evolution: metadata-only ADD COLUMN with a constant
         # default — one _schema.json write, no data rewrite; every decode
@@ -1342,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcript_roundtrip,
         "transcript_delete_roundtrip": transcript_delete_roundtrip,
         "transcript_time_travel": transcript_time_travel,
+        "transcript_changelog": transcript_changelog,
         "transcript_drop_column": transcript_drop_column,
         "transcript_add_column": transcript_add_column,
         "incremental_revenue_view": incremental_revenue_view,
@@ -2078,6 +2091,22 @@ def oracle_sql() -> dict[str, str]:
                        AS max_total_x100,
                    COUNT(*) AS n_rows
             FROM orders GROUP BY o_orderpriority
+        """,
+        # transcript_changelog mirror: the known mutation plan as CASE
+        # filters over the distinct conversation set — every conv ending
+        # '1' replaced at epoch 1, '2' at epoch 2, '0' deleted at epoch 3
+        "transcript_changelog": """
+            WITH t AS (
+                SELECT DISTINCT
+                       'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id
+                FROM events
+            )
+            SELECT CAST(1 AS BIGINT) AS epoch, conv_id, 'replaced' AS change
+            FROM t WHERE conv_id LIKE '%1'
+            UNION ALL
+            SELECT 2, conv_id, 'replaced' FROM t WHERE conv_id LIKE '%2'
+            UNION ALL
+            SELECT 3, conv_id, 'deleted' FROM t WHERE conv_id LIKE '%0'
         """,
         # transcript_add_column mirror: the roundtrip derivation plus the
         # two constant defaults as SQL literals — ADD COLUMN is

@@ -214,3 +214,64 @@ def read_as_of(out_dir: str, tick_dirs: Sequence[str], epoch: int):
     for t in list(tick_dirs)[:max(0, int(epoch))]:
         ds = ds.union(decode_dataset(t, as_of_epoch=epoch))
     return ds
+
+
+def changelog(out_dir: str, tick_dirs: Sequence[str],
+              from_epoch: int = 0, to_epoch: int | None = None) -> pa.Table:
+    """Conversation-level CHANGE FEED (CDC) between two mutation epochs:
+    for every epoch e in (from_epoch, to_epoch] emit one row per changed
+    conversation — ``added`` (upserted, not previously visible),
+    ``replaced`` (upserted over a visible version) or ``deleted``
+    (tombstoned at e without a replacement tick row). Downstream
+    consumers (index refreshers, IVM views, caches) re-process exactly
+    the changed conversations instead of re-reading the corpus.
+
+    Derivation cost: conv_id-ONLY projection decodes (per-column offsets
+    mean no payload bytes move) — one per tick plus one visibility
+    snapshot per epoch. The driver holds distinct-conv sets, bounded by
+    conversation count, not turns; a corpus whose conv list outgrows the
+    driver should swap these set differences for the engine's distributed
+    INTERSECT/EXCEPT over the same projections."""
+    from .encode import decode_dataset
+
+    ticks = list(tick_dirs)
+    if to_epoch is None:
+        to_epoch = len(ticks)
+    tomb = {d: _load_tombstones(d) for d in [out_dir, *ticks]}
+
+    def visible_at(e: int) -> set:
+        out = set(
+            decode_dataset(out_dir, columns=["conv_id"], as_of_epoch=e)
+            .unique("conv_id")
+        )
+        for t in ticks[:max(0, e)]:
+            out |= set(
+                decode_dataset(t, columns=["conv_id"], as_of_epoch=e)
+                .unique("conv_id")
+            )
+        return out
+
+    rows = []
+    prev_visible = visible_at(from_epoch)
+    for e in range(from_epoch + 1, to_epoch + 1):
+        tick_convs: set = set()
+        if e - 1 < len(ticks):
+            tick_convs = set(
+                decode_dataset(ticks[e - 1], columns=["conv_id"],
+                               as_of_epoch=e).unique("conv_id")
+            )
+        tombed_at_e: set = set()
+        for t in tomb.values():
+            sel = t.filter(pc.equal(t.column("epoch"), e))
+            tombed_at_e |= set(sel.column("conv_id").to_pylist())
+        for c in sorted(tick_convs):
+            rows.append((e, c, "replaced" if c in prev_visible else "added"))
+        for c in sorted(tombed_at_e - tick_convs):
+            if c in prev_visible:
+                rows.append((e, c, "deleted"))
+        prev_visible = (prev_visible - (tombed_at_e - tick_convs)) | tick_convs
+    return pa.table({
+        "epoch": pa.array([r[0] for r in rows], pa.int64()),
+        "conv_id": pa.array([r[1] for r in rows], pa.string()),
+        "change": pa.array([r[2] for r in rows], pa.string()),
+    })

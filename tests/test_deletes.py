@@ -438,3 +438,55 @@ def test_time_travel_as_of_epoch(ray_session, tmp_path):
     # the present-day union view agrees with the latest epoch
     now = snap(read_upserted(base, ticks))
     pd.testing.assert_frame_equal(now, exp3[now.columns])
+
+
+def test_changelog_added_replaced_deleted(ray_session, tmp_path):
+    """CDC feed: a brand-new conversation in a tick reads 'added', an
+    existing one 'replaced'; a plain delete of a visible conv reads
+    'deleted'; deleting an already-replaced conv at a later epoch names
+    it once, and from_epoch windows the feed."""
+    import pandas as pd
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        changelog,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(2000, seed=31)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    convs = sorted(df["conv_id"].unique())
+    a = convs[0]
+
+    # tick 1: replace conv a AND add a brand-new conv
+    v = df[df["conv_id"] == a].copy()
+    v["text"] = "V1 " + v["text"]
+    new = df[df["conv_id"] == convs[1]].copy()
+    new["conv_id"] = "conv-zz-new"
+    t1 = str(tmp_path / "t1")
+    up = pd.concat([v, new], ignore_index=True)
+    upsert_convs(
+        base,
+        ray.data.from_arrow(
+            pa.Table.from_pandas(up, preserve_index=False).cast(table.schema)
+        ),
+        t1, num_buckets=2, chunk_rows=1024,
+    )
+    # epoch 2: plain delete of conv b (visible) — laid on base only
+    b = convs[2]
+    delete_convs(base, [b], epoch=2)
+
+    log = changelog(base, [t1], from_epoch=0, to_epoch=2).to_pandas()
+    got = {(r.epoch, r.conv_id): r.change for r in log.itertuples()}
+    assert got[(1, a)] == "replaced"
+    assert got[(1, "conv-zz-new")] == "added"
+    assert got[(2, b)] == "deleted"
+    assert len(got) == 3
+
+    # windowing: from_epoch=1 sees only the delete
+    w = changelog(base, [t1], from_epoch=1, to_epoch=2).to_pandas()
+    assert list(w["conv_id"]) == [b] and list(w["change"]) == ["deleted"]
