@@ -1457,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_entropy": A.event_type_entropy,
         "supplier_balance_pctrank": A.supplier_balance_pctrank,
         "customer_balance_window": A.customer_balance_window,
+        "customer_order_moving_median": A.customer_order_moving_median,
     }
 
 
@@ -3187,6 +3188,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.s AS a, b.s AS b FROM v a, v b
             WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
               AND levenshtein(a.s, b.s) <= 1
+        """,
+        # customer_order_moving_median mirror: MEDIAN() OVER a 3-row frame
+        # on integer cents; x200 keeps the even-frame average integral
+        # (exactly representable double -> ROUND -> BIGINT)
+        "customer_order_moving_median": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(200 * MEDIAN(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                        AS BIGINT) AS median3_x200
+            FROM orders
         """,
         # customer_balance_window mirror: DENSE_RANK / CUME_DIST /
         # NTH_VALUE(3) share one window; NTH_VALUE's default RANGE frame

@@ -1061,6 +1061,60 @@ def customer_order_moving_avg(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
 
 
+def customer_order_moving_median(sf_dir: str):
+    """Rows-frame moving MEDIAN (robust sibling of the moving average —
+    one outlier order no longer drags the trend line): per customer, the
+    median of the last 3 orders' integer-cent prices ordered by
+    (o_orderdate, o_orderkey). The 3-row frame is evaluated branch-free:
+    median-of-3 = sum - min - max over the frame's cents, vectorized with
+    shifted views — no per-row Python, and integer-exact so the DuckDB
+    MEDIAN() OVER mirror hash-matches (odd frames median an element;
+    DuckDB averages even frames, so the 1- and 2-row warmup rows use the
+    same x2 integer trick: median_x200 = 2*element or sum of the pair)."""
+    ds = read_table(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "total_x100": _cents(t.column("o_totalprice")),
+        })
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        v = g["total_x100"].to_numpy(dtype=np.int64)
+        n = len(v)
+        # median*200 keeps everything integer: 1-row frame -> 200*v,
+        # 2-row frame -> 100*(a+b) (DuckDB averages the even frame),
+        # 3-row frame -> 200*(sum-min-max)
+        med200 = np.empty(n, dtype=np.int64)
+        med200[0] = 200 * v[0]
+        if n >= 2:
+            med200[1] = 100 * (v[0] + v[1])
+        if n >= 3:
+            a, b, c = v[:-2], v[1:-1], v[2:]
+            s = a + b + c
+            mn = np.minimum(np.minimum(a, b), c)
+            mx = np.maximum(np.maximum(a, b), c)
+            med200[2:] = 200 * (s - mn - mx)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "median3_x200": med200,
+        })
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas")
+    )
+
+
 def user_value_trailing_sum(sf_dir: str):
     """Time-RANGE window: per user, the trailing 1-hour sum of event value
     — SUM(v) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL
