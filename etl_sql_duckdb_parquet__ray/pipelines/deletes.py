@@ -173,8 +173,17 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str,
 
     if epoch is None:
         # tick N is mutation epoch N (1-based): the base corpus is the
-        # epoch-0 state, each upsert advances the clock by one
-        epoch = len(prior_tick_dirs) + 1
+        # epoch-0 state, each upsert advances the clock by one. Derive the
+        # default from the BASE's recorded clock too — a caller who forgot
+        # prior_tick_dirs must not reuse an epoch (two ticks sharing one
+        # epoch would make as-of views ambiguous); forgetting priors still
+        # risks a double-version in the union view, which the next
+        # compaction resolves by layer order.
+        t = _load_tombstones(out_dir)
+        hi = (
+            int(pc.max(t.column("epoch")).as_py()) if t.num_rows else 0
+        )
+        epoch = max(hi + 1, len(prior_tick_dirs) + 1)
     stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
     new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
     info = delete_convs(out_dir, new_convs, epoch=epoch)
@@ -207,7 +216,13 @@ def read_as_of(out_dir: str, tick_dirs: Sequence[str], epoch: int):
     ``decode_dataset``). A conversation upserted at epochs 2 and 5 reads
     as v2 for 2 <= epoch < 5 and v5 after — tick 2's own tombstone (laid
     at epoch 5) is ignored until then. O(1) metadata per view; the same
-    streaming decode paths, pruning and projection apply."""
+    streaming decode paths, pruning and projection apply.
+
+    History ends at compaction: ``compact([base, *ticks], fresh)`` folds
+    the layers into one physically-clean corpus with no tombstones — the
+    standard lakehouse VACUUM trade (reads get cheaper, old snapshots
+    expire). Keep the layered directories when as-of reads must stay
+    addressable."""
     from .encode import decode_dataset
 
     ds = decode_dataset(out_dir, as_of_epoch=epoch)

@@ -490,3 +490,30 @@ def test_changelog_added_replaced_deleted(ray_session, tmp_path):
     # windowing: from_epoch=1 sees only the delete
     w = changelog(base, [t1], from_epoch=1, to_epoch=2).to_pandas()
     assert list(w["conv_id"]) == [b] and list(w["change"]) == ["deleted"]
+
+
+def test_upsert_epoch_defaults_from_base_clock(ray_session, tmp_path):
+    """A second upsert that FORGOT prior_tick_dirs must still get a fresh
+    epoch (derived from the base's recorded clock), so as-of views stay
+    unambiguous."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import upsert_convs
+
+    table = generate_transcripts(1500, seed=37)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    conv = sorted(df["conv_id"].unique())[0]
+    v = df[df["conv_id"] == conv].copy()
+    tbl = pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    i1 = upsert_convs(base, ray.data.from_arrow(tbl), t1,
+                      num_buckets=2, chunk_rows=1024)
+    # no prior_tick_dirs passed — the base clock still advances
+    i2 = upsert_convs(base, ray.data.from_arrow(tbl), t2,
+                      num_buckets=2, chunk_rows=1024)
+    assert i1["epoch"] == 1 and i2["epoch"] == 2
