@@ -505,18 +505,12 @@ def cmd_describe(args) -> int:
         side.setdefault(cname, 0)
         side[cname] += 1
     meta = load_run_meta(args.encoded) or {}
-    from .pipelines.deletes import _load_tombstones, load_deleted_convs
+    from .pipelines.deletes import load_deleted_convs
     from .pipelines.encode import load_added_columns as _added
     from .pipelines.encode import load_dropped_columns as _dropped
     from .pipelines.encode import load_renames as _renames
 
-    def _max_epoch(d):
-        t = _load_tombstones(d)
-        if t.num_rows == 0:
-            return 0
-        import pyarrow.compute as pc
-
-        return int(pc.max(t.column("epoch")).as_py())
+    from .pipelines.deletes import mutation_clock as _max_epoch
 
     out = {
         "buckets": len(recs),

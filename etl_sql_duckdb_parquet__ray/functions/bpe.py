@@ -30,6 +30,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _merge_pair(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """Replace every non-overlapping adjacent occurrence of ``pair`` in the
+    symbol sequence with the merged symbol (left-to-right scan — the shared
+    kernel of training's rewrite and greedy application)."""
+    merged = pair[0] + pair[1]
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _split_words(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Split a text column on single spaces (matches DuckDB
     ``string_split(text, ' ')`` exactly, so SQL mirrors stay bit-parity) and
@@ -138,20 +155,9 @@ def train_bpe(
         if best is None:
             break
         merges.append(best)
-        merged = best[0] + best[1]
         for idx in sorted(pair_words.get(best, ())):
             _add_word(idx, -1)
-            syms = symbols[idx]
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            symbols[idx] = out
+            symbols[idx] = _merge_pair(symbols[idx], best)
             _add_word(idx, +1)
         # drop exhausted pairs so the argmax scan stays tight
         pair_freq = {p: f for p, f in pair_freq.items() if f > 0}
@@ -173,18 +179,7 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 best_rank, best_i = r, i
         if best_rank is None:
             break
-        pair = (syms[best_i], syms[best_i + 1])
-        merged = pair[0] + pair[1]
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
-                out.append(merged)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _merge_pair(syms, (syms[best_i], syms[best_i + 1]))
     return syms
 
 

@@ -31,10 +31,41 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 DELETES_FILE = "_deletes.parquet"
+TICK_EPOCH_FILE = "_tick_epoch.json"
+_CLOCK_KEY = b"tombstone.max_epoch"
 
 
 def deletes_path(out_dir: str) -> str:
     return os.path.join(out_dir, DELETES_FILE)
+
+
+def mutation_clock(out_dir: str) -> int:
+    """The corpus's mutation clock: the HIGHEST epoch any tombstone was
+    ever stamped with — kept as monotonic metadata on the tombstone
+    parquet, because the per-conv rows keep the MIN epoch (the filtering
+    semantics) and a later re-delete of an already-hidden conv would
+    otherwise be invisible to the clock."""
+    p = deletes_path(out_dir)
+    if not os.path.exists(p):
+        return 0
+    meta = pq.read_schema(p).metadata or {}
+    if _CLOCK_KEY in meta:
+        return int(meta[_CLOCK_KEY].decode())
+    t = _load_tombstones(out_dir)  # pre-clock files: best effort
+    return int(pc.max(t.column("epoch")).as_py()) if t.num_rows else 0
+
+
+def tick_epoch(tick_dir: str, default: int) -> int:
+    """The mutation epoch an upsert tick was written at (recorded by
+    ``upsert_convs``); ``default`` (position + 1) covers pre-recording
+    directories."""
+    import json as _json
+
+    p = os.path.join(tick_dir, TICK_EPOCH_FILE)
+    if not os.path.exists(p):
+        return default
+    with open(p) as f:
+        return int(_json.load(f)["epoch"])
 
 
 def _load_tombstones(out_dir: str) -> pa.Table:
@@ -69,7 +100,7 @@ def delete_convs(
     conv_ids: Sequence[str],
     lock_timeout: float = 10.0,
     stale_after: float = 60.0,
-    epoch: int = 0,
+    epoch: int | None = None,
 ) -> dict:
     """Mark conversations deleted. Metadata-only: merges ``conv_ids`` into
     the tombstone parquet atomically; data files are untouched. Returns
@@ -89,20 +120,30 @@ def delete_convs(
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(f"not an encoded corpus dir: {out_dir}")
     uniq = sorted({str(c) for c in conv_ids})
-    new = pa.table({
-        "conv_id": pa.array(uniq, pa.string()),
-        "epoch": pa.array([int(epoch)] * len(uniq), pa.int64()),
-    })
     path = deletes_path(out_dir)
     with excl_lock(f"{path}.lock", lock_timeout, stale_after, "tombstone"):
         # merge INSIDE the lock: the read and the replace must see no
-        # interleaved writer. Keep the MIN epoch per conv — the earliest
-        # mutation that hid it governs every as-of view from there on
-        # (idempotent re-deletes at later epochs change nothing).
+        # interleaved writer. A default-epoch delete ADVANCES the clock
+        # (clock + 1) — an epoch-0 default would retroactively edit the
+        # "pristine base" every as-of view and be invisible to the
+        # changelog. Per-conv rows keep the MIN epoch (the earliest
+        # mutation that hid a conv governs every as-of view from there
+        # on); the clock itself rides the file's metadata monotonically.
+        clock = mutation_clock(out_dir)
+        if epoch is None:
+            epoch = clock + 1
+        new = pa.table({
+            "conv_id": pa.array(uniq, pa.string()),
+            "epoch": pa.array([int(epoch)] * len(uniq), pa.int64()),
+        })
         existing = _load_tombstones(out_dir)
         both = pa.concat_tables([existing, new])
         merged = pa.TableGroupBy(both, "conv_id").aggregate([("epoch", "min")])
         merged = merged.rename_columns(["conv_id", "epoch"]).sort_by("conv_id")
+        merged = merged.replace_schema_metadata(
+            {**(merged.schema.metadata or {}),
+             _CLOCK_KEY: str(max(clock, int(epoch))).encode()}
+        )
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(merged, tmp, compression="zstd")
         os.replace(tmp, path)
@@ -110,6 +151,7 @@ def delete_convs(
         "n_requested": len(uniq),
         "n_already": existing.num_rows,
         "n_total": merged.num_rows,
+        "epoch": int(epoch),
     }
 
 
@@ -171,25 +213,28 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str,
     conversations are physically dropped)."""
     from .encode import decode_dataset, encode_transcripts
 
+    import json as _json
+
     if epoch is None:
-        # tick N is mutation epoch N (1-based): the base corpus is the
-        # epoch-0 state, each upsert advances the clock by one. Derive the
-        # default from the BASE's recorded clock too — a caller who forgot
-        # prior_tick_dirs must not reuse an epoch (two ticks sharing one
-        # epoch would make as-of views ambiguous); forgetting priors still
-        # risks a double-version in the union view, which the next
-        # compaction resolves by layer order.
-        t = _load_tombstones(out_dir)
-        hi = (
-            int(pc.max(t.column("epoch")).as_py()) if t.num_rows else 0
-        )
-        epoch = max(hi + 1, len(prior_tick_dirs) + 1)
+        # the next tick on the base's MUTATION CLOCK (see mutation_clock:
+        # monotonic metadata, immune to the per-conv min-epoch merge). A
+        # caller who forgot prior_tick_dirs still gets a FRESH epoch —
+        # the residual risk is a double-version in the union view, which
+        # the next compaction resolves by layer order.
+        epoch = max(mutation_clock(out_dir) + 1, len(prior_tick_dirs) + 1)
     stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
+    # record the tick's epoch IN the tick: read_as_of / changelog align
+    # layers by this, not by list position (a plain delete in between
+    # shifts the clock past position+1)
+    tmp = os.path.join(tick_dir, f"{TICK_EPOCH_FILE}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        _json.dump({"epoch": int(epoch)}, f)
+    os.replace(tmp, os.path.join(tick_dir, TICK_EPOCH_FILE))
     new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
     info = delete_convs(out_dir, new_convs, epoch=epoch)
     for prior in prior_tick_dirs:
         delete_convs(prior, new_convs, epoch=epoch)
-    return {"n_upserted_convs": len(new_convs), "epoch": epoch,
+    return {"n_upserted_convs": len(new_convs), "epoch": int(epoch),
             "tombstones": info, "encode": stats}
 
 
@@ -226,8 +271,12 @@ def read_as_of(out_dir: str, tick_dirs: Sequence[str], epoch: int):
     from .encode import decode_dataset
 
     ds = decode_dataset(out_dir, as_of_epoch=epoch)
-    for t in list(tick_dirs)[:max(0, int(epoch))]:
-        ds = ds.union(decode_dataset(t, as_of_epoch=epoch))
+    for i, t in enumerate(tick_dirs):
+        # align by each tick's RECORDED epoch (position+1 for pre-recording
+        # dirs): a plain delete between upserts shifts the clock, so list
+        # position alone would union future ticks into past views
+        if tick_epoch(t, i + 1) <= int(epoch):
+            ds = ds.union(decode_dataset(t, as_of_epoch=epoch))
     return ds
 
 
@@ -250,8 +299,15 @@ def changelog(out_dir: str, tick_dirs: Sequence[str],
     from .encode import decode_dataset
 
     ticks = list(tick_dirs)
+    # align ticks by their RECORDED epochs (see tick_epoch) — a plain
+    # delete between upserts shifts the clock past list position + 1
+    epoch_of_tick = {
+        t: tick_epoch(t, i + 1) for i, t in enumerate(ticks)
+    }
     if to_epoch is None:
-        to_epoch = len(ticks)
+        to_epoch = max(
+            [mutation_clock(out_dir), *epoch_of_tick.values()], default=0
+        )
     tomb = {d: _load_tombstones(d) for d in [out_dir, *ticks]}
 
     def visible_at(e: int) -> set:
@@ -259,22 +315,24 @@ def changelog(out_dir: str, tick_dirs: Sequence[str],
             decode_dataset(out_dir, columns=["conv_id"], as_of_epoch=e)
             .unique("conv_id")
         )
-        for t in ticks[:max(0, e)]:
-            out |= set(
-                decode_dataset(t, columns=["conv_id"], as_of_epoch=e)
-                .unique("conv_id")
-            )
+        for t in ticks:
+            if epoch_of_tick[t] <= e:
+                out |= set(
+                    decode_dataset(t, columns=["conv_id"], as_of_epoch=e)
+                    .unique("conv_id")
+                )
         return out
 
     rows = []
     prev_visible = visible_at(from_epoch)
     for e in range(from_epoch + 1, to_epoch + 1):
         tick_convs: set = set()
-        if e - 1 < len(ticks):
-            tick_convs = set(
-                decode_dataset(ticks[e - 1], columns=["conv_id"],
-                               as_of_epoch=e).unique("conv_id")
-            )
+        for t in ticks:
+            if epoch_of_tick[t] == e:
+                tick_convs |= set(
+                    decode_dataset(t, columns=["conv_id"],
+                                   as_of_epoch=e).unique("conv_id")
+                )
         tombed_at_e: set = set()
         for t in tomb.values():
             sel = t.filter(pc.equal(t.column("epoch"), e))

@@ -1787,7 +1787,10 @@ def decode_dataset(
             want_added = dict(added)
         if col_ranges:
             # a range predicate on a constant column is all-or-nothing:
-            # resolve it here instead of shipping it to the planner
+            # resolve it here instead of shipping it to the planner.
+            # Copy first — popping the CALLER's dict would make a reused
+            # predicate silently vanish on the second call.
+            col_ranges = dict(col_ranges)
             for c in [c for c in col_ranges if c in added]:
                 lo, hi = col_ranges.pop(c)
                 v = added[c]["value"]

@@ -93,6 +93,12 @@ def refresh_view(
         if tick_label in done:
             return {"applied": False, "tick": tick_label,
                     "n_groups": old.num_rows if old is not None else 0}
+        # a view created by an all-empty history is a label carrier with a
+        # placeholder schema (no value columns) — treat its ROWS as absent
+        # so the first real delta defines the value schema instead of
+        # crashing on old.select()
+        if old is not None and not set(value_cols) <= set(old.column_names):
+            old = None
         aggs = [Sum(c, alias_name=f"sum_{c}") for c in sum_cols]
         aggs += [Min(c, alias_name=f"min_{c}") for c in minmax_cols]
         aggs += [Max(c, alias_name=f"max_{c}") for c in minmax_cols]

@@ -731,9 +731,16 @@ def sampled_quantiles(
 
     from ..functions.corpus import det_keys
 
-    threshold = np.uint64(((1 << 64) * int(rate_bp)) // 10000)
+    # rate_bp >= 10000 means "keep everything" — the unclamped threshold
+    # would be 2^64, which overflows uint64
+    full = int(rate_bp) >= 10000
+    threshold = np.uint64(
+        min(((1 << 64) * int(rate_bp)) // 10000, (1 << 64) - 1)
+    )
 
     def sample(t: pa.Table) -> pa.Table:
+        if full:
+            return t
         ids = t.column(key_col).to_numpy(zero_copy_only=False)
         keep = det_keys(ids, seed, hash_fn=hash_fn) < threshold
         return t.filter(pa.array(keep))

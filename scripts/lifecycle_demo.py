@@ -97,7 +97,8 @@ def main() -> int:
     tick = os.path.join(root, "tick-1")
     up = upsert_convs(base, ray.data.from_arrow(upd), tick,
                       num_buckets=2, chunk_rows=4096)
-    step("upsert", n_upserted_convs=up["n_upserted_convs"])
+    step("upsert", n_upserted_convs=up["n_upserted_convs"],
+         epoch=up["epoch"])
     step("union_read_rows", rows=read_upserted(base, [tick]).count())
 
     merged = os.path.join(root, "merged")
@@ -112,8 +113,10 @@ def main() -> int:
     hits = decode_dataset(merged, text_contains="v2 ").count()
     step("text_search", term="v2 ", rows=hits)
 
-    # TIME TRAVEL: the upsert stamped epoch 1; as-of 0 still shows the
-    # pre-upsert text, as-of 1 the v2 version — no snapshot copies exist
+    # TIME TRAVEL: the delete above took epoch 1, so the upsert landed at
+    # epoch 2 (the mutation clock advances past every stamped epoch) —
+    # reading as of the epoch BEFORE the upsert shows the original text,
+    # as of the upsert's own epoch the v2 version; no snapshot copies exist
     from etl_sql_duckdb_parquet__ray.pipelines.deletes import read_as_of
 
     def _first_text(ds_):
@@ -123,9 +126,10 @@ def main() -> int:
         df = df[df["conv_id"] == convs[2]].sort_values("turn_idx")
         return df["text"].iloc[0][:2] if len(df) else ""
 
-    step("time_travel",
-         epoch0_prefix=_first_text(read_as_of(base, [tick], 0)),
-         epoch1_prefix=_first_text(read_as_of(base, [tick], 1)))
+    ue = up["epoch"]
+    step("time_travel", upsert_epoch=ue,
+         before_prefix=_first_text(read_as_of(base, [tick], ue - 1)),
+         after_prefix=_first_text(read_as_of(base, [tick], ue)))
 
     # ADD COLUMN: metadata-only constant, visible on every read
     from etl_sql_duckdb_parquet__ray.pipelines.encode import (

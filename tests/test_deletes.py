@@ -517,3 +517,105 @@ def test_upsert_epoch_defaults_from_base_clock(ray_session, tmp_path):
     i2 = upsert_convs(base, ray.data.from_arrow(tbl), t2,
                       num_buckets=2, chunk_rows=1024)
     assert i1["epoch"] == 1 and i2["epoch"] == 2
+
+
+def test_mutation_clock_survives_min_epoch_merge(ray_session, tmp_path):
+    """Regression (review finding): the per-conv MIN-epoch merge used to
+    erase later stamps from the clock, so a third upsert of the SAME conv
+    reused epoch 2. The clock now rides the tombstone file's metadata
+    monotonically; and a plain delete BETWEEN upserts shifts tick epochs,
+    which read_as_of/changelog must honor via the recorded tick epoch."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        changelog,
+        mutation_clock,
+        read_as_of,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(1500, seed=41)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    conv = sorted(df["conv_id"].unique())[0]
+
+    def version(tag):
+        v = df[df["conv_id"] == conv].copy()
+        v["text"] = f"{tag} " + v["text"]
+        return pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+
+    t1, t2, t3 = (str(tmp_path / f"t{i}") for i in (1, 2, 3))
+    e1 = upsert_convs(base, ray.data.from_arrow(version("V1")), t1,
+                      num_buckets=2, chunk_rows=1024)["epoch"]
+    e2 = upsert_convs(base, ray.data.from_arrow(version("V2")), t2,
+                      prior_tick_dirs=[t1], num_buckets=2,
+                      chunk_rows=1024)["epoch"]
+    e3 = upsert_convs(base, ray.data.from_arrow(version("V3")), t3,
+                      prior_tick_dirs=[t1, t2], num_buckets=2,
+                      chunk_rows=1024)["epoch"]
+    # the same conv upserted three times: epochs must be 1, 2, 3 even
+    # though the base's per-conv tombstone row stays at min epoch 1
+    assert (e1, e2, e3) == (1, 2, 3)
+    assert mutation_clock(base) == 3
+    for e, tag in ((1, "V1"), (2, "V2"), (3, "V3")):
+        got = read_as_of(base, [t1, t2, t3], e).to_pandas()
+        sel = got[got["conv_id"] == conv]
+        assert sel["text"].str.startswith(tag).all() and len(sel) > 0
+
+
+def test_delete_between_upserts_shifts_tick_epochs(ray_session, tmp_path):
+    """A plain delete (default epoch = clock+1) between upserts must NOT
+    pull the next tick into older as-of views: alignment is by recorded
+    tick epoch, not list position."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        changelog,
+        read_as_of,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(1500, seed=43)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    convs = sorted(df["conv_id"].unique())
+    doomed, upped = convs[0], convs[1]
+
+    info = delete_convs(base, [doomed])          # default -> epoch 1
+    assert info["epoch"] == 1
+    v = df[df["conv_id"] == upped].copy()
+    v["text"] = "V1 " + v["text"]
+    t1 = str(tmp_path / "t1")
+    e = upsert_convs(
+        base,
+        ray.data.from_arrow(
+            pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+        ),
+        t1, num_buckets=2, chunk_rows=1024,
+    )["epoch"]
+    assert e == 2                                 # clock advanced past 1
+
+    # epoch-0 view: pristine (delete invisible, upsert invisible)
+    g0 = read_as_of(base, [t1], 0).to_pandas()
+    assert doomed in set(g0["conv_id"])
+    assert not g0[g0["conv_id"] == upped]["text"].str.startswith("V1").any()
+    # epoch-1 view: delete applied, the epoch-2 tick NOT unioned
+    g1 = read_as_of(base, [t1], 1).to_pandas()
+    assert doomed not in set(g1["conv_id"])
+    assert not g1[g1["conv_id"] == upped]["text"].str.startswith("V1").any()
+    assert len(g1[g1["conv_id"] == upped]) > 0    # old version still there
+    # epoch-2 view: both applied, exactly one version of the upserted conv
+    g2 = read_as_of(base, [t1], 2).to_pandas()
+    sel = g2[g2["conv_id"] == upped]
+    assert sel["text"].str.startswith("V1").all()
+    assert len(sel) == (df["conv_id"] == upped).sum()
+
+    log = changelog(base, [t1], 0, 2).to_pandas()
+    got = {(r.epoch, r.conv_id): r.change for r in log.itertuples()}
+    assert got == {(1, doomed): "deleted", (2, upped): "replaced"}

@@ -73,3 +73,27 @@ def test_empty_delta_tick_is_recorded(ray_session, tmp_path):
     info = refresh_view(view, empty, "t1", group_cols=["g"], sum_cols=["v"])
     assert info["applied"]
     assert applied_ticks(view) == ["t0", "t1"]
+
+
+def test_first_refresh_with_empty_delta_does_not_brick_view(
+    ray_session, tmp_path
+):
+    """Regression (review finding): an all-empty FIRST tick used to write
+    a placeholder view without the value columns, and every later refresh
+    crashed on old.select(). The placeholder now only carries labels."""
+    import ray
+
+    view = str(tmp_path / "view")
+    empty = ray.data.from_arrow(_mk(50, 1)).filter(lambda r: False)
+    info = refresh_view(view, empty, "t0", group_cols=["g"], sum_cols=["v"])
+    assert info["applied"] and applied_ticks(view) == ["t0"]
+
+    # the first REAL delta defines the value schema and succeeds
+    t = _mk(200, 2)
+    refresh_view(view, ray.data.from_arrow(t), "t1",
+                 group_cols=["g"], sum_cols=["v"])
+    got = read_view(view).to_pandas().set_index("g")
+    ref = t.to_pandas().groupby("g")["v"].agg(["sum", "count"])
+    assert (got["sum_v"] == ref["sum"]).all()
+    assert (got["n_rows"] == ref["count"]).all()
+    assert applied_ticks(view) == ["t0", "t1"]
