@@ -39,6 +39,15 @@ def deletes_path(out_dir: str) -> str:
     return os.path.join(out_dir, DELETES_FILE)
 
 
+def _clock_of(t: pa.Table) -> int:
+    """Mutation clock carried by an already-loaded tombstone table (its
+    schema metadata; pre-clock files fall back to the max epoch row)."""
+    meta = t.schema.metadata or {}
+    if _CLOCK_KEY in meta:
+        return int(meta[_CLOCK_KEY].decode())
+    return int(pc.max(t.column("epoch")).as_py()) if t.num_rows else 0
+
+
 def mutation_clock(out_dir: str) -> int:
     """The corpus's mutation clock: the HIGHEST epoch any tombstone was
     ever stamped with — kept as monotonic metadata on the tombstone
@@ -48,11 +57,30 @@ def mutation_clock(out_dir: str) -> int:
     p = deletes_path(out_dir)
     if not os.path.exists(p):
         return 0
-    meta = pq.read_schema(p).metadata or {}
-    if _CLOCK_KEY in meta:
-        return int(meta[_CLOCK_KEY].decode())
-    t = _load_tombstones(out_dir)  # pre-clock files: best effort
-    return int(pc.max(t.column("epoch")).as_py()) if t.num_rows else 0
+    return _clock_of(_load_tombstones(out_dir))
+
+
+def allocate_epoch(out_dir: str, lock_timeout: float = 10.0,
+                   stale_after: float = 60.0) -> int:
+    """Atomically advance the base's mutation clock and return the fresh
+    epoch — the read-increment-write runs UNDER the tombstone lock, so
+    two concurrent upserts can never both observe clock N and stamp the
+    same N+1 (which would make every as-of view at N+1 ambiguous). A
+    crash after allocation but before the tick lands leaves a harmless
+    ghost epoch (no tick, no tombstones — changelog iterates past it)."""
+    from ._lockfile import excl_lock
+
+    path = deletes_path(out_dir)
+    with excl_lock(f"{path}.lock", lock_timeout, stale_after, "tombstone"):
+        t = _load_tombstones(out_dir)
+        epoch = _clock_of(t) + 1
+        t = t.replace_schema_metadata(
+            {**(t.schema.metadata or {}), _CLOCK_KEY: str(epoch).encode()}
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+    return epoch
 
 
 def tick_epoch(tick_dir: str, default: int) -> int:
@@ -129,19 +157,32 @@ def delete_convs(
         # changelog. Per-conv rows keep the MIN epoch (the earliest
         # mutation that hid a conv governs every as-of view from there
         # on); the clock itself rides the file's metadata monotonically.
-        clock = mutation_clock(out_dir)
+        existing = _load_tombstones(out_dir)
+        clock = _clock_of(existing)
         if epoch is None:
             epoch = clock + 1
         new = pa.table({
             "conv_id": pa.array(uniq, pa.string()),
             "epoch": pa.array([int(epoch)] * len(uniq), pa.int64()),
         })
-        existing = _load_tombstones(out_dir)
-        both = pa.concat_tables([existing, new])
+        both = pa.concat_tables([existing.select(["conv_id", "epoch"]), new])
         merged = pa.TableGroupBy(both, "conv_id").aggregate([("epoch", "min")])
         merged = merged.rename_columns(["conv_id", "epoch"]).sort_by("conv_id")
+        # a NO-OP delete (every conv already tombstoned at <= epoch, or an
+        # empty list) must stay idempotent on the epoch axis too: retried
+        # deletes neither advance the clock nor rewrite the file
+        if merged.equals(
+            existing.select(["conv_id", "epoch"]).sort_by("conv_id")
+        ):
+            return {
+                "n_requested": len(uniq),
+                "n_already": existing.num_rows,
+                "n_total": existing.num_rows,
+                "epoch": int(clock),
+                "changed": False,
+            }
         merged = merged.replace_schema_metadata(
-            {**(merged.schema.metadata or {}),
+            {**(existing.schema.metadata or {}),
              _CLOCK_KEY: str(max(clock, int(epoch))).encode()}
         )
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -152,6 +193,7 @@ def delete_convs(
         "n_already": existing.num_rows,
         "n_total": merged.num_rows,
         "epoch": int(epoch),
+        "changed": True,
     }
 
 
@@ -215,21 +257,30 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str,
 
     import json as _json
 
+    recorded = os.path.join(tick_dir, TICK_EPOCH_FILE)
     if epoch is None:
-        # the next tick on the base's MUTATION CLOCK (see mutation_clock:
-        # monotonic metadata, immune to the per-conv min-epoch merge). A
-        # caller who forgot prior_tick_dirs still gets a FRESH epoch —
-        # the residual risk is a double-version in the union view, which
-        # the next compaction resolves by layer order.
-        epoch = max(mutation_clock(out_dir) + 1, len(prior_tick_dirs) + 1)
-    stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
-    # record the tick's epoch IN the tick: read_as_of / changelog align
-    # layers by this, not by list position (a plain delete in between
-    # shifts the clock past position+1)
-    tmp = os.path.join(tick_dir, f"{TICK_EPOCH_FILE}.tmp.{os.getpid()}")
+        if os.path.exists(recorded):
+            # crash-retry of THIS tick: reuse its recorded epoch — minting
+            # a fresh one would leave the base's min-merged tombstones at
+            # the old epoch while the tick claims a newer one, vanishing
+            # the conversations from the old as-of view
+            with open(recorded) as f:
+                epoch = int(_json.load(f)["epoch"])
+        else:
+            # allocate the next epoch UNDER the tombstone lock (two
+            # concurrent upserts must never both stamp clock+1), floored
+            # by position for pre-clock layouts
+            epoch = max(allocate_epoch(out_dir), len(prior_tick_dirs) + 1)
+    # record the tick's epoch IN the tick BEFORE encoding: read_as_of /
+    # changelog align layers by this, not by list position (a plain delete
+    # in between shifts the clock past position+1), and a mid-encode crash
+    # finds it on retry
+    tmp = f"{recorded}.tmp.{os.getpid()}"
+    os.makedirs(tick_dir, exist_ok=True)
     with open(tmp, "w") as f:
         _json.dump({"epoch": int(epoch)}, f)
-    os.replace(tmp, os.path.join(tick_dir, TICK_EPOCH_FILE))
+    os.replace(tmp, recorded)
+    stats = encode_transcripts(new_ds, tick_dir, **encode_kw)
     new_convs = decode_dataset(tick_dir, columns=["conv_id"]).unique("conv_id")
     info = delete_convs(out_dir, new_convs, epoch=epoch)
     for prior in prior_tick_dirs:

@@ -94,11 +94,22 @@ def refresh_view(
             return {"applied": False, "tick": tick_label,
                     "n_groups": old.num_rows if old is not None else 0}
         # a view created by an all-empty history is a label carrier with a
-        # placeholder schema (no value columns) — treat its ROWS as absent
-        # so the first real delta defines the value schema instead of
-        # crashing on old.select()
+        # placeholder schema (group columns only, zero rows) — treat its
+        # ROWS as absent so the first real delta defines the value schema.
+        # Anything ELSE that lacks the expected value columns is a caller
+        # refreshing with a DIFFERENT aggregate spec: raise loudly —
+        # silently dropping the accumulated view would be undetectable
+        # data loss (the labels would still claim every tick applied).
         if old is not None and not set(value_cols) <= set(old.column_names):
-            old = None
+            if old.num_rows == 0 and set(old.column_names) == set(group_cols):
+                old = None
+            else:
+                raise ValueError(
+                    f"view at {view_dir} carries columns "
+                    f"{old.column_names}, refresh expects "
+                    f"{group_cols + value_cols} — a view must be refreshed "
+                    "with the same aggregate spec it was built with"
+                )
         aggs = [Sum(c, alias_name=f"sum_{c}") for c in sum_cols]
         aggs += [Min(c, alias_name=f"min_{c}") for c in minmax_cols]
         aggs += [Max(c, alias_name=f"max_{c}") for c in minmax_cols]

@@ -619,3 +619,49 @@ def test_delete_between_upserts_shifts_tick_epochs(ray_session, tmp_path):
     log = changelog(base, [t1], 0, 2).to_pandas()
     got = {(r.epoch, r.conv_id): r.change for r in log.itertuples()}
     assert got == {(1, doomed): "deleted", (2, upped): "replaced"}
+
+
+def test_upsert_retry_reuses_recorded_epoch_and_noop_delete_keeps_clock(
+    ray_session, tmp_path
+):
+    """Regressions (review findings): (a) re-running an upsert whose tick
+    already recorded its epoch must REUSE it, not mint a fresh one (the
+    base's min-merged tombstones stay at the old epoch — a fresh one
+    would vanish the convs from that as-of view); (b) a no-op delete
+    (already-tombstoned convs) must not advance the mutation clock."""
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        mutation_clock,
+        read_as_of,
+        upsert_convs,
+    )
+
+    table = generate_transcripts(1500, seed=47)
+    base = str(tmp_path / "base")
+    encode_transcripts(
+        ray.data.from_arrow(table), base, num_buckets=2, chunk_rows=1024
+    )
+    df = table.to_pandas()
+    conv = sorted(df["conv_id"].unique())[0]
+    v = df[df["conv_id"] == conv].copy()
+    v["text"] = "V1 " + v["text"]
+    tbl = pa.Table.from_pandas(v, preserve_index=False).cast(table.schema)
+
+    t1 = str(tmp_path / "t1")
+    e1 = upsert_convs(base, ray.data.from_arrow(tbl), t1,
+                      num_buckets=2, chunk_rows=1024)["epoch"]
+    # simulate the crash-retry: the tick dir (with _tick_epoch.json)
+    # already exists — the re-run must land on the SAME epoch
+    e_retry = upsert_convs(base, ray.data.from_arrow(tbl), t1,
+                           num_buckets=2, chunk_rows=1024)["epoch"]
+    assert e_retry == e1 == 1
+    got = read_as_of(base, [t1], 1).to_pandas()
+    sel = got[got["conv_id"] == conv]
+    assert sel["text"].str.startswith("V1").all() and len(sel) > 0
+
+    # no-op delete: clock unchanged, file untouched
+    clock = mutation_clock(base)
+    info = delete_convs(base, [conv])   # conv already tombstoned at 1
+    assert not info["changed"]
+    assert mutation_clock(base) == clock

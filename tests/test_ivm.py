@@ -97,3 +97,22 @@ def test_first_refresh_with_empty_delta_does_not_brick_view(
     assert (got["sum_v"] == ref["sum"]).all()
     assert (got["n_rows"] == ref["count"]).all()
     assert applied_ticks(view) == ["t0", "t1"]
+
+
+def test_refresh_with_mismatched_spec_raises(ray_session, tmp_path):
+    """Regression (review finding): refreshing an accumulated view with a
+    DIFFERENT aggregate spec used to silently discard the old rows while
+    the labels claimed every tick applied. It must raise instead."""
+    import ray
+
+    view = str(tmp_path / "view")
+    refresh_view(view, ray.data.from_arrow(_mk(100, 4)), "t0",
+                 group_cols=["g"], sum_cols=["v"])
+    t = _mk(100, 5).append_column(
+        "w", pa.array(np.ones(100, dtype=np.int64))
+    )
+    with pytest.raises(ValueError, match="same aggregate spec"):
+        refresh_view(view, ray.data.from_arrow(t), "t1",
+                     group_cols=["g"], sum_cols=["v", "w"])
+    # the view is untouched and NOT marked as having applied t1
+    assert applied_ticks(view) == ["t0"]
