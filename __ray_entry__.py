@@ -909,6 +909,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vals = quantile_cont(ds, "l_extendedprice", qs)
         return pd.DataFrame({"q": qs, "value": vals})
 
+    def event_users_nunique_hll(sf_dir: str):
+        # grouped approximate COUNT DISTINCT: one 4 KB mergeable HLL
+        # sketch per (group, batch) through the exchange — the scale path
+        # beside the exact two-level shuffle. Rows-only (the estimate is
+        # deterministic but sketch-specific; DuckDB's approx sketch is a
+        # different function); the ±5% error bound and partitioning-
+        # independence are pytest-pinned.
+        from etl_sql_duckdb_parquet__ray.stages.profile import (
+            grouped_approx_nunique,
+        )
+
+        ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+        return grouped_approx_nunique(ds, "event_type", "user_id")
+
     def price_quantiles_sampled(sf_dir: str):
         # APPROXIMATE quantiles over a DETERMINISTIC 10% hash sample (the
         # 100-TB scale path: one pass over the sample instead of three over
@@ -1406,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": price_quantiles,
         "price_quantiles_cont": price_quantiles_cont,
         "price_quantiles_sampled": price_quantiles_sampled,
+        "event_users_nunique_hll": event_users_nunique_hll,
         "customer_running_total": customer_running_total,
         "price_quantiles_by_flag": price_quantiles_by_flag,
         "events_by_segment_skewjoin": events_by_segment_skewjoin,

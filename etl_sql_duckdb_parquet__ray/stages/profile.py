@@ -754,3 +754,42 @@ def sampled_quantiles(
         sample, batch_format="pyarrow"
     ).select_columns([column]).materialize()
     return exact_quantiles(sampled, column, qs)
+
+
+def grouped_approx_nunique(ds, group_col: str, value_col: str):
+    """Per-group distinct-count estimate via mergeable HLL sketches — the
+    scale path for ``COUNT(DISTINCT v) GROUP BY g`` when the exact
+    two-level shuffle is too expensive (many groups × high-cardinality
+    values): the exchange carries ONE 4 KB sketch per (group, batch) —
+    never the distinct values — and sketches merge by elementwise max,
+    which is order-independent, so the estimate is DETERMINISTIC for a
+    given input set regardless of partitioning (unlike merge-order-
+    dependent quantile sketches). Standard error ~1.04/sqrt(4096) ≈ 1.6%.
+
+    Returns (group, approx_nunique). Exact counterparts for comparison:
+    ``distinct_customers_by_priority`` (two-level shuffle) and
+    ``exact_nunique`` (128-bit key hashes)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            vals = sub[value_col].dropna().to_numpy()
+            if vals.dtype == object or vals.dtype.kind in "OUS":
+                vals = vals.astype(object)
+            rows.append((g, _hll_registers(vals).tobytes()))
+        return pd.DataFrame(rows, columns=[group_col, "sketch"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce([
+            np.frombuffer(b, dtype=np.uint8) for b in g["sketch"]
+        ])
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "approx_nunique": [np.int64(_hll_estimate(regs))],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
