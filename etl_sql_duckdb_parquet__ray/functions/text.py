@@ -1016,7 +1016,12 @@ def collocations(docs_ds, k: int = 20, min_count: int = 5,
         for x, y, nab in zip(a, b, n_ab):
             if nab < min_count:
                 continue
+            # Python-int cross-multiply is exact at any corpus size; the
+            # micro-PMI of a rare pair in a huge corpus can exceed int64
+            # (n_tok² in the numerator) — clamp instead of letting the
+            # Arrow cast raise OverflowError at runtime
             s = (1_000_000 * nab * n_tok * n_tok) // (n_bi * u[x] * u[y])
+            s = min(s, (1 << 63) - 1)
             grams.append(f"{x} {y}")
             counts.append(int(nab))
             scores.append(int(s))

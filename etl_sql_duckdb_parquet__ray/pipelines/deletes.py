@@ -61,19 +61,24 @@ def mutation_clock(out_dir: str) -> int:
 
 
 def allocate_epoch(out_dir: str, lock_timeout: float = 10.0,
-                   stale_after: float = 60.0) -> int:
+                   stale_after: float = 60.0, floor: int = 0) -> int:
     """Atomically advance the base's mutation clock and return the fresh
     epoch — the read-increment-write runs UNDER the tombstone lock, so
     two concurrent upserts can never both observe clock N and stamp the
     same N+1 (which would make every as-of view at N+1 ambiguous). A
     crash after allocation but before the tick lands leaves a harmless
-    ghost epoch (no tick, no tombstones — changelog iterates past it)."""
+    ghost epoch (no tick, no tombstones — changelog iterates past it).
+
+    ``floor`` seeds a pre-clock layout: the returned epoch is at least
+    ``floor`` and the clock jumps to it, applied UNDER the lock — flooring
+    the caller's return value instead would let two concurrent upserts
+    both land on the same floor when it exceeds the stored clock."""
     from ._lockfile import excl_lock
 
     path = deletes_path(out_dir)
     with excl_lock(f"{path}.lock", lock_timeout, stale_after, "tombstone"):
         t = _load_tombstones(out_dir)
-        epoch = _clock_of(t) + 1
+        epoch = max(_clock_of(t) + 1, int(floor))
         t = t.replace_schema_metadata(
             {**(t.schema.metadata or {}), _CLOCK_KEY: str(epoch).encode()}
         )
@@ -268,9 +273,10 @@ def upsert_convs(out_dir: str, new_ds, tick_dir: str,
                 epoch = int(_json.load(f)["epoch"])
         else:
             # allocate the next epoch UNDER the tombstone lock (two
-            # concurrent upserts must never both stamp clock+1), floored
-            # by position for pre-clock layouts
-            epoch = max(allocate_epoch(out_dir), len(prior_tick_dirs) + 1)
+            # concurrent upserts must never both stamp clock+1); the
+            # position floor for pre-clock layouts is applied inside the
+            # lock too, so concurrent upserts can't both land on it
+            epoch = allocate_epoch(out_dir, floor=len(prior_tick_dirs) + 1)
     # record the tick's epoch IN the tick BEFORE encoding: read_as_of /
     # changelog align layers by this, not by list position (a plain delete
     # in between shifts the clock past position+1), and a mid-encode crash

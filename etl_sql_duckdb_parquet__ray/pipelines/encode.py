@@ -1729,6 +1729,11 @@ def decode_dataset(
 
     from .deletes import load_deleted_convs, tombstone_filter
 
+    # the caller's explicit projection order, in VISIBLE names — added
+    # (metadata-only) columns are synthesized after the stored decode, so
+    # a mixed stored+added request needs a final reorder to honor it
+    requested_order = list(columns) if columns is not None else None
+
     # renamed base columns (metadata-only DDL — rename_column): requests
     # arrive in VISIBLE names and are translated to stored names before
     # planning; outputs are renamed back at the end. A stored name that
@@ -1815,6 +1820,13 @@ def decode_dataset(
                 else:
                     col = pa.array([spec["value"]] * t.num_rows, type=typ)
                 t = t.append_column(n, col)
+            if requested_order is not None:
+                # added columns land after the stored ones — restore the
+                # caller's exact requested order (visible names; this runs
+                # after _present so names match the request)
+                want = [c for c in requested_order if c in t.column_names]
+                if want != t.column_names:
+                    t = t.select(want)
             return t
 
         return ds.map_batches(ap, batch_format="pyarrow")

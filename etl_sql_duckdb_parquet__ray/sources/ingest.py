@@ -100,13 +100,57 @@ def ingest_file(path: str, ingested_at: str, sep: str | None = None):
     )
 
 
+def _block_content_name(t: pa.Table) -> str:
+    """Order-SENSITIVE content address of a block: each row hash is mixed
+    with its position (odd multiplier, wrapping uint64) before the fold, so
+    two blocks holding the same multiset of rows in different orders get
+    different names — a plain sum was permutation-invariant and collided."""
+    h = pd.util.hash_pandas_object(t.to_pandas(), index=False).to_numpy()
+    mix = h * (np.uint64(2) * np.arange(len(h), dtype=np.uint64) + np.uint64(1))
+    return f"{int(mix.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _resolve_twin_claims(manifest: pd.DataFrame) -> pd.DataFrame:
+    """Content-addressed names collide when two DISTINCT blocks are
+    byte-identical (constant or duplicated data split evenly): both map
+    tasks write the same path and a directory read would silently drop the
+    second block's rows. The driver sees the collision in the (path, rows)
+    manifest — the same path claimed by m>1 blocks — and repairs it here by
+    hard-linking ``-dupK`` aliases (no data copy, no data through the
+    driver), so directory readers count every block's rows. Deterministic:
+    a re-run over identical input reproduces the same claims and the same
+    alias set (idempotent, no accumulation)."""
+    import os
+
+    if len(manifest) == 0 or manifest["path"].is_unique:
+        return manifest
+    paths = manifest["path"].tolist()
+    seen: dict[str, int] = {}
+    fixed = []
+    for p in paths:
+        k = seen.get(p, 0)
+        seen[p] = k + 1
+        if k == 0:
+            fixed.append(p)
+            continue
+        root, ext = os.path.splitext(p)
+        alias = f"{root}-dup{k}{ext}"
+        if not os.path.exists(alias):
+            os.link(p, alias)
+        fixed.append(alias)
+    out = manifest.copy()
+    out["path"] = fixed
+    return out
+
+
 def write_orc(ds, out_dir: str, prefix: str = "part"):
     """Dataset -> sharded ORC directory (interchange with Hive/Spark
     estates, which still ship ORC heavily). One ORC file per input block,
     written inside the map task — the driver never sees data, only the
     returned (path, rows) manifest. File names are content-addressed
-    (block row-hash) so a re-run over identical input is idempotent
-    rather than accumulating duplicates."""
+    (order-sensitive block row-hash) so a re-run over identical input is
+    idempotent rather than accumulating duplicates; byte-identical twin
+    blocks are disambiguated driver-side (``_resolve_twin_claims``)."""
     import os
 
     import pyarrow.orc as orc
@@ -119,19 +163,17 @@ def write_orc(ds, out_dir: str, prefix: str = "part"):
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        h = pd.util.hash_pandas_object(
-            t.to_pandas(), index=False
-        ).to_numpy().sum()  # wrapping uint64 sum — order-stable per block
-        path = os.path.join(out_dir, f"{prefix}-{int(h) & 0xFFFFFFFFFFFFFFFF:016x}.orc")
-        tmp = path + ".tmp"
+        path = os.path.join(out_dir, f"{prefix}-{_block_content_name(t)}.orc")
+        tmp = f"{path}.tmp.{os.getpid()}"
         orc.write_table(t, tmp)
         os.replace(tmp, path)  # atomic: readers never see partial files
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], pa.int64())})
 
     # batch_size=None -> one task per block; the manifest is tiny
-    return ds.map_batches(write_block, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return _resolve_twin_claims(manifest)
 
 
 def read_orc(paths, columns: list[str] | None = None):
@@ -191,8 +233,9 @@ def write_ipc(ds, out_dir: str, prefix: str = "part",
     """Dataset -> sharded Arrow IPC (Feather V2) directory — the zero-parse
     interchange format for Arrow-native consumers (Polars, DuckDB, pandas,
     Arrow Flight estates). Same shape as ``write_orc``: one file per input
-    block written inside the map task, content-addressed names so re-runs
-    are idempotent, the driver only sees the (path, rows) manifest."""
+    block written inside the map task, order-sensitive content-addressed
+    names so re-runs are idempotent, byte-identical twin blocks repaired
+    driver-side, the driver only sees the (path, rows) manifest."""
     import os
 
     import pyarrow.feather as feather
@@ -205,20 +248,18 @@ def write_ipc(ds, out_dir: str, prefix: str = "part",
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        h = pd.util.hash_pandas_object(
-            t.to_pandas(), index=False
-        ).to_numpy().sum()
         path = os.path.join(
-            out_dir, f"{prefix}-{int(h) & 0xFFFFFFFFFFFFFFFF:016x}.arrow"
+            out_dir, f"{prefix}-{_block_content_name(t)}.arrow"
         )
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}"
         feather.write_feather(t, tmp, compression=compression)
         os.replace(tmp, path)
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], pa.int64())})
 
-    return ds.map_batches(write_block, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return _resolve_twin_claims(manifest)
 
 
 def read_ipc(paths, columns: list[str] | None = None):

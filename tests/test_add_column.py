@@ -191,3 +191,21 @@ def test_fsck_covers_sidecar_files(corpus, capsys):
     assert main(["fsck", "--encoded", out]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [c["path"] for c in rep["corrupt"]] == [victim]
+
+
+def test_projection_order_honored_with_added_columns(corpus):
+    """Regression (advice r4): added columns were appended after all stored
+    columns, so columns=["schema_ver", "text"] came back (text, schema_ver).
+    The decode must honor the caller's exact requested order."""
+    out, _ = corpus
+    add_column_default(out, "schema_ver", 3, "int64")
+
+    proj = decode_dataset(out, columns=["schema_ver", "text"]).to_pandas()
+    assert list(proj.columns) == ["schema_ver", "text"]
+    assert (proj["schema_ver"] == 3).all() and len(proj) == N_ROWS
+
+    # interleaved: stored, added, stored
+    mixed = decode_dataset(
+        out, columns=["role", "schema_ver", "conv_id"]
+    ).to_pandas()
+    assert list(mixed.columns) == ["role", "schema_ver", "conv_id"]

@@ -665,3 +665,23 @@ def test_upsert_retry_reuses_recorded_epoch_and_noop_delete_keeps_clock(
     info = delete_convs(base, [conv])   # conv already tombstoned at 1
     assert not info["changed"]
     assert mutation_clock(base) == clock
+
+
+def test_allocate_epoch_floor_applied_under_lock(tmp_path):
+    """Regression (advice r4): the pre-clock position floor used to be
+    applied OUTSIDE allocate_epoch's lock — two concurrent upserts on a
+    pre-clock layout could both land on the same floored epoch. The floor
+    now seeds the clock inside the lock, so consecutive allocations with
+    the same floor are strictly increasing."""
+    import os
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import allocate_epoch
+
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    # pre-clock layout (no tombstone file): clock is 0, caller's floor is 5
+    e1 = allocate_epoch(base, floor=5)
+    e2 = allocate_epoch(base, floor=5)   # the second concurrent upsert
+    assert e1 == 5
+    assert e2 == 6                        # NOT 5 — uniqueness preserved
+    assert allocate_epoch(base) == 7      # clock really advanced to 6

@@ -147,3 +147,56 @@ def test_ipc_roundtrip_and_projection(ray_session, tmp_path):
 
     write_ipc(ray.data.from_pandas(df), out)
     assert sorted(os.listdir(out)) == files1
+
+
+def test_twin_blocks_keep_all_rows(ray_session, tmp_path):
+    """Two DISTINCT blocks with byte-identical content (constant data split
+    evenly) collide on the content-addressed name; the driver-side twin
+    repair must keep every block's rows visible to a directory read (the
+    old permutation-invariant sum silently dropped the second block)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.sources.ingest import (
+        read_ipc,
+        read_orc,
+        write_ipc,
+        write_orc,
+    )
+
+    # two identical blocks, forced as separate Dataset blocks
+    t = pa.table({"id": [7, 7, 7], "txt": ["x", "x", "x"]})
+    ds = ray.data.from_arrow([t, t])
+
+    out = str(tmp_path / "ipc_twin")
+    man = write_ipc(ds, out)
+    assert man["rows"].sum() == 6
+    assert man["path"].is_unique          # twins got distinct names
+    assert len(read_ipc(out).to_pandas()) == 6
+    files1 = sorted(os.listdir(out))
+
+    # idempotent re-run: same claims, same alias set, no growth
+    man2 = write_ipc(ray.data.from_arrow([t, t]), out)
+    assert man2["rows"].sum() == 6
+    assert sorted(os.listdir(out)) == files1
+
+    out2 = str(tmp_path / "orc_twin")
+    man3 = write_orc(ds, out2)
+    assert man3["rows"].sum() == 6 and man3["path"].is_unique
+    assert len(read_orc(out2).to_pandas()) == 6
+
+
+def test_block_name_order_sensitive(ray_session):
+    """Permutations of the same multiset of rows must not collide."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from etl_sql_duckdb_parquet__ray.sources.ingest import _block_content_name
+
+    a = pa.table({"v": [1, 2, 3]})
+    b = pa.table({"v": [3, 2, 1]})
+    assert _block_content_name(a) != _block_content_name(b)
+    assert _block_content_name(a) == _block_content_name(pa.table({"v": [1, 2, 3]}))
