@@ -35,6 +35,26 @@ def _q(fn):
     return lambda sf_dir, _fn=fn: _fn(sf_dir)
 
 
+def _expected_thumbnails_path() -> str:
+    """Materialize the single-process thumbnail reference table (pure-numpy
+    plain loop, no Ray — ``functions.multimodal.thumbnail_summary_reference``)
+    once per process under /tmp; the ``multimodal_thumbnails`` oracle SQL
+    reads it, so the driver's value-hash gate compares the distributed
+    pipeline against an independently computed expected table."""
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        thumbnail_summary_reference,
+    )
+
+    path = "/tmp/graft_expected_thumbnails_n512_t16.parquet"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(thumbnail_summary_reference(512, 16), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_sql_duckdb_parquet__ray.functions import corpus, dedup, similarity, text
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
@@ -751,15 +771,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return media_features(media)
 
     def multimodal_thumbnails(sf_dir: str):
-        # real decode (PPM/BMP/PNG via the registry) -> nearest-neighbor
-        # resize -> re-encode (images) and frame-RMS envelopes (audio).
-        # The raw binaries are reduced to DETERMINISTIC hashable columns
-        # (sha256 of the thumbnail bytes, envelope length, envelope mean in
-        # fixed-point micro-units) so the driver's rows/schema check pins
-        # the actual decode+transform output, not just a row count; still
-        # no SQL oracle (no SQL engine decodes PNG).
-        import hashlib as _hl
-
+        # real decode (PPM/BMP/PNG/JPEG/WAV/FLAC via the registry) ->
+        # nearest-neighbor resize -> re-encode (images) and frame-RMS
+        # envelopes (audio). The raw binaries are reduced to DETERMINISTIC
+        # hashable columns (re-decoded thumbnail dims, byte length, crc32,
+        # envelope length, envelope mean in fixed-point micro-units); the
+        # ORACLE is a DuckDB read of the single-process reference mirror
+        # (functions.multimodal.thumbnail_summary_reference — same pure-
+        # numpy kernels, plain loop, no Ray), so the value-hash gate pins
+        # the distributed plumbing bit-exactly. No SQL engine decodes PNG;
+        # the SQL side's job is only to serve the independently computed
+        # expected table.
         import ray
 
         from etl_sql_duckdb_parquet__ray.functions.multimodal import (
@@ -767,28 +789,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def _summarize(batch):
+            import zlib
+
             import numpy as np
             import pyarrow as pa
 
+            from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+                decode_image,
+                rgb_view,
+            )
+
             thumbs = batch.column("thumbnail").to_pylist()
             envs = batch.column("rms_envelope").to_pylist()
+            tw, th, tl, tc, el, em = [], [], [], [], [], []
+            for t, e in zip(thumbs, envs):
+                if t:
+                    h, w, _ = rgb_view(decode_image(t)).shape
+                    tw.append(w); th.append(h)
+                    tl.append(len(t)); tc.append(zlib.crc32(t))
+                    el.append(-1); em.append(-1)
+                else:
+                    tw.append(-1); th.append(-1); tl.append(-1); tc.append(-1)
+                    el.append(len(e))
+                    em.append(
+                        int(np.floor(np.mean(e) * 1_000_000)) if e else -1
+                    )
             return pa.table(
                 {
                     "media_id": batch.column("media_id"),
                     "kind": batch.column("kind"),
-                    "thumb_sha256": pa.array(
-                        [_hl.sha256(t).hexdigest() if t else "" for t in thumbs]
-                    ),
-                    "env_len": pa.array(
-                        [len(e) for e in envs], type=pa.int64()
-                    ),
-                    "env_mean_micro": pa.array(
-                        [
-                            int(np.floor(np.mean(e) * 1_000_000)) if e else -1
-                            for e in envs
-                        ],
-                        type=pa.int64(),
-                    ),
+                    "thumb_w": pa.array(tw, type=pa.int64()),
+                    "thumb_h": pa.array(th, type=pa.int64()),
+                    "thumb_len": pa.array(tl, type=pa.int64()),
+                    "thumb_crc32": pa.array(tc, type=pa.int64()),
+                    "env_len": pa.array(el, type=pa.int64()),
+                    "env_mean_micro": pa.array(em, type=pa.int64()),
                 }
             )
 
@@ -3426,6 +3461,16 @@ def oracle_sql() -> dict[str, str]:
                    substr(w, CAST(i AS INT) + 1, 1) AS b,
                    CAST(SUM(f) AS BIGINT) AS freq
             FROM iw GROUP BY a, b
+        """,
+        # multimodal_thumbnails mirror: no SQL engine decodes PNG/JPEG/FLAC;
+        # the expected table is computed INDEPENDENTLY by a single-process
+        # pure-numpy loop (thumbnail_summary_reference — no Ray, no actor
+        # pool) and served to DuckDB as parquet, so the value-hash gate
+        # pins the distributed decode/resize/re-encode plumbing bit-exactly
+        "multimodal_thumbnails": f"""
+            SELECT media_id, kind, thumb_w, thumb_h, thumb_len,
+                   thumb_crc32, env_len, env_mean_micro
+            FROM read_parquet('{_expected_thumbnails_path()}')
         """,
         # window_dup_docs mirror: every overlapping 8-token window, distinct
         # per doc; keeper = min doc_id per window string (the Ray side joins

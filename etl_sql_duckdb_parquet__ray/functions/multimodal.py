@@ -692,3 +692,66 @@ def media_transform(ds, thumb: int = 16, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def thumbnail_summary_reference(n: int = 512, thumb: int = 16,
+                                frame_ms: int = 20,
+                                hop_ms: int = 10) -> pa.Table:
+    """Single-process ORACLE MIRROR of the distributed thumbnail pipeline:
+    a plain Python loop over :func:`synth_media_table` — no Ray, no actor
+    pool, no batching — reduced to the deterministic hashable columns
+    ``(media_id, kind, thumb_w, thumb_h, thumb_len, thumb_crc32, env_len,
+    env_mean_micro)``. The decoders/encoders are deterministic pure numpy,
+    so these checksums are stable across runs and processes; the driver's
+    value-hash compare against the Ray pipeline then pins the distributed
+    plumbing (actor batching, union order, arrow conversion) bit-exactly.
+    Thumbnail dims come from RE-DECODING the emitted thumbnail, proving the
+    re-encode is parseable, not just byte-stable."""
+    import zlib
+
+    media = synth_media_table(n)
+    ids, kinds = media.column("media_id").to_pylist(), media.column("kind").to_pylist()
+    rows = {k: [] for k in ("media_id", "kind", "thumb_w", "thumb_h",
+                            "thumb_len", "thumb_crc32", "env_len",
+                            "env_mean_micro")}
+    for mid, kind, pay in zip(ids, kinds, media.column("payload")):
+        payload = pay.as_py()
+        rows["media_id"].append(mid)
+        rows["kind"].append(kind)
+        if sniff_image(payload):
+            px = rgb_view(decode_image(payload))
+            tpx = resize_image(px, thumb, thumb)
+            if payload[:8] == _PNG_SIG:
+                out = encode_png(tpx, filter_type=2)
+            elif payload[:3] == b"\xff\xd8\xff":
+                out = encode_jpeg(tpx, quality=90)
+            else:
+                out = encode_ppm(tpx)
+            h, w, _ = rgb_view(decode_image(out)).shape
+            rows["thumb_w"].append(w)
+            rows["thumb_h"].append(h)
+            rows["thumb_len"].append(len(out))
+            rows["thumb_crc32"].append(zlib.crc32(out))
+            rows["env_len"].append(-1)
+            rows["env_mean_micro"].append(-1)
+        else:
+            samples, rate = decode_audio(payload)
+            env = audio_frame_rms(samples, rate, frame_ms, hop_ms)
+            rows["thumb_w"].append(-1)
+            rows["thumb_h"].append(-1)
+            rows["thumb_len"].append(-1)
+            rows["thumb_crc32"].append(-1)
+            rows["env_len"].append(len(env))
+            rows["env_mean_micro"].append(
+                int(np.floor(env.mean() * 1_000_000)) if len(env) else -1
+            )
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "thumb_w": pa.array(rows["thumb_w"], pa.int64()),
+        "thumb_h": pa.array(rows["thumb_h"], pa.int64()),
+        "thumb_len": pa.array(rows["thumb_len"], pa.int64()),
+        "thumb_crc32": pa.array(rows["thumb_crc32"], pa.int64()),
+        "env_len": pa.array(rows["env_len"], pa.int64()),
+        "env_mean_micro": pa.array(rows["env_mean_micro"], pa.int64()),
+    })

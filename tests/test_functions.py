@@ -1408,3 +1408,44 @@ def test_embedding_covariance_and_pca(ray_session):
     # determinism across runs
     p2, w2, W2, _ = pca_project(ds, k=k)
     np.testing.assert_array_equal(W, W2)
+
+
+def test_thumbnail_summary_reference_matches_pipeline(ray_session):
+    """The single-process oracle mirror (thumbnail_summary_reference) and
+    the distributed media_transform pipeline must agree column-for-column —
+    this is the mirror the multimodal_thumbnails driver oracle serves to
+    DuckDB, closing the last no_oracle registry row."""
+    import zlib
+
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        decode_image,
+        media_transform,
+        rgb_view,
+        synth_media_table,
+        thumbnail_summary_reference,
+    )
+
+    n = 96
+    ref = thumbnail_summary_reference(n, 16).to_pandas().set_index("media_id")
+    out = media_transform(
+        ray.data.from_arrow(synth_media_table(n)), thumb=16
+    ).to_pandas().set_index("media_id")
+    assert len(ref) == len(out) == n
+    for mid in ref.index:
+        r, o = ref.loc[mid], out.loc[mid]
+        if r["kind"] == "image":
+            t = o["thumbnail"]
+            assert r["thumb_len"] == len(t)
+            assert r["thumb_crc32"] == zlib.crc32(t)
+            h, w, _ = rgb_view(decode_image(t)).shape
+            assert (r["thumb_w"], r["thumb_h"]) == (w, h) == (16, 16)
+        else:
+            env = np.asarray(o["rms_envelope"])
+            assert r["env_len"] == len(env)
+            if len(env):
+                assert r["env_mean_micro"] == int(
+                    np.floor(env.mean() * 1_000_000)
+                )
