@@ -586,21 +586,18 @@ def corpus_bigrams(docs_ds, k: int = 20, text_col: str = "text"):
     Shape: each batch emits its LOCAL bigram counts (a combiner — the
     exchange carries vocabulary-sized partials, never per-occurrence
     rows), one groupby-sum on the bigram key, then a top-k sort over the
-    aggregated vocabulary. Ties rank lexicographically for determinism."""
-    from collections import Counter
+    aggregated vocabulary. Ties rank lexicographically for determinism.
+    The combiner is fully vectorized (tokenize_flat + flat_bigrams +
+    value_counts — no per-doc Python loop)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            w = (txt.as_py() or "").split()
-            if len(w) >= 2:
-                c.update(a + " " + b for a, b in zip(w, w[1:]))
-        if not c:
+        flat, offs = tokenize_flat(t.column(text_col))
+        big = flat_bigrams(flat, offs)
+        if len(big) == 0:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"bigram": pa.array(ks, pa.string()),
-                         "n": pa.array(vs, pa.int64())})
+        v, c = term_counts(big)
+        return pa.table({"bigram": v, "n": c})
 
     agg = (
         docs_ds.map_batches(partial, batch_format="pyarrow")
@@ -642,24 +639,26 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
     groupby, so the result is ALWAYS SQL-oracle-exact; the sketch path is
     a certified fast path."""
     import ray
-    from collections import Counter
 
     # the "" term (impossible for whitespace-split tokens) carries each
     # batch's MG threshold so Σ thresholds — the total undercount bound —
     # survives the same groupby-sum as the summaries
     def mg_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            c.update((txt.as_py() or "").split())
+        flat, _ = tokenize_flat(t.column(text_col))
+        v, c = term_counts(flat)
+        cnp = np.asarray(c, dtype=np.int64)
         thr = 0
-        if len(c) > capacity:
-            counts = sorted(c.values(), reverse=True)
-            thr = counts[capacity]  # (C+1)-th largest
-            c = Counter({w: n - thr for w, n in c.items() if n > thr})
-        ks = [""] + list(c.keys())
-        vs = [thr] + list(c.values())
-        return pa.table({"term": pa.array(ks, pa.string()),
-                         "est": pa.array(vs, pa.int64())})
+        if len(v) > capacity:
+            # (C+1)-th largest via an O(n) partition, not a full sort
+            thr = int(np.partition(cnp, len(cnp) - capacity - 1)[
+                len(cnp) - capacity - 1])
+            keep = cnp > thr
+            v = v.filter(pa.array(keep))
+            cnp = cnp[keep] - thr
+        return pa.table({
+            "term": pa.concat_arrays([pa.array([""], pa.string()), v]),
+            "est": pa.array(np.concatenate(([thr], cnp)), pa.int64()),
+        })
 
     cand = (
         docs_ds.map_batches(mg_partial, batch_format="pyarrow")
@@ -692,22 +691,17 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
     # candidate; never-summarized terms est ≤ 0
     est_floor = min(cand_est.values()) if len(cand_est) >= 4 * k else 0
     non_cand_bound = est_floor + undercount
-    ref = ray.put(cand_terms)
+    ref = ray.put(pa.array(sorted(cand_terms), pa.string()))
 
     def exact_partial(t: pa.Table) -> pa.Table:
         keep = ray.get(ref)
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            c.update((txt.as_py() or "").split())
-        # membership filter at VOCAB size, not token count (C-speed update
-        # above; candidate set is tiny)
-        c = Counter({w: n for w, n in c.items() if w in keep})
-        if not c:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"term": pa.array(ks, pa.string()),
-                         "n": pa.array(vs, pa.int64())})
+        flat, _ = tokenize_flat(t.column(text_col))
+        v, c = term_counts(flat)
+        # membership filter at VOCAB size, not token count (value_counts
+        # above is C-speed; candidate set is tiny)
+        sel = pc.is_in(v, value_set=keep)
+        v, c = v.filter(sel), c.filter(sel)
+        return pa.table({"term": v, "n": c})
 
     exact = (
         docs_ds.map_batches(exact_partial, batch_format="pyarrow")
@@ -734,15 +728,9 @@ def heavy_hitter_terms(docs_ds, k: int = 20, capacity: int = 4096,
     # certification failed (near-uniform counts — MG's blind spot): exact
     # full-vocabulary fallback, same shape as corpus_bigrams' exchange
     def exact_all(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            c.update((txt.as_py() or "").split())
-        if not c:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"term": pa.array(ks, pa.string()),
-                         "n": pa.array(vs, pa.int64())})
+        flat, _ = tokenize_flat(t.column(text_col))
+        v, c = term_counts(flat)
+        return pa.table({"term": v, "n": c})
 
     full = docs_ds.map_batches(exact_all, batch_format="pyarrow").groupby("term").sum("n")
     return (
@@ -771,17 +759,14 @@ class _UnigramScore:
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        toks = [s.split() if s else [] for s in texts]
-        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat, offs = tokenize_flat(t.column(self.text_col))
+        lens = np.diff(offs)
         keep = lens > 0  # zero-token docs are absent (SQL: no unnest rows)
-        flat = [w for ws in toks for w in ws]
         vals = (
-            pd.Series(flat, dtype=object).map(self.logp)
+            flat.to_pandas().map(self.logp)
             .to_numpy(dtype=np.float64, na_value=self.oov)
         )
         cs = np.concatenate(([0.0], np.cumsum(vals)))
-        offs = np.concatenate(([0], np.cumsum(lens)))
         sums = cs[offs[1:]] - cs[offs[:-1]]
         ids = np.asarray(t.column(self.id_col))[keep]
         return pa.table(
@@ -809,20 +794,12 @@ def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     is an actor-pool map with a vectorized lookup. Tokenization matches
     the SQL mirror (whitespace split, empties dropped — same parity
     precondition as ``corpus_bigrams``)."""
-    from collections import Counter
-
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            c.update((txt.as_py() or "").split())
-        if not c:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"term": pa.array(ks, pa.string()),
-                         "n": pa.array(vs, pa.int64())})
+        flat, _ = tokenize_flat(t.column(text_col))
+        v, c = term_counts(flat)
+        return pa.table({"term": v, "n": c})
 
     freq = (
         docs_ds.map_batches(partial, batch_format="pyarrow")
@@ -844,6 +821,57 @@ def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def tokenize_flat(col) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized whitespace tokenization of a string column: ONE RE2 split
+    over the whole batch, empties dropped via a cumsum segment reduction —
+    returns ``(flat token array, int64 doc offsets into it)`` (doc *d*'s
+    tokens are ``flat[offs[d]:offs[d+1]]``). Replaces the per-doc
+    ``str.split()`` Python loops in the n-gram combiner family.
+    ``utf8_split_whitespace`` + empty-drop equals ``str.split()`` exactly
+    (both split on Unicode whitespace runs) and skips the regex engine
+    (~3x faster than ``\\s+``); the SQL mirrors' RE2 ``\\s+`` agrees under
+    the ASCII-whitespace parity precondition checked for the testdata in
+    tests."""
+    toks = pc.utf8_split_whitespace(pc.coalesce(col, ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off0 = toks.offsets[0].as_py() if len(toks) else 0
+    offs = np.asarray(toks.offsets, dtype=np.int64) - off0
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return flat, offs
+    mask = np.asarray(pc.not_equal(flat, ""))
+    if mask.all():
+        return flat, offs
+    cs = np.concatenate(([0], np.cumsum(mask)))
+    return flat.filter(pa.array(mask)), cs[offs]
+
+
+def flat_bigrams(flat: pa.Array, offs: np.ndarray) -> pa.Array:
+    """All within-doc consecutive token pairs of a :func:`tokenize_flat`
+    result, joined as ``"a b"`` strings — two vectorized takes + one
+    binary join, no per-doc Python (tokens are whitespace-split so the
+    space delimiter is unambiguous)."""
+    n = len(flat)
+    if n < 2:
+        return pa.array([], type=pa.string())
+    valid = np.ones(n - 1, dtype=bool)
+    ends = offs[1:] - 1  # each doc's last token starts no bigram
+    ends = ends[(ends >= 0) & (ends <= n - 2)]
+    valid[ends] = False
+    idx = np.nonzero(valid)[0]
+    a = flat.take(pa.array(idx, type=pa.int64()))
+    b = flat.take(pa.array(idx + 1, type=pa.int64()))
+    return pc.binary_join_element_wise(a, b, " ")
+
+
+def term_counts(arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """``pc.value_counts`` unpacked to ``(values, int64 counts)`` — the
+    vectorized replacement for the per-batch ``collections.Counter``."""
+    vc = pc.value_counts(arr)
+    return vc.field("values").cast(pa.string()), vc.field("counts")
 
 
 def token_count_kernel(col) -> pa.Array:
@@ -955,26 +983,18 @@ def collocations(docs_ds, k: int = 20, min_count: int = 5,
     rows. min_count prunes the long random tail before scoring (PMI is
     notoriously noisy at count 1)."""
     import ray
-    from collections import Counter
 
     def uni_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        n_bi = 0
-        for txt in t.column(text_col):
-            w = (txt.as_py() or "").split()
-            c.update(w)
-            n_bi += max(len(w) - 1, 0)
-        ks = list(c.keys())
-        return pa.table({
-            "t": pa.array(ks, pa.string()),
-            "n": pa.array([c[x] for x in ks], pa.int64()),
-            # ride the bigram-position count along as one extra row's worth
-            # of metadata: emit it under an impossible token key
-            "n_bi": pa.array([n_bi] + [0] * (len(ks) - 1) if ks else [n_bi],
-                             pa.int64()),
-            **({} if ks else {"t": pa.array([""], pa.string()),
-                              "n": pa.array([0], pa.int64())}),
-        })
+        flat, offs = tokenize_flat(t.column(text_col))
+        n_bi = int(np.maximum(np.diff(offs) - 1, 0).sum())
+        v, c = term_counts(flat)
+        if len(v) == 0:
+            v, c = pa.array([""], pa.string()), pa.array([0], pa.int64())
+        # ride the bigram-position count along as one extra row's worth
+        # of metadata: emit it under the first row (summed later anyway)
+        nb = np.zeros(len(v), dtype=np.int64)
+        nb[0] = n_bi
+        return pa.table({"t": v, "n": c, "n_bi": pa.array(nb, pa.int64())})
 
     # unigram counts + totals: vocabulary-sized take_all (same bounded
     # pattern as BPE's word_frequencies)
@@ -991,16 +1011,20 @@ def collocations(docs_ds, k: int = 20, min_count: int = 5,
     uni_ref = ray.put((uni, n_tok_total, n_bi_total))
 
     def bi_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t.column(text_col):
-            w = (txt.as_py() or "").split()
-            if len(w) >= 2:
-                c.update(zip(w, w[1:]))
-        ks = list(c.keys())
+        flat, offs = tokenize_flat(t.column(text_col))
+        big = flat_bigrams(flat, offs)
+        v, c = term_counts(big)
+        if len(v) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # split the "a b" join back into its two tokens (whitespace-split
+        # tokens can't contain the space delimiter)
+        parts = pc.split_pattern(v, " ", max_splits=1)
         return pa.table({
-            "a": pa.array([x[0] for x in ks], pa.string()),
-            "b": pa.array([x[1] for x in ks], pa.string()),
-            "n": pa.array([c[x] for x in ks], pa.int64()),
+            "a": pc.list_element(parts, 0),
+            "b": pc.list_element(parts, 1),
+            "n": c,
         })
 
     agg = docs_ds.map_batches(
@@ -1059,19 +1083,22 @@ class _BigramScore:
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        toks = [s.split() if s else [] for s in texts]
-        n_pos = np.array([max(len(x) - 1, 0) for x in toks], dtype=np.int64)
+        flat, offs = tokenize_flat(t.column(self.text_col))
+        n_pos = np.maximum(np.diff(offs) - 1, 0)
         keep = n_pos > 0
-        a = [w for ws in toks for w in ws[:-1]]
-        b = [w for ws in toks for w in ws[1:]]
-        pair = [x + " " + y for x, y in zip(a, b)]
-        n_ab = pd.Series(pair, dtype=object).map(self.bi).to_numpy(
+        n = len(flat)
+        valid = np.ones(max(n - 1, 0), dtype=bool)
+        if n >= 2:
+            ends = offs[1:] - 1
+            valid[ends[(ends >= 0) & (ends <= n - 2)]] = False
+        idx = np.nonzero(valid)[0]
+        a = flat.take(pa.array(idx, type=pa.int64()))
+        b = flat.take(pa.array(idx + 1, type=pa.int64()))
+        pair = pc.binary_join_element_wise(a, b, " ")
+        n_ab = pair.to_pandas().map(self.bi).to_numpy(
             dtype=np.float64, na_value=0.0)
-        n_a = pd.Series(a, dtype=object).map(self.uni).to_numpy(
-            dtype=np.float64)
-        n_b = pd.Series(b, dtype=object).map(self.uni).to_numpy(
-            dtype=np.float64)
+        n_a = a.to_pandas().map(self.uni).to_numpy(dtype=np.float64)
+        n_b = b.to_pandas().map(self.uni).to_numpy(dtype=np.float64)
         # same association order as the SQL mirror: (lam*n_ab)/n_a +
         # ((1-lam)*n_b)/total — driver-gate hashing rounds to 1e-6, far
         # above ulp-level association noise
@@ -1104,25 +1131,19 @@ def bigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     bigram counts), both tables broadcast ONCE, then an actor-pool map
     with vectorized lookups — the same three-stage recipe as the unigram
     scorer, one count table wider."""
-    from collections import Counter
-
     import ray
 
     def parts(t: pa.Table) -> pa.Table:
-        cu: Counter = Counter()
-        cb: Counter = Counter()
-        for txt in t.column(text_col):
-            w = (txt.as_py() or "").split()
-            cu.update(w)
-            cb.update(x + " " + y for x, y in zip(w, w[1:]))
-        ks = list(cu.keys()) + list(cb.keys())
+        flat, offs = tokenize_flat(t.column(text_col))
+        uv, uc = term_counts(flat)
+        bv, bc = term_counts(flat_bigrams(flat, offs))
         return pa.table({
-            "term": pa.array(ks, pa.string()),
-            "n": pa.array(
-                [cu[k] for k in cu] + [cb[k] for k in cb], pa.int64()
-            ),
+            "term": pa.concat_arrays([uv, bv]),
+            "n": pa.concat_arrays([uc, bc]),
             "is_bigram": pa.array(
-                [False] * len(cu) + [True] * len(cb), pa.bool_()
+                np.concatenate([np.zeros(len(uv), dtype=bool),
+                                np.ones(len(bv), dtype=bool)]),
+                pa.bool_(),
             ),
         })
 
