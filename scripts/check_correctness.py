@@ -120,9 +120,20 @@ def main() -> int:
         status = "ERR" if "err" in rec else ("ok" if rec.get("hash_match", True) else "MISMATCH")
         print(f"{name:40s} {status}")
 
-    with open("/tmp/correctness_local.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{len(out)} queries, {len(fails)} failures -> /tmp/correctness_local.json")
+    import datetime
+
+    dest = os.environ.get("GRAFT_CORRECTNESS_OUT", "/tmp/correctness_local.json")
+    artifact = {
+        "recorded_at": datetime.datetime.now(datetime.UTC).isoformat(
+            timespec="seconds"),
+        "sf_dir": sf_dir,
+        "n_queries": len(out),
+        "n_failures": len(fails),
+        "results": out,
+    }
+    with open(dest, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\n{len(out)} queries, {len(fails)} failures -> {dest}")
     if fails:
         print("FAILED:", fails)
     ray.shutdown()
