@@ -342,15 +342,15 @@ def _explode_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
     ``string_split_regex(.., '\\s+')`` + drop-empties parity every text
     oracle in this package relies on). One object-array build per batch;
     everything downstream is C-groupby / numpy."""
-    token_lists = texts.fillna("").str.split()
-    lens = token_lists.str.len().to_numpy(dtype=np.int64)
-    if len(lens) == 0 or lens.sum() == 0:
+    flat_arr, offs = tokenize_flat(pa.Array.from_pandas(texts.astype(object)))
+    lens = np.diff(offs)
+    if len(lens) == 0 or len(flat_arr) == 0:
         return (
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=object),
             lens,
         )
-    flat = np.array([w for ts in token_lists for w in ts], dtype=object)
+    flat = flat_arr.to_numpy(zero_copy_only=False)
     doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     return doc_idx, flat, lens
 

@@ -301,3 +301,34 @@ def test_window_dup_matches_bruteforce_property(texts, k):
         for did, ws in per_doc.items() if any(wins[w] < did for w in ws)
     }
     assert got == ref
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",),  # no lone surrogates
+                ),
+                max_size=60,
+            ),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_flat_equals_str_split(texts):
+    """The vectorized tokenizer (utf8_split_whitespace + empty-drop) must
+    equal Python str.split() — per doc, any Unicode content — since the
+    whole n-gram combiner family and _explode_tokens ride on it."""
+    from etl_sql_duckdb_parquet__ray.functions.text import tokenize_flat
+
+    col = pa.array(texts, type=pa.string())
+    flat, offs = tokenize_flat(col)
+    got = [
+        flat.slice(offs[i], offs[i + 1] - offs[i]).to_pylist()
+        for i in range(len(texts))
+    ]
+    want = [(t or "").split() for t in texts]
+    assert got == want
