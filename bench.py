@@ -415,11 +415,144 @@ def ann_index_bench(sf_dir: str) -> dict:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def lifecycle_bench(n_turns: int | None = None) -> dict:
+    """Mutation-lifecycle timings — upsert tick, tombstone delete, merged
+    read, time travel, changelog, IVM refresh, compaction — so
+    round-over-round regressions in the mutation path are
+    machine-checkable (they previously lived only as BASELINE.md prose).
+    Carries its own before/after single-thread parquet-write controls
+    (same host-drift discipline as encode_bench: the post control
+    exposes a poisoned window)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.pipelines.deletes import (
+        changelog,
+        delete_convs,
+        read_as_of,
+        read_upserted,
+        upsert_convs,
+    )
+    from etl_sql_duckdb_parquet__ray.pipelines.encode import (
+        decode_dataset,
+        encode_transcripts,
+        read_for_encode,
+    )
+    from etl_sql_duckdb_parquet__ray.pipelines.ivm import refresh_view
+    from etl_sql_duckdb_parquet__ray.sources.transcripts import (
+        transcripts_parquet_dir,
+    )
+    from etl_sql_duckdb_parquet__ray.state.scheduler import compact
+
+    n_turns = n_turns or int(os.environ.get("GRAFT_LIFECYCLE_TURNS", "1000000"))
+    src = transcripts_parquet_dir(n_turns, base_dir="/tmp/bench_transcripts")
+    work = tempfile.mkdtemp(prefix="bench-lc-", dir="/tmp")
+    base = os.path.join(work, "base")
+    tick = os.path.join(work, "tick1")
+    view = os.path.join(work, "view")
+    merged = os.path.join(work, "merged")
+    try:
+        ctrl = os.path.join(work, "control.parquet")
+        first_src = sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )[0]
+
+        def run_control() -> float:
+            t0 = time.perf_counter()
+            pq.write_table(pq.read_table(first_src), ctrl, compression="zstd")
+            return time.perf_counter() - t0
+
+        ctrl_pre = run_control()
+
+        t0 = time.perf_counter()
+        encode_transcripts(read_for_encode(src), base, num_buckets=32,
+                           resume=False)
+        t_base = time.perf_counter() - t0
+
+        # the tick: ~1% of conversations, text rewritten (an upsert that
+        # actually changes payloads, not a no-op)
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        part = pq.read_table(first_src)
+        uniq = sorted(set(part.column("conv_id").to_pylist()))
+        upsert_ids = set(uniq[: max(len(uniq) // 4, 1)])
+        delta = part.filter(_pc.is_in(
+            part.column("conv_id"), value_set=_pa.array(sorted(upsert_ids))))
+        delta = delta.set_column(
+            delta.schema.get_field_index("text"), "text",
+            _pc.binary_join_element_wise(
+                delta.column("text").cast(_pa.string()), "v2", " "),
+        )
+        t0 = time.perf_counter()
+        up = upsert_convs(base, ray.data.from_arrow(delta), tick,
+                          num_buckets=8)
+        t_upsert = time.perf_counter() - t0
+
+        # tombstone a disjoint conv slice (metadata-only delete)
+        del_ids = [c for c in uniq[len(uniq) // 4:] if c not in upsert_ids][:64]
+        t0 = time.perf_counter()
+        delete_convs(base, del_ids)
+        t_delete = time.perf_counter() - t0
+
+        t_read = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_merged = read_upserted(base, [tick]).count()
+            t_read = min(t_read, time.perf_counter() - t0)
+
+        t_asof = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_asof0 = read_as_of(base, [tick], epoch=0).count()
+            t_asof = min(t_asof, time.perf_counter() - t0)
+        assert n_asof0 >= n_merged  # pristine view has no tombstones
+
+        t0 = time.perf_counter()
+        log = changelog(base, [tick])
+        t_log = time.perf_counter() - t0
+        assert log.num_rows > 0
+
+        # IVM: seed the view from the base once, then time the DELTA fold
+        # (the O(|delta|+|view|) cost a nightly append pays)
+        refresh_view(view, decode_dataset(base), "base",
+                     group_cols=["role"], sum_cols=["turn_idx"])
+        t0 = time.perf_counter()
+        refresh_view(view, decode_dataset(tick), "tick1",
+                     group_cols=["role"], sum_cols=["turn_idx"])
+        t_ivm = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        compact([base, tick], merged, num_buckets=32)
+        t_compact = time.perf_counter() - t0
+
+        ctrl_post = run_control()
+        return {
+            "rows": n_turns,
+            "upsert_rows": delta.num_rows,
+            "base_encode_sec": round(t_base, 3),
+            "upsert_sec": round(t_upsert, 3),
+            "upsert_epoch": up["epoch"],
+            "delete_sec": round(t_delete, 3),
+            "read_merged_sec": round(t_read, 3),
+            "time_travel_sec": round(t_asof, 3),
+            "changelog_sec": round(t_log, 3),
+            "ivm_refresh_sec": round(t_ivm, 3),
+            "compact_sec": round(t_compact, 3),
+            "control_reps_sec": [round(ctrl_pre, 3), round(ctrl_post, 3)],
+            "host_ok": ctrl_post <= 3 * ctrl_pre,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_default() -> None:
     _init_ray(NUM_CPUS)
     enc = encode_bench(NUM_CPUS, N_TURNS)
     queries = query_bench(SF_DIR)
     ann_index = ann_index_bench(SF_DIR)
+    lifecycle = lifecycle_bench()
     total = enc["encode_sec"] + enc["decode_sec"] + sum(queries.values())
     drift = control_drift(enc)
     out = {
@@ -431,6 +564,7 @@ def run_default() -> None:
         "num_cpus": NUM_CPUS,
         "encode": enc,
         "ann_index": ann_index,
+        "lifecycle": lifecycle,
         "controls": drift,
         "host_drift": not drift["host_ok"],
     }
