@@ -33,12 +33,15 @@ _ZSTD = pa.Codec("zstd", compression_level=3)
 # for ~0.1s per 16 MB — cheap next to the encode kernel, and the decompress
 # side is level-agnostic (zstd frames are self-describing)
 _ZSTD_HEAVY = pa.Codec("zstd", compression_level=8)
-# FSST code/literal sections: level 7 measured BOTH smaller (-0.06%) and
-# 12-24% faster than level 8 on post-FSST byte streams (zstd's level-8
-# search params don't pay off on already-substituted text; BASELINE.md
-# round-4 level sweep). Raw-text sections keep level 8, where it is the
-# smaller one. Decompression is level-agnostic (frames self-describe).
-_ZSTD_FSST = pa.Codec("zstd", compression_level=7)
+# FSST code/literal sections: round-5 level sweep (BASELINE.md) found the
+# knee at level 10 — at the production 64k-row chunk size the section
+# shrinks 3.0-3.4% vs level 7 for ~+0.08 s/chunk/core (levels 8-9 buy
+# less, 11-12 cost 50% more CPU for <0.2% further). Level 7 had been kept
+# from a 7-vs-8-only comparison; zstd's larger btree search params start
+# paying off on the ~6 MB code streams from level 9 up. Raw-text sections
+# keep level 8 (heavy). Decompression is level-agnostic (frames
+# self-describe).
+_ZSTD_FSST = pa.Codec("zstd", compression_level=10)
 
 
 def zstd_compress(data: bytes) -> bytes:
