@@ -55,6 +55,112 @@ def _expected_thumbnails_path() -> str:
     return path
 
 
+def _expected_features_path() -> str:
+    """Single-process mirror of the multimodal_features pipeline: a plain
+    loop over the same synthetic media through the same pure-numpy decode/
+    feature kernels, reduced to the same fixed-point columns — served to
+    DuckDB as parquet for the value-hash gate (see
+    ``_expected_thumbnails_path`` for the pattern's rationale)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions.multimodal import (
+        FEATURE_DIM,
+        RealDecoder,
+        synth_media_table,
+    )
+
+    path = "/tmp/graft_expected_media_features_n512.parquet"
+    if not os.path.exists(path):
+        media = synth_media_table(512)
+        dec = RealDecoder()
+        feats = np.stack([
+            dec._features(p.as_py()) for p in media.column("payload")
+        ])
+        cols = {
+            "media_id": media.column("media_id"),
+            "kind": media.column("kind"),
+            "n_bytes": pa.array(
+                [len(p.as_py()) for p in media.column("payload")],
+                type=pa.int64(),
+            ),
+        }
+        for i in range(FEATURE_DIM):
+            cols[f"f{i}_micro"] = pa.array(
+                np.floor(feats[:, i] * 1_000_000).astype(np.int64)
+            )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _expected_bpe_counts_path() -> str:
+    """Single-process mirror of the full BPE pipeline (word-count -> 50
+    train merges -> per-doc token counts), computed for EVERY testdata sf
+    dir and stacked into one parquet with a ``src_fp`` selector column
+    (total text characters — row counts collide between sf0.001/sf0.01).
+    The oracle SQL picks the stripe whose fingerprint equals the bound
+    documents view's own — the view itself chooses
+    the right mirror, so the same static SQL is correct at any gate sf.
+    BPE is deterministic (integer counts + total-order tie-breaks), so the
+    mirror is stable; the distributed halves this validates are the
+    word-frequency exchange and the broadcast-apply actor stage."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions.bpe import (
+        encode_word,
+        train_bpe,
+    )
+
+    path = "/tmp/graft_expected_bpe_counts_m50.parquet"
+    if not os.path.exists(path):
+        stripes = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(p):
+                continue
+            docs = pq.read_table(p, columns=["doc_id", "text"])
+            texts = [
+                (t or "") for t in docs.column("text").to_pylist()
+            ]
+            words_per_doc = [
+                [w for w in s.split(" ") if w] for s in texts
+            ]
+            wf = Counter(w for ws in words_per_doc for w in ws)
+            merges = train_bpe(sorted(wf.items()), num_merges=50)
+            ranks = {tuple(m): i for i, m in enumerate(merges)}
+            ntok: dict[str, int] = {}
+            n_words, n_tokens = [], []
+            for ws in words_per_doc:
+                n_words.append(len(ws))
+                tot = 0
+                for w in ws:
+                    n = ntok.get(w)
+                    if n is None:
+                        n = len(encode_word(w, ranks))
+                        ntok[w] = n
+                    tot += n
+                n_tokens.append(tot)
+            # selector fingerprint: total text characters — sf0.001 and
+            # sf0.01 both hold 500 docs, so row count alone collides
+            fp = sum(len(t) for t in texts)
+            stripes.append(pa.table({
+                "src_fp": pa.array([fp] * docs.num_rows, pa.int64()),
+                "doc_id": docs.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_bpe_tokens": pa.array(n_tokens, pa.int64()),
+            }))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_sql_duckdb_parquet__ray.functions import corpus, dedup, similarity, text
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
@@ -765,10 +871,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_id", "n_fingerprints", "fp_min"])
 
     def multimodal_features(sf_dir: str):
+        # actor-pool decode + feature extraction over real format bytes
+        # (PPM/BMP/PNG/JPEG/WAV/FLAC). FULLY ORACLED (round 5): the float
+        # feature vector is reduced to fixed-point micro-unit columns
+        # (per-media pure-numpy math — identical single- vs distributed-
+        # process), and the oracle SQL reads the single-process reference
+        # mirror parquet, same pattern as multimodal_thumbnails.
         import ray
 
+        def fixpoint(t):
+            import numpy as np
+            import pyarrow as pa
+
+            feats = t.column("features").to_pylist()
+            arr = np.asarray(feats, dtype=np.float64)
+            cols = {
+                "media_id": t.column("media_id"),
+                "kind": t.column("kind"),
+                "n_bytes": t.column("n_bytes"),
+            }
+            for i in range(arr.shape[1] if arr.ndim == 2 else 0):
+                cols[f"f{i}_micro"] = pa.array(
+                    np.floor(arr[:, i] * 1_000_000).astype(np.int64)
+                )
+            return pa.table(cols)
+
         media = ray.data.from_arrow(synth_media_table(512))
-        return media_features(media)
+        return media_features(media).map_batches(
+            fixpoint, batch_format="pyarrow"
+        )
 
     def multimodal_thumbnails(sf_dir: str):
         # real decode (PPM/BMP/PNG/JPEG/WAV/FLAC via the registry) ->
@@ -947,16 +1078,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def event_users_nunique_hll(sf_dir: str):
         # grouped approximate COUNT DISTINCT: one 4 KB mergeable HLL
         # sketch per (group, batch) through the exchange — the scale path
-        # beside the exact two-level shuffle. Rows-only (the estimate is
-        # deterministic but sketch-specific; DuckDB's approx sketch is a
-        # different function); the ±5% error bound and partitioning-
-        # independence are pytest-pinned.
+        # beside the exact two-level shuffle. FULLY ORACLED (round 5): in
+        # md5 hash mode the whole sketch is SQL-expressible — DuckDB
+        # md5_number_lower supplies the identical 64-bit hash, printf('%b')
+        # gives the exact integer bit length for the rank, and the harmonic
+        # sum is folded as an exact HUGEINT (Σ 2^(53-rank)) on both sides,
+        # so the estimate matches bit-for-bit through both the linear-
+        # counting and alpha branches. Production keeps the C-vectorized
+        # default hash; the ±5% error bound and partitioning-independence
+        # stay pytest-pinned.
         from etl_sql_duckdb_parquet__ray.stages.profile import (
             grouped_approx_nunique,
         )
 
         ds = read_table(sf_dir, "events", ["event_type", "user_id"])
-        return grouped_approx_nunique(ds, "event_type", "user_id")
+        return grouped_approx_nunique(
+            ds, "event_type", "user_id", hash_fn="md5"
+        )
 
     def price_quantiles_sampled(sf_dir: str):
         # APPROXIMATE quantiles over a DETERMINISTIC 10% hash sample (the
@@ -3461,6 +3599,63 @@ def oracle_sql() -> dict[str, str]:
                    substr(w, CAST(i AS INT) + 1, 1) AS b,
                    CAST(SUM(f) AS BIGINT) AS freq
             FROM iw GROUP BY a, b
+        """,
+        # event_users_nunique_hll mirror: the ENTIRE HLL sketch in SQL —
+        # md5_number_lower = the Python md5 hash mode bit-for-bit, register
+        # = top 12 hash bits, rank = 53 - exact integer bit length of the
+        # low 52 bits (printf('%b'), no float log), harmonic sum folded as
+        # an exact HUGEINT so summation order cannot drift, then the same
+        # alpha/linear-counting estimate expression as _hll_estimate
+        "event_users_nunique_hll": """
+            WITH h AS (
+              SELECT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT DISTINCT event_type,
+                     CAST(hv >> 52 AS BIGINT) AS reg,
+                     CAST(hv & ((1::UBIGINT << 52) - 1) AS BIGINT) AS low
+              FROM h
+            ), ranks AS (
+              SELECT event_type, reg,
+                     MAX(CASE WHEN low = 0 THEN 53
+                         ELSE 53 - length(printf('%b', low)) END) AS rnk
+              FROM r GROUP BY event_type, reg
+            ), agg AS (
+              SELECT event_type,
+                     SUM(CAST(1 AS HUGEINT) << (53 - rnk)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM ranks GROUP BY event_type
+            ), est AS (
+              SELECT event_type,
+                     CAST(s_present + (4096 - n_present)
+                          * (CAST(1 AS HUGEINT) << 53) AS DOUBLE) AS s_dbl,
+                     4096 - n_present AS zeros
+              FROM agg
+            )
+            SELECT event_type,
+              CAST(ROUND(CASE WHEN (0.7213/(1+1.079/4096.0))*4096*4096
+                               *9007199254740992.0 / s_dbl <= 2.5*4096
+                               AND zeros > 0
+                   THEN 4096 * LN(4096.0 / zeros)
+                   ELSE (0.7213/(1+1.079/4096.0))*4096*4096
+                        *9007199254740992.0 / s_dbl END) AS BIGINT)
+                AS approx_nunique
+            FROM est
+        """,
+        # bpe_token_counts mirror: single-process BPE reference stacked
+        # per sf with a src_rows selector — the bound documents view picks
+        # its own stripe (see _expected_bpe_counts_path)
+        "bpe_token_counts": f"""
+            SELECT doc_id, n_words, n_bpe_tokens
+            FROM read_parquet('{_expected_bpe_counts_path()}')
+            WHERE src_fp = (SELECT SUM(length(COALESCE(text, '')))
+                            FROM documents)
+        """,
+        # multimodal_features mirror: single-process reference parquet
+        # (same pure-numpy kernels, no Ray) — see _expected_features_path
+        "multimodal_features": f"""
+            SELECT * FROM read_parquet('{_expected_features_path()}')
         """,
         # multimodal_thumbnails mirror: no SQL engine decodes PNG/JPEG/FLAC;
         # the expected table is computed INDEPENDENTLY by a single-process

@@ -23,16 +23,37 @@ _HLL_P = 12                      # 4096 uint8 registers = 4 KB per sketch
 _HLL_M = 1 << _HLL_P
 
 
-def _hll_registers(values: np.ndarray) -> np.ndarray:
+def _hll_registers(values: np.ndarray, hash_fn: str = "default") -> np.ndarray:
     """Vectorized HLL update: hash -> top-p bits pick the register, rank =
     leading-zero count of the remaining bits + 1. frexp gives the exact bit
-    length for < 2^53, which the low 52 bits always are."""
+    length for < 2^53, which the low 52 bits always are.
+
+    ``hash_fn="md5"``: hash ``str(v)`` with MD5 and take the lower 8
+    digest bytes little-endian — bit-identical to DuckDB's
+    ``md5_number_lower(CAST(v AS VARCHAR))``, which makes the whole sketch
+    SQL-oracle-checkable (the hashlib loop runs over DISTINCT values only,
+    all a sketch can see). Production keeps the C-vectorized default."""
     import pandas as pd
 
     reg = np.zeros(_HLL_M, dtype=np.uint8)
     if len(values) == 0:
         return reg
-    h = pd.util.hash_array(values)
+    if hash_fn == "md5":
+        import hashlib
+
+        uniq = np.unique(values.astype(str))
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[8:16], "little"
+                )
+                for s in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+    else:
+        h = pd.util.hash_array(values)
     idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     low = (h & np.uint64((1 << 52) - 1)).astype(np.float64)
     bitlen = np.frexp(low)[1]            # 0 for low==0
@@ -42,9 +63,18 @@ def _hll_registers(values: np.ndarray) -> np.ndarray:
 
 
 def _hll_estimate(reg: np.ndarray) -> int:
+    """Register -> cardinality estimate. The harmonic sum is computed as an
+    EXACT integer (Σ 2^(53-rank), every term a power of two ≤ 2^53) so the
+    result is independent of summation order — the one float division and
+    the linear-counting log then mirror 1:1 into SQL (the oracle for the
+    md5-mode grouped sketch reproduces this formula verbatim)."""
     m = float(_HLL_M)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    # Σ over 4096 registers can exceed 2^64 — fold the rank histogram with
+    # Python ints (54 terms), never a uint64 accumulator
+    counts = np.bincount(reg, minlength=54)
+    s_int = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * 9007199254740992.0 / float(s_int)  # 2^53 / S
     zeros = int(np.count_nonzero(reg == 0))
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)      # linear counting for small ranges
@@ -756,7 +786,8 @@ def sampled_quantiles(
     return exact_quantiles(sampled, column, qs)
 
 
-def grouped_approx_nunique(ds, group_col: str, value_col: str):
+def grouped_approx_nunique(ds, group_col: str, value_col: str,
+                           hash_fn: str = "default"):
     """Per-group distinct-count estimate via mergeable HLL sketches — the
     scale path for ``COUNT(DISTINCT v) GROUP BY g`` when the exact
     two-level shuffle is too expensive (many groups × high-cardinality
@@ -776,7 +807,7 @@ def grouped_approx_nunique(ds, group_col: str, value_col: str):
             vals = sub[value_col].dropna().to_numpy()
             if vals.dtype == object or vals.dtype.kind in "OUS":
                 vals = vals.astype(object)
-            rows.append((g, _hll_registers(vals).tobytes()))
+            rows.append((g, _hll_registers(vals, hash_fn).tobytes()))
         return pd.DataFrame(rows, columns=[group_col, "sketch"])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -574,3 +574,69 @@ def test_grouped_approx_nunique_error_and_determinism(ray_session):
         )
     # partitioning-independence: identical estimates across block layouts
     assert (est4.sort_index() == est9.sort_index()).all()
+
+
+def test_hll_md5_mode_matches_sql_mirror_both_branches(ray_session):
+    """md5-mode HLL must equal the DuckDB mirror bit-for-bit on BOTH
+    estimate branches: linear counting (few distincts) and the alpha
+    harmonic path (~100k distincts). The harmonic sum folds as an exact
+    integer on both sides, so this is an equality test, not a tolerance."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from etl_sql_duckdb_parquet__ray.stages.profile import (
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["lo", "hi"], 200_000),
+        "v": rng.integers(0, 90_000, 200_000),
+    })
+    # force the linear-counting branch for group "lo"
+    df.loc[df["g"] == "lo", "v"] = df.loc[df["g"] == "lo", "v"] % 500
+    py = {
+        g: _hll_estimate(_hll_registers(s["v"].to_numpy(), "md5"))
+        for g, s in df.groupby("g")
+    }
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = """
+        WITH h AS (
+          SELECT g, md5_number_lower(CAST(v AS VARCHAR)) AS hv
+          FROM t WHERE v IS NOT NULL
+        ), r AS (
+          SELECT DISTINCT g, CAST(hv >> 52 AS BIGINT) AS reg,
+                 CAST(hv & ((1::UBIGINT << 52) - 1) AS BIGINT) AS low
+          FROM h
+        ), ranks AS (
+          SELECT g, reg, MAX(CASE WHEN low = 0 THEN 53
+                             ELSE 53 - length(printf('%b', low)) END) AS rnk
+          FROM r GROUP BY g, reg
+        ), agg AS (
+          SELECT g, SUM(CAST(1 AS HUGEINT) << (53 - rnk)) AS s_present,
+                 COUNT(*) AS n_present
+          FROM ranks GROUP BY g
+        ), est AS (
+          SELECT g, CAST(s_present + (4096 - n_present)
+                         * (CAST(1 AS HUGEINT) << 53) AS DOUBLE) AS s_dbl,
+                 4096 - n_present AS zeros
+          FROM agg
+        )
+        SELECT g, CAST(ROUND(
+            CASE WHEN (0.7213/(1+1.079/4096.0))*4096*4096
+                      *9007199254740992.0 / s_dbl <= 2.5*4096 AND zeros > 0
+            THEN 4096 * LN(4096.0 / zeros)
+            ELSE (0.7213/(1+1.079/4096.0))*4096*4096
+                 *9007199254740992.0 / s_dbl END) AS BIGINT) AS n
+        FROM est
+    """
+    got = dict(con.execute(sql).fetchall())
+    assert got == py
+    # both branches really exercised, and estimates are sane
+    exact = df.groupby("g")["v"].nunique().to_dict()
+    assert exact["lo"] <= 2.5 * 4096 < py["hi"]
+    for g in exact:
+        assert abs(py[g] - exact[g]) / exact[g] < 0.05
