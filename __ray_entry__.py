@@ -161,6 +161,55 @@ def _expected_bpe_counts_path() -> str:
     return path
 
 
+def _expected_pca_path() -> str:
+    """Single-process mirror of embedding_pca_proj per testdata sf dir:
+    the same covariance -> eigh -> sign-fixed projection math over the
+    whole table in ONE batch, floored to micro-units. Partition-order
+    float drift (~1e-15 in the sufficient sums, ~1e-12 after eigh) sits
+    seven orders below the floor grain — the established
+    ``embedding_cov_pairs`` discipline. Stripes carry an exact integer
+    fingerprint (Σ floor(dim0 · 1e6)) because sf0.001 and sf0.01 both
+    hold 500 vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = "/tmp/graft_expected_pca_k4.parquet"
+    if not os.path.exists(path):
+        stripes = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/embeddings.parquet"
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+            V = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            n = V.shape[0]
+            mean = V.sum(axis=0) / n
+            cov = (V.T @ V - n * np.outer(mean, mean)) / max(n - 1, 1)
+            w, U = np.linalg.eigh(cov)
+            order = np.argsort(w)[::-1][:4]
+            U = U[:, order]
+            flip = np.sign(U[np.abs(U).argmax(axis=0), np.arange(4)])
+            flip[flip == 0] = 1.0
+            P = (V - mean) @ (U * flip)
+            fp = int(np.floor(V[:, 0] * 1_000_000).astype(np.int64).sum())
+            cols = {
+                "src_fp": pa.array([fp] * n, pa.int64()),
+                "vec_id": pa.array(ids),
+            }
+            for i in range(4):
+                cols[f"pc{i}_micro"] = pa.array(
+                    np.floor(P[:, i] * 1_000_000).astype(np.int64)
+                )
+            stripes.append(pa.table(cols))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_sql_duckdb_parquet__ray.functions import corpus, dedup, similarity, text
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
@@ -1033,17 +1082,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def embedding_pca_proj(sf_dir: str):
-        # distributed PCA (rows-only: eigendecomposition is not
-        # SQL-expressible): covariance partials -> driver eigh ->
-        # broadcast (V-mean)@W projection; deterministic basis (sorted
-        # eigvals, sign-fixed loadings) so reruns agree
+        # distributed PCA: covariance partials -> driver eigh -> broadcast
+        # (V-mean)@W projection; deterministic basis (sorted eigvals,
+        # sign-fixed loadings). FULLY ORACLED (round 5) via the same
+        # micro-floor discipline as embedding_cov_pairs: the projection is
+        # emitted in fixed-point micro-units and compared against a
+        # single-process mirror — partition-order float drift in the
+        # sufficient sums is ~1e-15, eigh amplifies it to ~1e-12 (healthy
+        # eigengaps on this data), both far below the 1e-6 floor grain.
+        import numpy as np
+        import pyarrow as pa
+
         from etl_sql_duckdb_parquet__ray.functions.similarity import (
             pca_project,
         )
 
+        def fixpoint(t: pa.Table) -> pa.Table:
+            proj = t.column("proj").to_pylist()
+            arr = (
+                np.asarray(proj, dtype=np.float64)
+                if proj else np.empty((0, 4))
+            )
+            cols = {"vec_id": t.column("vec_id")}
+            for i in range(4):
+                cols[f"pc{i}_micro"] = pa.array(
+                    np.floor(arr[:, i] * 1_000_000).astype(np.int64)
+                    if len(arr) else np.empty(0, dtype=np.int64)
+                )
+            return pa.table(cols)
+
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         proj, _, _, _ = pca_project(ds, k=4)
-        return proj
+        return proj.map_batches(fixpoint, batch_format="pyarrow")
 
     def sample_docs_per_lang(sf_dir: str):
         ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
@@ -3642,6 +3712,17 @@ def oracle_sql() -> dict[str, str]:
                         *9007199254740992.0 / s_dbl END) AS BIGINT)
                 AS approx_nunique
             FROM est
+        """,
+        # embedding_pca_proj mirror: single-process PCA reference per sf,
+        # stripe selected by an exact integer fingerprint of the bound
+        # embeddings view (see _expected_pca_path)
+        "embedding_pca_proj": f"""
+            SELECT vec_id, pc0_micro, pc1_micro, pc2_micro, pc3_micro
+            FROM read_parquet('{_expected_pca_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
         """,
         # bpe_token_counts mirror: single-process BPE reference stacked
         # per sf with a src_rows selector — the bound documents view picks
