@@ -210,6 +210,69 @@ def _expected_pca_path() -> str:
     return path
 
 
+def _expected_clusters_path() -> str:
+    """Single-process mirror of the PARTITION-INDEPENDENT k-means
+    (``kmeans_clusters_deterministic``): the same hash-sampled init, the
+    same local refinement, the same Lloyd iterations computed over the
+    whole table as one batch — grid-snapped centroids make the
+    distributed and single-process runs land on bit-identical centroids,
+    hence identical assignments. Stripes share the PCA mirror's exact
+    integer fingerprint selector."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = "/tmp/graft_expected_kmeans_k8_i4.parquet"
+    if not os.path.exists(path):
+        stripes = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/embeddings.parquet"
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+            V = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            h = pd.util.hash_array(ids)
+            order = np.lexsort((ids, h))[:2048]
+            Vs = Vn[order]
+            rng = np.random.default_rng(5)
+            C = Vs[rng.choice(len(Vs), size=min(8, len(Vs)),
+                              replace=False)].copy()
+            for _ in range(8):
+                a = np.argmax(Vs @ C.T, axis=1)
+                for c in range(len(C)):
+                    m = a == c
+                    if m.any():
+                        v = Vs[m].mean(axis=0)
+                        C[c] = v / max(np.linalg.norm(v), 1e-12)
+            snap = float(2 ** 30)
+            C = np.round(C * snap) / snap
+            for _ in range(4):
+                a = np.argmax(Vn @ C.T, axis=1)
+                for c in range(len(C)):
+                    m = a == c
+                    if m.any():
+                        v = Vn[m].sum(axis=0) / int(m.sum())
+                        u = v / max(np.linalg.norm(v), 1e-12)
+                        C[c] = np.round(u * snap) / snap
+            a = np.argmax(Vn @ C.T, axis=1).astype(np.int64)
+            fp = int(np.floor(V[:, 0] * 1_000_000).astype(np.int64).sum())
+            stripes.append(pa.table({
+                "src_fp": pa.array([fp] * len(ids), pa.int64()),
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(a),
+            }))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_sql_duckdb_parquet__ray.functions import corpus, dedup, similarity, text
     from etl_sql_duckdb_parquet__ray.functions.multimodal import (
@@ -1463,12 +1526,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def embedding_clusters(sf_dir: str):
-        # distributed Lloyd's k-means (rows-only gate: clustering has no
-        # SQL mirror; determinism + planted-cluster purity live in pytest)
-        from etl_sql_duckdb_parquet__ray.functions.similarity import kmeans_clusters
+        # PARTITION-INDEPENDENT distributed Lloyd's k-means (round 5):
+        # data-determined hash-sampled init + content-sorted partial
+        # combine + 2^-30 grid-snapped centroids make every assignment a
+        # pure function of the data (batch-boundary float drift ~1e-15
+        # sits six orders below the snap grid), so the clustering is
+        # FULLY ORACLED against a single-process mirror. The free-running
+        # variant stays as kmeans_clusters for pipelines that don't need
+        # cross-layout reproducibility.
+        from etl_sql_duckdb_parquet__ray.functions.similarity import (
+            kmeans_clusters_deterministic,
+        )
 
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        asg, _ = kmeans_clusters(ds, k=8, iters=4)
+        asg, _ = kmeans_clusters_deterministic(ds, k=8, iters=4)
         return asg
 
     def _mod20(sf_dir: str, eq: bool):
@@ -3712,6 +3783,16 @@ def oracle_sql() -> dict[str, str]:
                         *9007199254740992.0 / s_dbl END) AS BIGINT)
                 AS approx_nunique
             FROM est
+        """,
+        # embedding_clusters mirror: partition-independent k-means vs its
+        # single-process reference (see _expected_clusters_path)
+        "embedding_clusters": f"""
+            SELECT vec_id, cluster
+            FROM read_parquet('{_expected_clusters_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
         """,
         # embedding_pca_proj mirror: single-process PCA reference per sf,
         # stripe selected by an exact integer fingerprint of the bound

@@ -851,6 +851,130 @@ def kmeans_clusters(ds_emb, k: int = 8, iters: int = 10, seed: int = 5):
     return base.map_batches(assign, batch_format="pyarrow"), C
 
 
+def kmeans_clusters_deterministic(ds_emb, k: int = 8, iters: int = 10,
+                                  seed: int = 5, sample_rows: int = 2048):
+    """PARTITION-INDEPENDENT distributed Lloyd's k-means: the result is a
+    pure function of the data — rerun it on a different cluster size,
+    block layout or batch schedule and every assignment is identical.
+    Three changes vs :func:`kmeans_clusters` buy that property:
+
+    1. **Init sample is data-determined, not block-determined**: the
+       ``sample_rows`` vectors with the globally smallest
+       ``hash(vec_id)`` (pandas SipHash, fixed key) — one streaming pass
+       emitting each batch's local minima, a driver-side merge of tiny
+       partials. ``_sample_normalized``'s head-of-every-block sample
+       changes whenever the blocking does.
+    2. **Content-sorted partial combine** per Lloyd iteration (same
+       discipline as ``embedding_covariance``) so the float fold is
+       reproducible run to run.
+    3. **Grid-snapped centroids**: after every update the normalized
+       centroid is snapped to the 2^-30 binary grid (exact in floats).
+       Batch-boundary summation drift is ~1e-15 relative — six orders
+       below the grid — so the snapped centroids, and hence every argmax
+       assignment, are invariant to how rows were batched (the knife-edge
+       caveat is the same one the micro-floor oracles carry).
+
+    This is what makes the clustering SQL-oracle-checkable against a
+    single-process mirror; production pipelines that don't need
+    cross-layout reproducibility keep :func:`kmeans_clusters`."""
+    import ray
+
+    base = ds_emb.materialize()
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids, V = _stack_arrow(batch)
+        h = pd.util.hash_array(ids.astype(np.int64))
+        keep = np.argsort(h, kind="stable")[:sample_rows]
+        Vn = _normalize(V[keep])
+        return pa.table({
+            "h": pa.array(h[keep].astype(np.uint64)),
+            "vec_id": pa.array(ids[keep]),
+            "v": _packed_binary(
+                np.ascontiguousarray(Vn).tobytes(), len(keep),
+                Vn.shape[1] * 8,
+            ),
+        })
+
+    parts = pa.concat_tables(list(
+        base.map_batches(sample_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ))
+    order = np.lexsort((
+        parts.column("vec_id").to_numpy(),
+        parts.column("h").to_numpy(),
+    ))[:sample_rows]
+    dim = len(parts.column("v")[0].as_py()) // 8 if len(parts) else 0
+    Vs = _binary_to_mat(parts.column("v"), dim, np.float64)[order]
+
+    rng = np.random.default_rng(seed)
+    C = Vs[rng.choice(len(Vs), size=min(k, len(Vs)), replace=False)].copy()
+    for _ in range(8):  # local init refinement on the sample
+        a = np.argmax(Vs @ C.T, axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                v = Vs[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    snap = float(2 ** 30)
+    C = np.round(C * snap) / snap
+
+    k_eff = len(C)
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cl = ray.get(cref)
+            _, V = _stack_arrow(batch)
+            Vn = _normalize(V)
+            a = np.argmax(Vn @ Cl.T, axis=1)
+            counts = np.bincount(a, minlength=len(Cl))
+            sums = np.zeros((len(Cl), Vn.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, Vn)
+            return pa.table({
+                "c": pa.array(np.arange(len(Cl), dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+                "s": _packed_binary(
+                    np.ascontiguousarray(sums).tobytes(), len(Cl),
+                    Vn.shape[1] * 8,
+                ),
+            })
+
+        rows = sorted(
+            base.map_batches(partial, batch_format="pyarrow").take_all(),
+            key=lambda r: (r["c"], r["n"], bytes(r["s"])),
+        )
+        new_C = C.copy()
+        for c in range(k_eff):
+            sel = [r for r in rows if r["c"] == c]
+            n = sum(r["n"] for r in sel)
+            if n > 0:
+                S = np.sum(
+                    [np.frombuffer(r["s"], dtype=np.float64) for r in sel],
+                    axis=0,
+                )
+                v = S / n
+                u = v / max(np.linalg.norm(v), 1e-12)
+                new_C[c] = np.round(u * snap) / snap
+        C = new_C
+
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(cref)
+        ids, V = _stack_arrow(batch)
+        Vn = _normalize(V)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(
+                np.argmax(Vn @ Cl.T, axis=1).astype(np.int64)
+            ),
+        })
+
+    return base.map_batches(assign, batch_format="pyarrow"), C
+
+
 def semantic_dedup(ds_emb, k: int = 8, threshold: float = 0.95,
                    iters: int = 5, seed: int = 5):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the

@@ -1449,3 +1449,32 @@ def test_thumbnail_summary_reference_matches_pipeline(ray_session):
                 assert r["env_mean_micro"] == int(
                     np.floor(env.mean() * 1_000_000)
                 )
+
+
+def test_kmeans_deterministic_is_partition_independent(ray_session):
+    """kmeans_clusters_deterministic's whole point: rerun with a different
+    block layout and every assignment is identical (data-determined init
+    sample + content-sorted combine + 2^-30 grid-snapped centroids)."""
+    import numpy as np
+    import ray
+
+    from etl_sql_duckdb_parquet__ray.functions.similarity import (
+        kmeans_clusters_deterministic,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 1200, 16
+    V = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+
+    def run(num_blocks):
+        ds = ray.data.from_items(rows, override_num_blocks=num_blocks)
+        asg, C = kmeans_clusters_deterministic(ds, k=6, iters=3)
+        df = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        return df, C
+
+    a1, c1 = run(2)
+    a2, c2 = run(13)
+    assert (c1 == c2).all()                      # centroids bit-identical
+    assert (a1["cluster"] == a2["cluster"]).all()  # every assignment equal
+    assert a1["cluster"].nunique() > 1
