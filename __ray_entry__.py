@@ -210,6 +210,249 @@ def _expected_pca_path() -> str:
     return path
 
 
+def _expected_ivf_path() -> str:
+    """Single-process mirror of ann_ivf_topk with hash-sampled centroids:
+    identical sample selection, identical driver-side centroid
+    refinement (bit-for-bit — it is single-process numpy in the engine
+    too), then full-table top-n_assign assignment (the same
+    ``np.argpartition`` per-row selection as IvfAssign), probe filter and
+    exact-cosine top-k. Same fingerprint selector as the PCA mirror."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = "/tmp/graft_expected_ivf_topk_k10.parquet"
+    path_idx = "/tmp/graft_expected_ivf_index_topk_k10.parquet"
+    if not (os.path.exists(path) and os.path.exists(path_idx)):
+        stripes = []
+        stripes_idx = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/embeddings.parquet"
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+            V = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            # hash sample + the same k-means-lite refine as
+            # train_ivf_centroids (n_lists=16, iters=8, seed=5)
+            h = pd.util.hash_array(ids)
+            order = np.lexsort((ids, h))[:2048]
+            Vs = Vn[order]
+            rng = np.random.default_rng(5)
+            C = Vs[rng.choice(len(Vs), size=min(16, len(Vs)),
+                              replace=False)]
+            for _ in range(8):
+                a = np.argmax(Vs @ C.T, axis=1)
+                for c in range(len(C)):
+                    m = a == c
+                    if m.any():
+                        v = Vs[m].mean(axis=0)
+                        C[c] = v / max(np.linalg.norm(v), 1e-12)
+            q = V[ids == 0][0]
+            q = q / max(np.linalg.norm(q), 1e-12)
+            probes = set(np.argsort(-(C @ q))[:4].tolist())
+            sims = Vn @ C.T
+            top2 = np.argpartition(-sims, 1, axis=1)[:, :2]
+            cand = np.array([
+                any(int(l) in probes for l in row) for row in top2
+            ])
+            cos = Vn[cand] @ q
+            cids = ids[cand]
+            sel = np.lexsort((cids, -cos))[:10]
+            fp = int(np.floor(V[:, 0] * 1_000_000).astype(np.int64).sum())
+            stripes.append(pa.table({
+                "src_fp": pa.array([fp] * len(sel), pa.int64()),
+                "vec_id": pa.array(cids[sel]),
+                "cosine": pa.array(cos[sel], pa.float64()),
+            }))
+            # persisted-index variant: stored vectors are narrowed to f32
+            # (build_ivf_index's storage layout) — replicate the narrowing
+            # before scoring, everything else identical
+            V32 = Vn[cand].astype(np.float32).astype(np.float64)
+            cos32 = V32 @ q
+            sel32 = np.lexsort((cids, -cos32))[:10]
+            stripes_idx.append(pa.table({
+                "src_fp": pa.array([fp] * len(sel32), pa.int64()),
+                "vec_id": pa.array(cids[sel32]),
+                "cosine": pa.array(cos32[sel32], pa.float64()),
+            }))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+        tmp2 = f"{path_idx}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes_idx), tmp2)
+        os.replace(tmp2, path_idx)
+    return path
+
+
+def _expected_ivf_index_path() -> str:
+    """The f32-narrowed persisted-index stripe of the IVF mirror (built
+    together with :func:`_expected_ivf_path`)."""
+    _expected_ivf_path()
+    return "/tmp/graft_expected_ivf_index_topk_k10.parquet"
+
+
+def _mirror_pq_books(Vn, ids, m=16, ks=32, iters=10, seed=7,
+                     sample_rows=2048):
+    """Single-process replica of train_pq_codebooks over the hash sample
+    (the training loop is driver-side numpy in the engine too — identical
+    ops on the identical sample give bit-identical codebooks)."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(ids)
+    order = np.lexsort((ids, h))[:sample_rows]
+    Vs = Vn[order]
+    n, d = Vs.shape
+    dsub = d // m
+    sub = Vs.reshape(n, m, dsub)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        X = sub[:, j, :]
+        k_eff = min(ks, n)
+        C = X[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[j, :k_eff] = C
+        if k_eff < ks:
+            books[j, k_eff:] = C[0]
+    return books
+
+
+def _expected_pq_path() -> str:
+    """Single-process mirror of ann_pq_topk with hash-sampled codebooks:
+    identical training, the shared ``_pq_encode_rows`` kernel for the
+    row-local encode, the same m-entry LUT sum for ADC scores."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions.similarity import (
+        _pq_encode_rows,
+    )
+
+    path = "/tmp/graft_expected_pq_topk_k10.parquet"
+    if not os.path.exists(path):
+        stripes = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/embeddings.parquet"
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+            V = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            books = _mirror_pq_books(Vn, ids)
+            q = V[ids == 0][0]
+            q = q / max(np.linalg.norm(q), 1e-12)
+            m, ks, dsub = books.shape
+            lut = np.einsum("jd,jkd->jk", q.reshape(m, dsub), books)
+            codes = _pq_encode_rows(Vn, books)
+            approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            sel = np.lexsort((ids, -approx))[:10]
+            fp = int(np.floor(V[:, 0] * 1_000_000).astype(np.int64).sum())
+            stripes.append(pa.table({
+                "src_fp": pa.array([fp] * len(sel), pa.int64()),
+                "vec_id": pa.array(ids[sel]),
+                "cosine_pq": pa.array(approx[sel], pa.float64()),
+            }))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _expected_ivfpq_path() -> str:
+    """Single-process mirror of ann_ivfpq_index_topk (IVFADC+R) with
+    hash-sampled training: same centroids, same sample-residual codebooks
+    (reusing the engine's pure ``_train_pq_on_rows``/``_pq_encode_rows``
+    kernels), same coarse LUT+offset scores over the probed lists, same
+    rerank*k shortlist, same f32-narrowed exact rescore."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sql_duckdb_parquet__ray.functions.similarity import (
+        _pq_encode_rows,
+        _train_pq_on_rows,
+    )
+
+    path = "/tmp/graft_expected_ivfpq_topk_k10.parquet"
+    if not os.path.exists(path):
+        stripes = []
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/embeddings.parquet"
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
+            ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+            V = np.asarray(t.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            h = pd.util.hash_array(ids)
+            order = np.lexsort((ids, h))[:2048]
+            Vs = Vn[order]
+            rng = np.random.default_rng(5)
+            C = Vs[rng.choice(len(Vs), size=min(16, len(Vs)),
+                              replace=False)]
+            for _ in range(8):
+                a = np.argmax(Vs @ C.T, axis=1)
+                for c in range(len(C)):
+                    m = a == c
+                    if m.any():
+                        v = Vs[m].mean(axis=0)
+                        C[c] = v / max(np.linalg.norm(v), 1e-12)
+            asg_s = np.argmax(Vs @ C.T, axis=1)
+            books = _train_pq_on_rows(Vs - C[asg_s], m=16, ks=32)
+            # full-table encode + query (all row-local/driver math)
+            a = np.argmax(Vn @ C.T, axis=1)
+            codes = _pq_encode_rows(Vn - C[a], books)
+            q = V[ids == 0][0]
+            q = q / max(np.linalg.norm(q), 1e-12)
+            qc = C @ q
+            probes = set(np.argsort(-qc)[:4].tolist())
+            mm, _, dsub = books.shape
+            lut = np.einsum("jd,jkd->jk", q.reshape(mm, dsub), books)
+            cand = np.isin(a, sorted(probes))
+            approx = (
+                lut[np.arange(mm)[None, :], codes[cand]].sum(axis=1)
+                + qc[a[cand]]
+            )
+            cids = ids[cand]
+            short = np.lexsort((cids, -approx))[:40]  # rerank*k = 4*10
+            V32 = Vn[cand][short].astype(np.float32).astype(np.float64)
+            cos = V32 @ q
+            sids = cids[short]
+            sel = np.lexsort((sids, -cos))[:10]
+            fp = int(np.floor(V[:, 0] * 1_000_000).astype(np.int64).sum())
+            stripes.append(pa.table({
+                "src_fp": pa.array([fp] * len(sel), pa.int64()),
+                "vec_id": pa.array(sids[sel]),
+                "cosine_pq": pa.array(cos[sel], pa.float64()),
+            }))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(stripes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def _expected_clusters_path() -> str:
     """Single-process mirror of the PARTITION-INDEPENDENT k-means
     (``kmeans_clusters_deterministic``): the same hash-sampled init, the
@@ -324,22 +567,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["query_idx", "vec_id"])
 
     def ann_ivf_topk(sf_dir: str):
+        # IVF approximate top-k, FULLY ORACLED (round 5): with the
+        # partition-independent hash-sampled centroid training every step
+        # is a pure function of the data (centroid refinement is
+        # driver-side numpy; assignment/scoring are row-local), so a
+        # single-process mirror reproduces the exact approximate answer —
+        # cosine floats compare under the gate's 1e-6 rounding
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        return similarity.ivf_topk(ds, qvec, k=10)
+        return similarity.ivf_topk(ds, qvec, k=10, sample_mode="hash")
 
     def ann_pq_topk(sf_dir: str):
+        # PQ/ADC approximate top-k, FULLY ORACLED (round 5): hash-sampled
+        # codebook training is driver-side numpy; encoding and the m-entry
+        # LUT sum are row-local — the single-process mirror reproduces the
+        # exact approximate scores (gate rounds floats at 1e-6)
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        return similarity.pq_topk(ds, qvec, k=10)
+        return similarity.pq_topk(ds, qvec, k=10, sample_mode="hash")
 
     def ann_ivf_index_topk(sf_dir: str):
         # build-once/query-many: the index persists (centroids npy + hive
-        # parquet per list); the query reads ONLY the probed lists
+        # parquet per list); the query reads ONLY the probed lists.
+        # FULLY ORACLED (round 5) via the hash-sampled centroids — the
+        # mirror replicates the f32 storage narrowing before scoring
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         idx = tempfile.mkdtemp(prefix="ivfidx-", dir="/tmp")
-        similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=2)
+        similarity.build_ivf_index(ds, idx, n_lists=16, n_assign=2,
+                                   sample_mode="hash")
         return similarity.ivf_query_index(idx, qvec, k=10, n_probe=4)
 
     def ann_index_exact_topk(sf_dir: str):
@@ -356,22 +612,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["vec_id"])
 
     def ann_pq_index_topk(sf_dir: str):
+        # persisted-PQ query, FULLY ORACLED (round 5): the stored codes
+        # ARE the storage (no narrowing), so the scoring math is identical
+        # to ann_pq_topk and the same single-process mirror serves both
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         idx = tempfile.mkdtemp(prefix="pqidx-", dir="/tmp")
-        similarity.build_pq_index(ds, idx, m=16, ks=32)
+        similarity.build_pq_index(ds, idx, m=16, ks=32, sample_mode="hash")
         return similarity.pq_query_index(idx, qvec, k=10)
 
     def ann_ivfpq_index_topk(sf_dir: str):
         # residual IVF-PQ + rerank (IVFADC+R): coarse pass reads m bytes/
         # vector of the probed lists only; a bounded rerank*k shortlist is
-        # exact-rescored via a vec_id-predicate read. Approximate by
-        # nature (n_probe < n_lists) -> rows-only check; recall is
-        # pytest-asserted on planted clusters (test_functions.py).
+        # exact-rescored via a vec_id-predicate read. FULLY ORACLED
+        # (round 5): with hash-sampled centroid + residual-codebook
+        # training every step (assignment, residual encode, LUT+offset
+        # coarse score, shortlist, f32 rescore) is row-local or
+        # driver-side — the single-process mirror reproduces the exact
+        # approximate answer; recall stays pytest-asserted on planted
+        # clusters (test_functions.py).
         qvec = _query_vec(sf_dir, 0)
         ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         idx = tempfile.mkdtemp(prefix="ivfpqidx-", dir="/tmp")
-        similarity.build_ivfpq_index(ds, idx, n_lists=16, m=16, ks=32)
+        similarity.build_ivfpq_index(ds, idx, n_lists=16, m=16, ks=32,
+                                     sample_mode="hash")
         return similarity.ivfpq_query_index(idx, qvec, k=10, n_probe=4)
 
     def transcript_roundtrip(sf_dir: str):
@@ -3783,6 +4047,56 @@ def oracle_sql() -> dict[str, str]:
                         *9007199254740992.0 / s_dbl END) AS BIGINT)
                 AS approx_nunique
             FROM est
+        """,
+        # ann_ivf_topk mirror: partition-independent IVF vs its
+        # single-process reference (see _expected_ivf_path)
+        "ann_ivf_topk": f"""
+            SELECT vec_id, cosine
+            FROM read_parquet('{_expected_ivf_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
+        """,
+        # ann_ivf_index_topk mirror: same IVF math over the persisted
+        # index's f32-narrowed vectors (see _expected_ivf_index_path)
+        "ann_ivf_index_topk": f"""
+            SELECT vec_id, cosine
+            FROM read_parquet('{_expected_ivf_index_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
+        """,
+        # ann_pq_topk mirror: partition-independent PQ/ADC vs its
+        # single-process reference (see _expected_pq_path)
+        "ann_pq_topk": f"""
+            SELECT vec_id, cosine_pq
+            FROM read_parquet('{_expected_pq_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
+        """,
+        # ann_pq_index_topk mirror: same math as ann_pq_topk (codes are
+        # the storage, no narrowing) — shares its mirror table
+        "ann_pq_index_topk": f"""
+            SELECT vec_id, cosine_pq
+            FROM read_parquet('{_expected_pq_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
+        """,
+        # ann_ivfpq_index_topk mirror: partition-independent IVFADC+R vs
+        # its single-process reference (see _expected_ivfpq_path)
+        "ann_ivfpq_index_topk": f"""
+            SELECT vec_id, cosine_pq
+            FROM read_parquet('{_expected_ivfpq_path()}')
+            WHERE src_fp = (
+              SELECT CAST(SUM(CAST(FLOOR(
+                CAST(list_extract(embedding, 1) AS DOUBLE) * 1000000.0
+              ) AS BIGINT)) AS BIGINT) FROM embeddings)
         """,
         # embedding_clusters mirror: partition-independent k-means vs its
         # single-process reference (see _expected_clusters_path)

@@ -107,15 +107,59 @@ def _sample_normalized(ds_emb, sample_rows: int) -> np.ndarray:
     return _normalize(V)
 
 
+def _hash_sample_normalized(ds_emb, sample_rows: int) -> np.ndarray:
+    """PARTITION-INDEPENDENT normalized training sample: the
+    ``sample_rows`` vectors with the globally smallest ``hash(vec_id)``
+    (pandas SipHash, fixed key) — a property of the DATA, not the block
+    layout. One streaming pass emits each batch's local minima (every
+    global minimum is a local minimum of its batch), the driver merges
+    tiny partials. The block-spread sample (``_sample_normalized``)
+    changes whenever the blocking does; this one lets centroid training —
+    and everything downstream of it — be mirrored single-process."""
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        ids, V = _stack_arrow(batch)
+        h = pd.util.hash_array(ids.astype(np.int64))
+        keep = np.argsort(h, kind="stable")[:sample_rows]
+        Vn = _normalize(V[keep])
+        return pa.table({
+            "h": pa.array(h[keep].astype(np.uint64)),
+            "vec_id": pa.array(ids[keep]),
+            "v": _packed_binary(
+                np.ascontiguousarray(Vn).tobytes(), len(keep),
+                Vn.shape[1] * 8,
+            ),
+        })
+
+    parts = pa.concat_tables(list(
+        ds_emb.map_batches(sample_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ))
+    order = np.lexsort((
+        parts.column("vec_id").to_numpy(),
+        parts.column("h").to_numpy(),
+    ))[:sample_rows]
+    dim = len(parts.column("v")[0].as_py()) // 8 if len(parts) else 0
+    return _binary_to_mat(parts.column("v"), dim, np.float64)[order]
+
+
 def train_ivf_centroids(
-    ds_emb, n_lists: int = 16, sample_rows: int = 2048, iters: int = 8, seed: int = 5
+    ds_emb, n_lists: int = 16, sample_rows: int = 2048, iters: int = 8,
+    seed: int = 5, sample_mode: str = "block",
 ) -> np.ndarray:
     """Deterministic k-means-lite on a sample (train on a sample, never a
-    full scan — same rule as FSST training, SURVEY.md §7.4). The sample is
-    spread across blocks (head of every block, then limit) rather than the
-    head of the dataset, so a sorted/partitioned corpus doesn't bias the
-    centroids to its first shard."""
-    V = _sample_normalized(ds_emb, sample_rows)
+    full scan — same rule as FSST training, SURVEY.md §7.4). The default
+    sample is spread across blocks (head of every block, then limit)
+    rather than the head of the dataset, so a sorted/partitioned corpus
+    doesn't bias the centroids to its first shard;
+    ``sample_mode="hash"`` switches to the partition-independent
+    globally-smallest-hash sample (:func:`_hash_sample_normalized`), which
+    makes the centroids — and any ANN result derived from them — a pure
+    function of the data, reproducible by a single-process mirror."""
+    V = (
+        _hash_sample_normalized(ds_emb, sample_rows)
+        if sample_mode == "hash"
+        else _sample_normalized(ds_emb, sample_rows)
+    )
     rng = np.random.default_rng(seed)
     C = V[rng.choice(len(V), size=min(n_lists, len(V)), replace=False)]
     for _ in range(iters):
@@ -180,14 +224,18 @@ class IvfAssign:
 
 
 def ivf_topk(ds_emb, query: np.ndarray, k: int = 10, n_lists: int = 16,
-             n_probe: int = 4, n_assign: int = 2, use_actors: bool = False):
+             n_probe: int = 4, n_assign: int = 2, use_actors: bool = False,
+             sample_mode: str = "block"):
     """IVF approximate top-k: assign every vector to its ``n_assign``
     nearest lists, then search only the ``n_probe`` lists nearest the
     query; duplicate candidates (a vector probed via two lists) collapse
-    in a groupby before the final top-k."""
+    in a groupby before the final top-k. With ``sample_mode="hash"`` the
+    centroid training sample is partition-independent, making the whole
+    (approximate) answer a pure function of the data — mirror-oracle-able
+    single-process."""
     import ray
 
-    C = train_ivf_centroids(ds_emb, n_lists=n_lists)
+    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_mode=sample_mode)
     cref = ray.put(C)
     q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
     probes = set(np.argsort(-(C @ q))[:n_probe].tolist())
@@ -273,13 +321,19 @@ def brute_force_topk_many(ds_emb, queries: np.ndarray, k: int = 10):
 
 def train_pq_codebooks(
     ds_emb, m: int = 16, ks: int = 32, sample_rows: int = 2048,
-    iters: int = 10, seed: int = 7,
+    iters: int = 10, seed: int = 7, sample_mode: str = "block",
 ) -> np.ndarray:
     """Product-quantization codebooks (Jegou et al., TPAMI'11): split the
     (normalized) vector into ``m`` subvectors and k-means each subspace
     independently on a block-spread sample. Returns ``[m, ks, d/m]``.
-    Train on a sample, never a full scan (SURVEY.md §7.4)."""
-    V = _sample_normalized(ds_emb, sample_rows)
+    Train on a sample, never a full scan (SURVEY.md §7.4).
+    ``sample_mode="hash"`` = the partition-independent sample (see
+    :func:`train_ivf_centroids`)."""
+    V = (
+        _hash_sample_normalized(ds_emb, sample_rows)
+        if sample_mode == "hash"
+        else _sample_normalized(ds_emb, sample_rows)
+    )
     n, d = V.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -338,7 +392,7 @@ class PqEncode:
 
 
 def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
-            use_actors: bool = False):
+            use_actors: bool = False, sample_mode: str = "block"):
     """PQ approximate top-k by asymmetric distance computation: the query
     stays exact; every database vector is m uint8 codes, and its
     approximate inner product is a sum of m table lookups
@@ -348,7 +402,7 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
     multiplies to m byte-indexed adds."""
     import ray
 
-    books = train_pq_codebooks(ds_emb, m=m, ks=ks)
+    books = train_pq_codebooks(ds_emb, m=m, ks=ks, sample_mode=sample_mode)
     bref = ray.put(books)
     q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
     mm, _, dsub = books.shape
@@ -391,7 +445,7 @@ def pq_topk(ds_emb, query: np.ndarray, k: int = 10, m: int = 16, ks: int = 32,
 
 def build_ivf_index(
     ds_emb, index_dir: str, n_lists: int = 16, n_assign: int = 2,
-    sample_rows: int = 2048,
+    sample_rows: int = 2048, sample_mode: str = "block",
 ):
     """Build a persisted IVF index: centroids trained on a block-spread
     sample (driver-side npy — KBs), then ONE distributed pass assigning
@@ -404,7 +458,8 @@ def build_ivf_index(
     import ray  # noqa: F401
 
     os.makedirs(index_dir, exist_ok=True)
-    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_rows=sample_rows)
+    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_rows=sample_rows,
+                            sample_mode=sample_mode)
     np.save(os.path.join(index_dir, "centroids.npy"), C)
     cref = ray.put(C)
 
@@ -504,7 +559,7 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
 
 
 def build_pq_index(ds_emb, index_dir: str, m: int = 16, ks: int = 32,
-                   sample_rows: int = 2048):
+                   sample_rows: int = 2048, sample_mode: str = "block"):
     """Build a persisted PQ index: codebooks trained on a sample (npy), then
     ONE distributed encode pass writing ``m`` uint8 codes per vector to
     parquet — the asymmetric-scoring query never touches raw vectors."""
@@ -513,7 +568,8 @@ def build_pq_index(ds_emb, index_dir: str, m: int = 16, ks: int = 32,
     import ray  # noqa: F401
 
     os.makedirs(index_dir, exist_ok=True)
-    books = train_pq_codebooks(ds_emb, m=m, ks=ks, sample_rows=sample_rows)
+    books = train_pq_codebooks(ds_emb, m=m, ks=ks, sample_rows=sample_rows,
+                               sample_mode=sample_mode)
     np.save(os.path.join(index_dir, "codebooks.npy"), books)
     bref = ray.put(books)
 
@@ -607,7 +663,7 @@ def _pq_encode_rows(V: np.ndarray, books: np.ndarray) -> np.ndarray:
 
 def build_ivfpq_index(
     ds_emb, index_dir: str, n_lists: int = 16, m: int = 16, ks: int = 32,
-    sample_rows: int = 2048,
+    sample_rows: int = 2048, sample_mode: str = "block",
 ):
     """Residual-quantized IVF-PQ (the FAISS IVFPQ composition, Jegou et al.
     TPAMI'11 §IV): every vector is assigned to its nearest IVF list and PQ
@@ -630,9 +686,14 @@ def build_ivfpq_index(
     import ray
 
     os.makedirs(index_dir, exist_ok=True)
-    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_rows=sample_rows)
+    C = train_ivf_centroids(ds_emb, n_lists=n_lists, sample_rows=sample_rows,
+                            sample_mode=sample_mode)
     # train PQ on SAMPLE residuals (train on a sample, never a full scan)
-    V = _sample_normalized(ds_emb, sample_rows)
+    V = (
+        _hash_sample_normalized(ds_emb, sample_rows)
+        if sample_mode == "hash"
+        else _sample_normalized(ds_emb, sample_rows)
+    )
     assign = np.argmax(V @ C.T, axis=1)
     books = _train_pq_on_rows(V - C[assign], m=m, ks=ks)
     np.save(os.path.join(index_dir, "centroids.npy"), C)
@@ -880,33 +941,7 @@ def kmeans_clusters_deterministic(ds_emb, k: int = 8, iters: int = 10,
     import ray
 
     base = ds_emb.materialize()
-
-    def sample_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids, V = _stack_arrow(batch)
-        h = pd.util.hash_array(ids.astype(np.int64))
-        keep = np.argsort(h, kind="stable")[:sample_rows]
-        Vn = _normalize(V[keep])
-        return pa.table({
-            "h": pa.array(h[keep].astype(np.uint64)),
-            "vec_id": pa.array(ids[keep]),
-            "v": _packed_binary(
-                np.ascontiguousarray(Vn).tobytes(), len(keep),
-                Vn.shape[1] * 8,
-            ),
-        })
-
-    parts = pa.concat_tables(list(
-        base.map_batches(sample_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ))
-    order = np.lexsort((
-        parts.column("vec_id").to_numpy(),
-        parts.column("h").to_numpy(),
-    ))[:sample_rows]
-    dim = len(parts.column("v")[0].as_py()) // 8 if len(parts) else 0
-    Vs = _binary_to_mat(parts.column("v"), dim, np.float64)[order]
+    Vs = _hash_sample_normalized(base, sample_rows)
 
     rng = np.random.default_rng(seed)
     C = Vs[rng.choice(len(Vs), size=min(k, len(Vs)), replace=False)].copy()
